@@ -1,0 +1,26 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided synthetic tables (TESTDATA.md).
+  *
+  * All engine queries take a scale-factor directory (e.g.
+  * `/root/testdata/sf0.01`) and read one parquet file per table. Reads
+  * are plain `spark.read.parquet` so Catalyst keeps filter pushdown,
+  * column pruning, and partition-size splitting (at 100 TB the same
+  * call reads a multi-file partitioned layout unchanged).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view (reference pattern S4:
+    * `df.createOrReplaceTempView` then SQL — see SURVEY §2.1).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
