@@ -43,5 +43,173 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  val all: Seq[Q] = Seq(q1_agg)
+  /** COUNT(DISTINCT) + conditional distinct (reference A2:
+    * `assignmnet_2.sql:239`, `funnel_analysis.sql:16`).
+    */
+  val q2_count_distinct: Q = Q(
+    "q2_count_distinct",
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT CASE WHEN value >= 250 THEN user_id END) AS n_big_users,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        countDistinct(when($"value" >= 250, $"user_id")).as("n_big_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  /** Searched CASE WHEN classification (reference P7: scoring class,
+    * `load_players_table_day2.sql:61-66`) — here a balance class over
+    * customers, aggregated per class.
+    */
+  val q3_case_when: Q = Q(
+    "q3_case_when",
+    """SELECT CASE WHEN c_acctbal < 0 THEN 'debtor'
+      |            WHEN c_acctbal < 2500 THEN 'low'
+      |            WHEN c_acctbal < 7500 THEN 'mid'
+      |            ELSE 'high' END AS balance_class,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .withColumn("balance_class",
+        when($"c_acctbal" < 0, "debtor")
+          .when($"c_acctbal" < 2500, "low")
+          .when($"c_acctbal" < 7500, "mid")
+          .otherwise("high"))
+      .groupBy($"balance_class")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum($"c_acctbal").as("total_bal"))
+      .orderBy($"balance_class")
+  }
+
+  /** LIKE-pattern predicates (reference P6:
+    * `window_based_analysis.sql:8-13`).
+    */
+  val q4_filter_like: Q = Q(
+    "q4_filter_like",
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM part
+      |WHERE p_name LIKE '%red%' OR p_name LIKE '%blue%'
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .filter($"p_name".like("%red%") || $"p_name".like("%blue%"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("total_price"))
+      .orderBy($"p_brand")
+  }
+
+  /** Scalar string/date function surface (reference §2.8: split_part,
+    * upper, date_trunc, extract).
+    */
+  val q5_scalar_funcs: Q = Q(
+    "q5_scalar_funcs",
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+      |  UPPER(SPLIT_PART(o_orderpriority, '-', 2)) AS priority_word,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .withColumn("order_year", year($"o_orderdate").cast("int"))
+      .withColumn("priority_word",
+        upper(split($"o_orderpriority", "-").getItem(1)))
+      .groupBy($"order_year", $"priority_word")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+      .orderBy($"order_year", $"priority_word")
+  }
+
+  /** HAVING post-aggregation filter (reference P10:
+    * `funnel_analysis.sql:29-30`) + top-k order/limit (O3).
+    */
+  val q6_having_topk: Q = Q(
+    "q6_having_topk",
+    """SELECT o_custkey,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 5
+      |ORDER BY total_spent DESC, o_custkey
+      |LIMIT 25""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_spent"))
+      .filter($"n_orders" >= 5)
+      .orderBy($"total_spent".desc, $"o_custkey")
+      .limit(25)
+  }
+
+  /** GROUPING SETS + GROUPING() level labels (reference A8:
+    * `grouping_sets.sql:13-34`). Uses Spark SQL over a temp view — the
+    * reference's own S4 pattern.
+    */
+  val q7_grouping_sets: Q = Q(
+    "q7_grouping_sets",
+    """SELECT COALESCE(o_orderstatus, '(all)') AS order_status,
+      |  COALESCE(o_orderpriority, '(all)') AS order_priority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) + CAST(GROUPING(o_orderpriority) AS INT) AS grouping_level,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus, '(all)') AS order_status,
+        |  COALESCE(o_orderpriority, '(all)') AS order_priority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) + CAST(GROUPING(o_orderpriority) AS INT) AS grouping_level,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** COALESCE / NULLIF / GREATEST (reference P9) + JSON property-bag
+    * extraction (reference map/JSON family, `team_vertices.sql:8-14`;
+    * events.props carries `{"k": N}`).
+    */
+  val q8_json_conditional: Q = Q(
+    "q8_json_conditional",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(SUM(CAST(GREATEST(COALESCE(NULLIF(value, 0), 1), 1) AS DECIMAL(18,2))) AS DOUBLE) AS adj_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("k_bucket",
+        (get_json_object($"props", "$.k").cast("int") % 10))
+      .groupBy($"k_bucket")
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum($"value").as("total_value"),
+        dsum(greatest(coalesce(nullif($"value", lit(0)), lit(1)), lit(1)))
+          .as("adj_value"))
+      .orderBy($"k_bucket")
+  }
+
+  val all: Seq[Q] = Seq(
+    q1_agg, q2_count_distinct, q3_case_when, q4_filter_like,
+    q5_scalar_funcs, q6_having_topk, q7_grouping_sets, q8_json_conditional)
 }

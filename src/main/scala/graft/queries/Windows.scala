@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Exact._
+
+/** Window-function surface (SURVEY §2.5): LAG change detection,
+  * ROW_NUMBER dedup, running/rolling/offset frames, partition totals,
+  * ordered collect.
+  *
+  * Scale notes: every window below partitions by a high-cardinality key
+  * (user_id, o_custkey) so state per partition stays tiny; the two
+  * calendar-day windows first aggregate to one row per day (30–2500
+  * rows at any SF) before windowing, so the unpartitioned frame is
+  * never applied to raw fact rows.
+  */
+object Windows {
+
+  /** ROW_NUMBER dedup keeping the latest row per key (reference W2 +
+    * P11: `team_vertices.sql:2`, `assignmnet_2.sql:50-62`; ordering made
+    * total with the event_id tie-break — the reference's own Spark port
+    * fixed this nondeterminism, `team_vertex_job.py:6`).
+    */
+  val q20_dedup_latest: Q = Q(
+    "q20_dedup_latest",
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.load(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"value")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** LAG(1) change detection over per-user daily activity (reference
+    * W1: `scd_generation_query.sql:5-8`).
+    */
+  val q21_lag_daily: Q = Q(
+    "q21_lag_daily",
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day, n_events,
+      |  LAG(n_events, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev_n,
+      |  MAX(n_events) OVER (PARTITION BY user_id) AS max_n
+      |FROM d
+      |ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"user_id", $"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    daily
+      .withColumn("prev_n", lag($"n_events", 1).over(w))
+      .withColumn("max_n",
+        max($"n_events").over(Window.partitionBy($"user_id")))
+      .orderBy($"user_id", $"day")
+  }
+
+  /** Running cumulative sum per customer (reference W3:
+    * `scd_generation_query.sql:17-18` streak id pattern), exact decimal
+    * so the running values reproduce bit-for-bit.
+    */
+  val q22_running_sum: Q = Q(
+    "q22_running_sum",
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".cast("date").as("order_date"),
+        sum(money($"o_totalprice")).over(w).cast("double").as("running_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Rolling / offset / whole-partition frames over the daily revenue
+    * series (reference W4/W5/W6: `window_based_analysis.sql:30-53` —
+    * weekly `-6..0`, prior week `-13..-6`, partition total).
+    */
+  val q23_frames: Q = Q(
+    "q23_frames",
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT day, CAST(rev AS DOUBLE) AS day_rev,
+      |  CAST(SUM(rev) OVER (ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_week,
+      |  CAST(SUM(rev) OVER (ORDER BY day
+      |    ROWS BETWEEN 13 PRECEDING AND 6 PRECEDING) AS DOUBLE) AS rev_prior_week,
+      |  CAST(SUM(rev) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)
+      |    AS rev_total
+      |FROM d
+      |ORDER BY day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(money($"o_totalprice")).as("rev"))
+    val w = Window.orderBy($"day")
+    daily.select(
+        $"day",
+        $"rev".cast("double").as("day_rev"),
+        sum($"rev").over(w.rowsBetween(-6, 0)).cast("double").as("rev_week"),
+        sum($"rev").over(w.rowsBetween(-13, -6)).cast("double")
+          .as("rev_prior_week"),
+        sum($"rev").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("double").as("rev_total"))
+      .orderBy($"day")
+  }
+
+  /** Ordered collect per key (reference A3/W8 windowed ARRAY_AGG,
+    * `load_players_table_day2.sql:20-32`): each user's event trail as a
+    * comma-joined id list, ordered by time. Emitted as STRING so the
+    * oracle compare is representation-stable across engines.
+    */
+  val q24_ordered_collect: Q = Q(
+    "q24_ordered_collect",
+    """SELECT user_id,
+      |  COUNT(*) AS n_events,
+      |  STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+      |    AS event_trail
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct($"ts", $"event_id"))),
+            x => x.getField("event_id").cast("string")),
+          ",").as("event_trail"))
+      .orderBy($"user_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    q20_dedup_latest, q21_lag_daily, q22_running_sum, q23_frames,
+    q24_ordered_collect)
+}
