@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Bitmask-encoded activity time series — the reference's
+  * `datelist_int` (`tables/user_datelist_int.sql:1-6`, built in
+  * `lecture-lab/generate_datelist.sql:12-19`, analyzed with BIT_COUNT +
+  * AND masks in `anaylze_datelist.sql:20-31`; `1 << day_idx` variant in
+  * `2-fact-data-modeling/homework/assignmnet_2.sql:139-167`).
+  *
+  * One BIGINT carries up to 64 days of presence — the densest possible
+  * activity encoding: monthly-active checks become `mask != 0`, weekly
+  * become a constant AND, and n-day actives a `bit_count`. At 100 TB
+  * this replaces an exploded (user, day) table with one long per user.
+  */
+object Datelist {
+
+  /** Fold an ARRAY<DATE> into a bitmask: bit i set ⇔ anchor+i days is
+    * present. Dates outside [anchor, anchor+63] are ignored.
+    */
+  def encode(dates: Column, anchor: Column): Column =
+    aggregate(
+      transform(dates, d => {
+        val idx = datediff(d, anchor)
+        when(idx.between(0, 63),
+          call_function("shiftleft", lit(1L), idx)).otherwise(lit(0L))
+      }),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+
+  /** Decode a bitmask back to ARRAY<DATE> (inverse of encode). */
+  def decode(mask: Column, anchor: Column, nDays: Int = 64): Column =
+    filter(
+      transform(sequence(lit(0), lit(nDays - 1)),
+        i => when(mask.bitwiseAND(
+            call_function("shiftleft", lit(1L), i)) =!= 0,
+          date_add(anchor, i))),
+      d => d.isNotNull)
+
+  /** Number of active days = POPCOUNT (reference BIT_COUNT). */
+  def activeDays(mask: Column): Column = bit_count(mask).cast("int")
+
+  /** A mask with bits [from, from+n) set, e.g. the "last 7 days ending
+    * at day endIdx" check of `anaylze_datelist.sql:25-31`.
+    */
+  def windowMask(from: Int, n: Int): Long = ((1L << n) - 1L) << from
+
+  /** Active at least once in the window — mask AND window != 0. */
+  def activeInWindow(mask: Column, from: Int, n: Int): Column =
+    mask.bitwiseAND(lit(windowMask(from, n))) =!= 0
+}

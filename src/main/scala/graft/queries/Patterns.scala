@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators._
+
+/** The bootcamp's signature patterns (SURVEY modules 1/2/4a) applied to
+  * the synthetic `events`/`customer` tables: SCD streaks, cumulation,
+  * datelist_int bitmasks, growth accounting, retention, array metrics,
+  * property-graph modeling.
+  */
+object Patterns {
+
+  private val Anchor = "DATE '2024-01-01'"
+
+  /** SCD type-2 backfill (reference `scd_generation_query.sql`): per
+    * user, streaks of the daily activity class (active = ≥3 events that
+    * day). Runs the generic [[graft.operators.Scd.backfill]] kernel.
+    */
+  val q30_scd_streaks: Q = Q(
+    "q30_scd_streaks",
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CASE WHEN COUNT(*) >= 3 THEN 'active' ELSE 'light' END AS activity_class
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT *, CASE WHEN activity_class =
+      |      LAG(activity_class) OVER (PARTITION BY user_id ORDER BY day)
+      |    THEN 0 ELSE 1 END AS changed
+      |  FROM d),
+      |s AS (
+      |  SELECT *, SUM(changed) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS streak
+      |  FROM c)
+      |SELECT user_id, activity_class,
+      |  MIN(day) AS start_day, MAX(day) AS end_day
+      |FROM s GROUP BY user_id, activity_class, streak
+      |ORDER BY user_id, start_day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"user_id", $"ts".cast("date").as("day"))
+      .agg(when(count(lit(1)) >= 3, "active").otherwise("light")
+        .as("activity_class"))
+    Scd.backfill(daily, "user_id", "day", "activity_class")
+      .orderBy($"user_id", $"start_day")
+  }
+
+  /** datelist_int bitmask fact (reference `generate_datelist.sql:12-19`
+    * + `anaylze_datelist.sql:20-31`): one BIGINT per user encoding
+    * January activity, with BIT_COUNT actives and a last-week AND-mask
+    * probe. Single shuffle: collect_set per user, fold to bits.
+    */
+  val q31_datelist_int: Q = Q(
+    "q31_datelist_int",
+    s"""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN CAST(day - $Anchor AS INT) BETWEEN 0 AND 63
+      |    THEN 1::BIGINT << CAST(day - $Anchor AS INT) ELSE 0 END) AS BIGINT)
+      |    AS datelist_int,
+      |  CAST(bit_count(CAST(SUM(CASE WHEN CAST(day - $Anchor AS INT) BETWEEN 0 AND 63
+      |    THEN 1::BIGINT << CAST(day - $Anchor AS INT) ELSE 0 END) AS BIGINT)) AS INT)
+      |    AS n_active_days,
+      |  (CAST(SUM(CASE WHEN CAST(day - $Anchor AS INT) BETWEEN 0 AND 63
+      |    THEN 1::BIGINT << CAST(day - $Anchor AS INT) ELSE 0 END) AS BIGINT)
+      |    & ${Datelist.windowMask(23, 7)}) != 0 AS active_last_week
+      |FROM d GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val anchor = lit("2024-01-01").cast("date")
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(collect_set($"ts".cast("date")).as("days"))
+      .select($"user_id", Datelist.encode($"days", anchor).as("datelist_int"))
+      .select($"user_id", $"datelist_int",
+        Datelist.activeDays($"datelist_int").as("n_active_days"),
+        Datelist.activeInWindow($"datelist_int", 23, 7)
+          .as("active_last_week"))
+      .orderBy($"user_id")
+  }
+
+  /** Growth accounting (reference `growth_accounting.sql:19-34`):
+    * per-day counts of new/retained/resurrected/churned/stale users.
+    */
+  val q32_growth_accounting: Q = Q(
+    "q32_growth_accounting",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM a GROUP BY 1),
+      |bounds AS (SELECT MAX(day) AS end_day FROM a),
+      |cal AS (SELECT user_id, first_day,
+      |    CAST(unnest(generate_series(first_day, end_day, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM f, bounds),
+      |j AS (SELECT cal.user_id, cal.day, cal.first_day,
+      |    (t.user_id IS NOT NULL) AS active,
+      |    (y.user_id IS NOT NULL) AS active_yday
+      |  FROM cal
+      |  LEFT JOIN a t ON t.user_id = cal.user_id AND t.day = cal.day
+      |  LEFT JOIN a y ON y.user_id = cal.user_id AND y.day = cal.day - 1)
+      |SELECT day, state, COUNT(*) AS n_users FROM (
+      |  SELECT day,
+      |    CASE WHEN day = first_day THEN 'new'
+      |         WHEN active AND active_yday THEN 'retained'
+      |         WHEN active THEN 'resurrected'
+      |         WHEN active_yday THEN 'churned'
+      |         ELSE 'stale' END AS state
+      |  FROM j) t
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    GrowthAccounting.dailyStates(
+        Tables.load(spark, dir, "events"), "user_id", "ts")
+      .groupBy($"day", $"state")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"day", $"state")
+  }
+
+  /** Cohort retention curve (reference `retention_analysis.sql:1-7`):
+    * actives by days-since-first-activity.
+    */
+  val q33_retention: Q = Q(
+    "q33_retention",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM a GROUP BY 1)
+      |SELECT CAST(a.day - f.first_day AS INT) AS day_n, COUNT(*) AS n_active
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(collect_set($"ts".cast("date")).as("days"))
+      .withColumn("first_day", array_min($"days"))
+      .select($"user_id",
+        explode($"days").as("day"), $"first_day")
+      .groupBy(datediff($"day", $"first_day").as("day_n"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy($"day_n")
+  }
+
+  /** Monthly array metrics (reference `array_metrics_analysis.sql` +
+    * positional `SUM(hit_array[i])`): per-user day-indexed event-count
+    * arrays, zero-filled, aggregated positionally via posexplode.
+    */
+  val q34_array_metrics: Q = Q(
+    "q34_array_metrics",
+    s"""WITH d AS (SELECT CAST(CAST(ts AS DATE) - $Anchor AS INT) AS day_idx,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |bounds AS (SELECT MAX(day_idx) AS max_idx FROM d),
+      |cal AS (SELECT UNNEST(generate_series(0, max_idx)) AS day_idx FROM bounds)
+      |SELECT CAST(cal.day_idx AS INT) AS day_idx,
+      |  CAST(COALESCE(d.n, 0) AS BIGINT) AS total
+      |FROM cal LEFT JOIN d ON cal.day_idx = d.day_idx
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val anchor = lit("2024-01-01").cast("date")
+    val perDay = Tables.load(spark, dir, "events")
+      .groupBy($"user_id", $"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val arrays = ArrayMetrics.monthlyArray(
+      perDay, "user_id", "day", "n_events", anchor)
+    ArrayMetrics.positionalTotals(arrays, "metric_array")
+      .select($"day_idx".cast("int").as("day_idx"), $"total")
+      .orderBy($"day_idx")
+  }
+
+  /** Graph vertices (reference `team_vertices.sql` / `graph_ddls.sql`):
+    * customers + nations as typed vertices with JSON property bags.
+    */
+  val q35_graph_vertices: Q = Q(
+    "q35_graph_vertices",
+    """SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+      |  'customer' AS vertex_type,
+      |  to_json(struct_pack(name := c_name, segment := c_mktsegment)) AS properties
+      |FROM customer
+      |UNION ALL
+      |SELECT CAST(n_nationkey AS VARCHAR) AS identifier,
+      |  'nation' AS vertex_type,
+      |  to_json(struct_pack(name := n_name, region := r_name)) AS properties
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY vertex_type, identifier""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    Graph.vertices(customer, $"c_custkey", "customer",
+        Seq("name" -> $"c_name", "segment" -> $"c_mktsegment"))
+      .unionByName(Graph.vertices(
+        nation.join(broadcast(region), $"n_regionkey" === $"r_regionkey"),
+        $"n_nationkey", "nation",
+        Seq("name" -> $"n_name", "region" -> $"r_name")))
+      .orderBy($"vertex_type", $"identifier")
+  }
+
+  /** Graph edges (reference `player_game_edges.sql` shape): each
+    * customer linked to its nation.
+    */
+  val q36_graph_edges: Q = Q(
+    "q36_graph_edges",
+    """SELECT CAST(c_custkey AS VARCHAR) AS subject_identifier,
+      |  'customer' AS subject_type,
+      |  CAST(c_nationkey AS VARCHAR) AS object_identifier,
+      |  'nation' AS object_type,
+      |  'located_in' AS edge_type,
+      |  to_json(struct_pack(segment := c_mktsegment)) AS properties
+      |FROM customer
+      |ORDER BY subject_identifier""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Graph.edges(Tables.load(spark, dir, "customer"),
+        $"c_custkey", "customer", $"c_nationkey", "nation", "located_in",
+        Seq("segment" -> $"c_mktsegment"))
+      .orderBy($"subject_identifier")
+  }
+
+  /** Full-row dedup via group-by-all (reference A9,
+    * `funnel_analysis.sql:1-6` / `dropDuplicates`).
+    */
+  val q37_dedup_rows: Q = Q(
+    "q37_dedup_rows",
+    """SELECT user_id, event_type, CAST(ts AS DATE) AS day
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", $"ts".cast("date").as("day"))
+      .dropDuplicates()
+      .orderBy($"user_id", $"event_type", $"day")
+  }
+
+  /** The cumulation kernel end-to-end (reference J3/S15 upsert-merge,
+    * `user_cumulated_populate.sql`): yesterday's cumulated snapshot
+    * (through Jan 29) full-outer-merged with Jan 30 activity; result
+    * must equal a direct full-history aggregation.
+    */
+  val q38_cumulate_merge: Q = Q(
+    "q38_cumulate_merge",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |           WHERE CAST(ts AS DATE) <= DATE '2024-01-30')
+      |SELECT user_id, MIN(day) AS first_seen, MAX(day) AS last_seen,
+      |  COUNT(*) AS n_active_days
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .filter($"ts".cast("date") <= lit("2024-01-30").cast("date"))
+    val yesterday = events
+      .filter($"ts".cast("date") <= lit("2024-01-29").cast("date"))
+      .groupBy($"user_id")
+      .agg(
+        min($"ts".cast("date")).as("first_seen"),
+        max($"ts".cast("date")).as("last_seen"),
+        countDistinct($"ts".cast("date")).as("n_active_days"))
+    val today = events
+      .filter($"ts".cast("date") === lit("2024-01-30").cast("date"))
+      .select($"user_id", $"ts".cast("date").as("day"))
+      .distinct()
+    Cumulate.fullOuterMerge(yesterday, today, Seq("user_id"), Seq(
+        Cumulate.MergeCol("first_seen",
+          coalesce(col("y_first_seen"), col("t_day"))),
+        Cumulate.MergeCol("last_seen",
+          coalesce(col("t_day"), col("y_last_seen"))),
+        Cumulate.MergeCol("n_active_days",
+          coalesce(col("y_n_active_days"), lit(0L)) +
+            when(col("t_day").isNotNull, 1L).otherwise(0L))))
+      .orderBy($"user_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    q30_scd_streaks, q31_datelist_int, q32_growth_accounting,
+    q33_retention, q34_array_metrics, q35_graph_vertices,
+    q36_graph_edges, q37_dedup_rows, q38_cumulate_merge)
+}
