@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Ports the reference's team-vertex test
+  * (`src/tests/test_team_vertex_job.py:10-32`): duplicate entity rows
+  * collapse to one vertex (with a total ordering, fixing the
+  * reference's nondeterministic ROW_NUMBER), property bag serialized.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vertex building dedups entities and carries properties") {
+    val teams = Seq(
+      (1, "GSW", "Warriors", "San Francisco"),
+      (1, "GSW", "Bad Warriors", "San Francisco"),
+      (2, "LAL", "Lakers", "Los Angeles"))
+      .toDF("team_id", "abbreviation", "nickname", "city")
+    val deduped = teams
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"team_id").orderBy($"nickname")))
+      .filter($"rn" === 1).drop("rn")
+    val got = Graph.vertices(deduped, $"team_id", "team",
+      Seq("abbreviation" -> $"abbreviation", "nickname" -> $"nickname",
+        "city" -> $"city"))
+    assert(got.count() == 2)
+    val gsw = got.filter($"identifier" === "1").head()
+    assert(gsw.getString(1) == "team")
+    assert(gsw.getString(2) ==
+      """{"abbreviation":"GSW","nickname":"Bad Warriors","city":"San Francisco"}""")
+  }
+
+  test("edges carry endpoint types and JSON properties") {
+    val df = Seq((10, 20, "AUTomobile")).toDF("c", "n", "seg")
+    val got = Graph.edges(df, $"c", "customer", $"n", "nation",
+      "located_in", Seq("segment" -> upper($"seg")))
+    val row = got.head()
+    assert(row.getString(0) == "10" && row.getString(2) == "20")
+    assert(row.getString(4) == "located_in")
+    assert(row.getString(5) == """{"segment":"AUTOMOBILE"}""")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Ports the reference's own SCD unit test
+  * (`3-spark-fundamentals/src/tests/test_player_scd.py:8-24`) and adds
+  * the incremental≡backfill equivalence the reference never verified.
+  */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backfill splits streaks (reference player_scd fixture)") {
+    val input = Seq(
+      ("Michael Jordan", 2001, "Good"),
+      ("Michael Jordan", 2002, "Good"),
+      ("Michael Jordan", 2003, "Bad"),
+      ("Someone Else", 2003, "Bad"))
+      .toDF("player_name", "current_season", "scoring_class")
+    val got =
+      Scd.backfill(input, "player_name", "current_season", "scoring_class")
+    val expected = Seq(
+      ("Michael Jordan", "Good", 2001, 2002),
+      ("Michael Jordan", "Bad", 2003, 2003),
+      ("Someone Else", "Bad", 2003, 2003))
+      .toDF("player_name", "scoring_class",
+        "start_current_season", "end_current_season")
+    assertDfEquality(got, expected)
+  }
+
+  test("incremental merge equals full backfill") {
+    val hist = Seq(
+      ("A", 2001, "Good"), ("A", 2002, "Good"), ("A", 2003, "Good"),
+      ("B", 2002, "Bad"), ("B", 2003, "Bad"),
+      ("D", 2001, "Good"), ("D", 2002, "Bad"), ("D", 2003, "Bad"))
+      .toDF("player_name", "current_season", "scoring_class")
+    // 2004: A unchanged, B retires, D changes class, C brand-new
+    val today = Seq(("A", "Good"), ("D", "Good"), ("C", "Bad"))
+      .toDF("player_name", "scoring_class")
+    val scd =
+      Scd.backfill(hist, "player_name", "current_season", "scoring_class")
+    val inc = Scd.incremental(
+      scd, today, "player_name", "current_season", "scoring_class", 2004)
+    val full = Scd.backfill(
+      hist.unionByName(today.selectExpr(
+        "player_name", "2004 AS current_season", "scoring_class")),
+      "player_name", "current_season", "scoring_class")
+    assertDfEquality(
+      inc.select("player_name", "scoring_class",
+        "start_current_season", "end_current_season"),
+      full.select("player_name", "scoring_class",
+        "start_current_season", "end_current_season"))
+  }
+}
