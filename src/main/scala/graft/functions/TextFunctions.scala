@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, token counting, quality signals, language-ID,
+  * fingerprinting, shingling. Everything here is a pure Catalyst
+  * expression tree (codegen-friendly, no UDFs, no shuffles) so it
+  * composes into whole-stage codegen over a 100 TB scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (keeps leading/trailing empties exactly like
+    * `String.split(re, -1)`, matching DuckDB's string_split_regex).
+    */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def lowerTokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alphanumeric runs + individual punctuation,
+    * the standard pre-tokenizer split.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Punctuation-character count (quality signal). */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  /** Number of tokens drawn from a stopword lexicon. */
+  def stopwordCount(text: Column, lexicon: Seq[String] = EnStopwords)
+      : Column =
+    size(filter(lowerTokens(text), w => w.isin(lexicon: _*)))
+
+  // Language-ID marker lexicons (tiny on purpose: the classic
+  // stopword-profile heuristic).
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "es" -> Seq("el", "los", "de", "es", "una", "que"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
+
+  /** n-gram/stopword-profile language ID: CJK codepoints short-circuit
+    * to zh; otherwise the marker lexicon with the most hits wins, ties
+    * broken in declaration order (en > de > es > fr).
+    */
+  def languageId(text: Column): Column = {
+    val toks = lowerTokens(text)
+    val scores = LangMarkers.map { case (lang, lex) =>
+      lang -> size(filter(toks, w => w.isin(lex: _*)))
+    }
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Document fingerprint: md5 over the whitespace-normalized,
+    * lowercased text — the exact-dedup key. 128-bit hex, so collisions
+    * at 100 TB (~10¹¹ docs) stay ≪ 1.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Distinct word n-gram shingles (default 3), the MinHash/Jaccard
+    * unit. Returns an empty array for texts shorter than n words.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = lowerTokens(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(i + n <= size(toks),
+            array_join(slice(toks, i + 1, lit(n)), " "))),
+        s => s.isNotNull))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact
+  * (fingerprint group-by), MinHash+LSH banding, SimHash, and n-gram
+  * Jaccard verification.
+  *
+  * Scale design: signatures (fingerprint, minhash, bands, simhash) are
+  * ALL per-row Catalyst expression trees — zero shuffles to compute
+  * over 100 TB. The only exchanges are the final group-bys on
+  * hash/bucket keys, which reduce to (key, count/min) pairs with
+  * map-side partial aggregation. Candidate verification touches only
+  * LSH-bucket collisions, never the full O(n²) pair space.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-text
+    * fingerprint (reference A9/W2 dedup patterns, made total-ordered).
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame =
+    df.withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("_fp")
+
+  /** MinHash signature over a shingle-set column: k independent hash
+    * functions realized as md5("<i>:" + shingle) with per-row
+    * array_min — deterministic across engines, no shuffle.
+    */
+  def minhashSignature(shingleSet: Column, k: Int = 16): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet,
+        s => md5(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys: the signature sliced into `bands` groups of
+    * `rowsPerBand`, each hashed to one bucket key.
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int)
+      : Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(array_join(
+        slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+
+  /** Per-band LSH bucket summary: buckets and collision counts — the
+    * candidate-generation telemetry of a near-dup pipeline.
+    */
+  def lshBandSummary(df: DataFrame, textCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    df.select(posexplode(
+        lshBandKeys(
+          minhashSignature(TextFunctions.shingles(col(textCol)), k),
+          bands, r)).as(Seq("band_id", "band_hash")))
+      .groupBy(col("band_id"))
+      .agg(
+        countDistinct(col("band_hash")).as("n_buckets"),
+        (count(lit(1)) - countDistinct(col("band_hash")))
+          .as("n_collisions"))
+  }
+
+  /** LSH candidate pairs: ids colliding in at least one band. */
+  def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(lshBandKeys(
+        minhashSignature(TextFunctions.shingles(col(textCol)), k),
+        bands, k / bands)).as("band_hash"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Word n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(shinglesA: Column, shinglesB: Column): Column = {
+    val inter = size(array_intersect(shinglesA, shinglesB))
+    val union = size(array_union(shinglesA, shinglesB))
+    when(union === 0, 0.0)
+      .otherwise(inter.cast("double") / union.cast("double"))
+  }
+
+  /** 60-bit SimHash over the token multiset: per-token md5-derived
+    * 60-bit hash, per-bit ±1 majority vote, folded entirely inside one
+    * expression (no shuffle).
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextFunctions.lowerTokens(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 60),
+      (acc, t) => {
+        val hv = conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+        zip_with(acc, sequence(lit(0), lit(59)), (a, j) =>
+          a + when(call_function("shiftright", hv, j)
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(59)), (s, j) =>
+        when(s > 0, call_function("shiftleft", lit(1L), j))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two SimHash values — the near-dup
+    * predicate (`dist <= threshold`).
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+}

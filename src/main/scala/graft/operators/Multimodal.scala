@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque BINARY
+  * columns with a typed metadata struct, plus decode / resize /
+  * frame-sample operators.
+  *
+  * The container has no image/audio codecs, so the actual byte→pixels
+  * decode is STUBBED (`decodePixelsStub` derives deterministic fake
+  * features from the bytes). Everything around it — schema, binary
+  * handling, metadata structs, batch shape, partitioning — is real
+  * Spark and tested. Swapping the stub for a codec is a one-function
+  * change (at scale it would be a `mapPartitions` with a reused
+  * decoder handle per partition).
+  */
+object Multimodal {
+
+  /** Attach a deterministic binary payload + typed metadata to any
+    * text-bearing table (used to materialize a multimodal fixture from
+    * `documents`). kind cycles image/audio/video by id.
+    */
+  def attachMedia(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val id = col(idCol)
+    val kind = when(id % 3 === 0, "image")
+      .when(id % 3 === 1, "audio").otherwise("video")
+    df.select(
+      id.as("media_id"),
+      kind.as("kind"),
+      encode(col(textCol), "utf-8").as("bytes"),
+      struct(
+        when(kind === "image", "png").when(kind === "audio", "wav")
+          .otherwise("mp4").as("format"),
+        (pmod(id * 37, lit(1216)) + 64).cast("int").as("width"),
+        (pmod(id * 53, lit(656)) + 64).cast("int").as("height"),
+        (pmod(id * 7, lit(240)) + 1).cast("int").as("duration_s"))
+        .as("meta"))
+  }
+
+  /** STUB decode: real pipelines decode `bytes` with a codec here.
+    * This stand-in derives deterministic per-item "features" from the
+    * payload so downstream plumbing (schema, joins, aggregation) is
+    * exercised honestly: byte length, first byte, and a content hash
+    * bucket.
+    */
+  def decodePixelsStub(bytes: Column): Column =
+    struct(
+      length(bytes).as("n_bytes"),
+      conv(hex(substring(bytes, 1, 1)), 16, 10).cast("int")
+        .as("first_byte"),
+      (conv(substring(md5(bytes), 1, 4), 16, 10) % 256).cast("int")
+        .as("content_bucket"))
+
+  /** Resize: pure metadata transform preserving aspect fit (the pixel
+    * work happens inside the decode stub's seam).
+    */
+  def resizeMeta(meta: Column, maxSide: Int): Column = {
+    val w = meta.getField("width")
+    val h = meta.getField("height")
+    val scale = lit(maxSide).cast("double") / greatest(w, h).cast("double")
+    val clamped = least(scale, lit(1.0))
+    struct(
+      meta.getField("format").as("format"),
+      floor(w * clamped).cast("int").as("width"),
+      floor(h * clamped).cast("int").as("height"),
+      meta.getField("duration_s").as("duration_s"))
+  }
+
+  /** Frame sampling plan for video rows: one struct per sampled frame
+    * at `fps` — pure plan arithmetic, distributed via explode.
+    */
+  def sampleFrames(df: DataFrame, fps: Double): DataFrame =
+    df.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0),
+          (col("meta.duration_s") * fps).cast("int") - 1))
+          .as("frame_idx"))
+      .withColumn("t_offset_s", col("frame_idx") / fps)
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (ARRAY<FLOAT>).
+  *
+  * Baseline: brute-force cosine top-k — queries broadcast, candidates
+  * streamed, score is a per-row zip_with/aggregate fold (sequential,
+  * deterministic, codegen'd; no UDF). Scale path: IVF — assign every
+  * vector to its nearest centroid once, then probe only matching cells
+  * at query time (candidate set shrinks by the cell count), plus an
+  * LSH signed-random-projection bucketing.
+  */
+object Similarity {
+
+  /** Deterministic left-to-right double fold of Σ aᵢ·bᵢ. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * candidates (self excluded), ties broken by candidate id.
+    *
+    * @param queries    (qid, qvec)
+    * @param candidates (cid, cvec)
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
+    val scored = queries
+      .crossJoin(candidates)
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cos"))
+  }
+
+  /** IVF cell assignment: each vector goes to its highest-cosine
+    * centroid (ties → lowest centroid id). Centroids are broadcast; the
+    * scan is embarrassingly parallel.
+    *
+    * @param vectors   (vec_id, embedding)
+    * @param centroids (centroid_id, centroid)
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_id"))
+    vectors
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("cos"))
+  }
+
+  /** Signed-random-projection LSH bucket id: sign bit per hyperplane,
+    * planes supplied as a literal array-of-arrays (generated once,
+    * broadcast as part of the plan — never recomputed per row).
+    */
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p)) > 0,
+        call_function("shiftleft", lit(1L), lit(i))).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded). */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** LSH-bucketed ANN: histogram of bucket occupancy — the telemetry
+    * that sizes the probe set.
+    */
+  def srpBucketHistogram(vectors: DataFrame, nPlanes: Int, dim: Int)
+      : DataFrame =
+    vectors
+      .withColumn("bucket", srpBucket(col("embedding"),
+        planes(nPlanes, dim)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+}

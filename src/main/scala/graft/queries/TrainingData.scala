@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** LLM-training-data pipeline surface over `documents` and
+  * `embeddings`: text statistics, quality signals, language-ID,
+  * fingerprint/exact dedup, n-gram Jaccard, MinHash+LSH, SimHash,
+  * cosine top-k, IVF assignment, multimodal metadata.
+  */
+object TrainingData {
+
+  private val JacShingleSql =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1) + 1),
+      |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))""".stripMargin
+
+  /** Token statistics per language (whitespace + BPE-ish counts). */
+  val q40_token_stats: Q = Q(
+    "q40_token_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(tokenCount($"text").cast("long")).as("total_ws_tokens"),
+        sum(bpeTokenCount($"text").cast("long")).as("total_bpe_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Quality signals per source: ratios derived from exact integer
+    * sums (punct chars / chars, stopwords / tokens, chars / token) so
+    * the doubles reproduce bit-for-bit.
+    */
+  val q41_quality_scores: Q = Q(
+    "q41_quality_scores",
+    """SELECT source,
+      |  CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_punct,
+      |  CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    w -> list_contains(['the','a','of','and','to','in','is','for','on','with'], w)))) AS BIGINT) AS sum_stopwords,
+      |  CAST(SUM(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS DOUBLE)
+      |    / SUM(len(text)) AS punct_ratio,
+      |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    w -> list_contains(['the','a','of','and','to','in','is','for','on','with'], w)))) AS DOUBLE)
+      |    / SUM(len(string_split_regex(lower(text), '\s+'))) AS stopword_ratio
+      |FROM documents
+      |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(
+        sum(length($"text").cast("long")).as("sum_chars"),
+        sum(punctCount($"text").cast("long")).as("sum_punct"),
+        sum(tokenCount($"text").cast("long")).as("sum_tokens"),
+        sum(stopwordCount($"text").cast("long")).as("sum_stopwords"))
+      .select($"source", $"sum_chars", $"sum_punct", $"sum_tokens",
+        $"sum_stopwords",
+        ($"sum_punct".cast("double") / $"sum_chars").as("punct_ratio"),
+        ($"sum_stopwords".cast("double") / $"sum_tokens")
+          .as("stopword_ratio"))
+      .orderBy($"source")
+  }
+
+  /** Language-ID confusion matrix: heuristic guess vs label. */
+  val q42_langid_confusion: Q = Q(
+    "q42_langid_confusion",
+    """SELECT lang AS labeled, CASE
+      |    WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+      |    WHEN len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','is'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['der','die','und','das','ist','nicht'], w)))
+      |     AND len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','is'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['el','los','de','es','una','que'], w)))
+      |     AND len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','is'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['le','les','et','est','une','dans'], w)))
+      |    THEN 'en'
+      |    WHEN len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['der','die','und','das','ist','nicht'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['el','los','de','es','una','que'], w)))
+      |     AND len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['der','die','und','das','ist','nicht'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['le','les','et','est','une','dans'], w)))
+      |    THEN 'de'
+      |    WHEN len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['el','los','de','es','una','que'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['le','les','et','est','une','dans'], w)))
+      |    THEN 'es'
+      |    ELSE 'fr' END AS guessed,
+      |  COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy($"lang".as("labeled"), languageId($"text").as("guessed"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"labeled", $"guessed")
+  }
+
+  /** Fingerprint (md5 of normalized text) dedup stats per source. */
+  val q43_fingerprint_dedup: Q = Q(
+    "q43_fingerprint_dedup",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct,
+      |  COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_exact_dups
+      |FROM documents
+      |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(fingerprint($"text")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(fingerprint($"text")))
+          .as("n_exact_dups"))
+      .orderBy($"source")
+  }
+
+  /** n-gram Jaccard near-dup scan: top-20 most similar pairs among
+    * probe docs (id < 40) × all docs — the verify stage of a dedup
+    * pipeline, bounded so it stays a candidate check, not O(n²).
+    */
+  val q44_jaccard_pairs: Q = Q(
+    "q44_jaccard_pairs",
+    s"""WITH s AS (SELECT doc_id, $JacShingleSql AS sh FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+      |FROM s a JOIN s b ON a.doc_id < 40 AND b.doc_id > a.doc_id
+      |ORDER BY jac DESC, id_a, id_b LIMIT 20""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.load(spark, dir, "documents")
+      .select($"doc_id", shingles($"text").as("sh"))
+    val a = s.filter($"doc_id" < 40)
+      .select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = s.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    a.join(b, $"id_b" > $"id_a")
+      .select($"id_a", $"id_b", Dedup.jaccard($"sh_a", $"sh_b").as("jac"))
+      .orderBy($"jac".desc, $"id_a", $"id_b")
+      .limit(20)
+  }
+
+  /** MinHash + LSH banding telemetry: per-band bucket and collision
+    * counts (k=16 signatures, 4 bands × 4 rows).
+    */
+  val q45_minhash_lsh: Q = Q(
+    "q45_minhash_lsh",
+    s"""WITH s AS (SELECT doc_id, $JacShingleSql AS sh FROM documents),
+      |sig AS (SELECT doc_id, i,
+      |    list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x))) AS mh
+      |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) t),
+      |band AS (SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+      |    md5(string_agg(mh, ',' ORDER BY i)) AS band_hash
+      |  FROM sig GROUP BY doc_id, i // 4)
+      |SELECT band_id, COUNT(DISTINCT band_hash) AS n_buckets,
+      |  COUNT(*) - COUNT(DISTINCT band_hash) AS n_collisions
+      |FROM band GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Dedup.lshBandSummary(
+        Tables.load(spark, dir, "documents"), "text", k = 16, bands = 4)
+      .select($"band_id".cast("int").as("band_id"), $"n_buckets",
+        $"n_collisions")
+      .orderBy($"band_id")
+  }
+
+  /** SimHash signatures: 60-bit content hash + popcount per doc. */
+  val q46_simhash: Q = Q(
+    "q46_simhash",
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) t
+      |  GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash,
+      |  CAST(bit_count(CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)) AS INT) AS n_bits
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", Dedup.simhash($"text").as("simhash"))
+      .select($"doc_id", $"simhash",
+        bit_count($"simhash").cast("int").as("n_bits"))
+      .orderBy($"doc_id")
+  }
+
+  /** Brute-force cosine top-k ANN baseline: 5 probe vectors × all
+    * candidates, top-5 each. The fold is sequential per row, so the
+    * doubles match a single-node engine exactly.
+    */
+  val q47_cosine_topk: Q = Q(
+    "q47_cosine_topk",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |scored AS (SELECT qid, vec_id AS cid,
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65),
+      |        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(range(1, 65),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+      |    AS cos
+      |  FROM q, embeddings WHERE vec_id != qid)
+      |SELECT qid, CAST(rank AS INT) AS rank, cid, cos FROM (
+      |  SELECT qid, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val candidates = emb.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    Similarity.bruteForceTopK(broadcast(queries), candidates, 5)
+      .select($"qid", $"rank".cast("int").as("rank"), $"cid", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** IVF cell assignment (the ANN scale path): vectors 0..7 seed the
+    * centroids; every vector maps to its nearest cell.
+    */
+  val q48_ivf_assign: Q = Q(
+    "q48_ivf_assign",
+    """WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      |scored AS (SELECT vec_id, centroid_id,
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(range(1, 65),
+      |        i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (x, y) -> x + y)))
+      |    AS cos
+      |  FROM embeddings, c)
+      |SELECT centroid_id, COUNT(*) AS n_vectors FROM (
+      |  SELECT vec_id, centroid_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+      |  FROM scored) t
+      |WHERE rn = 1
+      |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    Similarity.ivfAssign(
+        emb.select($"vec_id", $"embedding"), centroids)
+      .groupBy($"centroid_id")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy($"centroid_id")
+  }
+
+  /** Multimodal metadata rollup over the synthesized media table:
+    * binary payload sizes + typed metadata, decoded via the stub.
+    */
+  val q49_multimodal: Q = Q(
+    "q49_multimodal",
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  CAST(SUM((doc_id * 37) % 1216 + 64) AS BIGINT) AS sum_width,
+      |  CAST(SUM((doc_id * 7) % 240 + 1) AS BIGINT) AS sum_duration
+      |FROM documents
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val media = Multimodal.attachMedia(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    media
+      .withColumn("features", Multimodal.decodePixelsStub($"bytes"))
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"features.n_bytes".cast("long")).as("total_bytes"),
+        sum($"meta.width".cast("long")).as("sum_width"),
+        sum($"meta.duration_s".cast("long")).as("sum_duration"))
+      .orderBy($"kind")
+  }
+
+  val all: Seq[Q] = Seq(
+    q40_token_stats, q41_quality_scores, q42_langid_confusion,
+    q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
+    q46_simhash, q47_cosine_topk, q48_ivf_assign, q49_multimodal)
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Near-dup detection on planted duplicates: the fixture the synthetic
+  * corpus lacks (its documents are all unique).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the sun sets behind the quiet hills of the old valley"
+  private val nearDup = base.replace("quick", "fast") // 1-word edit
+  private val unrelated = "completely different content about spark " +
+    "query engines and distributed shuffle partitioning at scale"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+    .toDF("doc_id", "text")
+
+  test("exactDedup collapses identical texts, keeps lowest id") {
+    val got = Dedup.exactDedup(docs, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("LSH candidate pairs find exact and near dups, not unrelated") {
+    val pairs = Dedup.lshCandidatePairs(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must collide")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "near dup should collide in at least one band")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not collide")
+  }
+
+  test("jaccard: identical=1, near-dup high, unrelated 0") {
+    val s = docs.select($"doc_id",
+      graft.functions.TextFunctions.shingles($"text").as("sh"))
+    val a = s.as("a"); val b = s.as("b")
+    val jac = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(jac((1L, 2L)) == 1.0)
+    assert(jac((1L, 3L)) > 0.5 && jac((1L, 3L)) < 1.0)
+    assert(jac((1L, 4L)) == 0.0)
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val near = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val far = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(near < 15, s"near-dup hamming $near should be small")
+    assert(far > near, s"unrelated hamming $far should exceed near $near")
+  }
+}
