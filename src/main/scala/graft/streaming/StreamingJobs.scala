@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming ports of the reference's PyFlink jobs
+  * (`4-apache-flink-training/src/job/start_job.py`,
+  * `aggregation_job.py`): event-time extraction, 15 s watermark,
+  * 5-minute tumbling aggregations by host (+referrer), per-event
+  * enrichment, session windows (homework spec), and an idempotent
+  * foreachBatch sink.
+  *
+  * Sources are passed in as DataFrames: production wires
+  * `spark.readStream.format("kafka")` + `from_json`; tests drive a
+  * MemoryStream. Every transform is source-agnostic, exactly like the
+  * reference's Table-API pipeline.
+  *
+  * Scale: windowed state is keyed by (window, host[, referrer]) — a
+  * low-cardinality state store; the watermark bounds state growth and
+  * evicts finalized windows each micro-batch.
+  */
+object StreamingJobs {
+
+  /** The Flink source row (`start_job.py:88-97`). */
+  val webEventSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("referrer", StringType),
+    StructField("user_agent", StringType),
+    StructField("host", StringType),
+    StructField("ip", StringType),
+    StructField("headers", StringType),
+    StructField("event_time", StringType)))
+
+  val EventTimeFormat = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+  /** F1: computed event-time column
+    * (`event_timestamp AS TO_TIMESTAMP(event_time, …)`).
+    */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_timestamp",
+      to_timestamp(col("event_time"), EventTimeFormat))
+
+  /** F5 stand-in for the HTTP geo-lookup UDF (`start_job.py:58-79`):
+    * a deterministic pure function of the ip (the real one is
+    * I/O-bound; in a cluster it would run in mapPartitions with a
+    * shared connection). Emits the same {country,state,city} JSON
+    * shape.
+    */
+  def geoStub(ip: Column): Column =
+    to_json(struct(
+      concat(lit("country_"), pmod(crc32(ip), lit(10))).as("country"),
+      concat(lit("state_"), pmod(crc32(ip), lit(50))).as("state"),
+      concat(lit("city_"), pmod(crc32(ip), lit(1000))).as("city")))
+
+  /** F6: passthrough ETL Kafka→sink with enrichment
+    * (`INSERT INTO processed_events SELECT ip, event_timestamp,
+    * referrer, host, url, get_location(ip)`).
+    */
+  def processedEvents(df: DataFrame): DataFrame =
+    withEventTime(df).select(
+      col("ip"), col("event_timestamp"), col("referrer"), col("host"),
+      col("url"), geoStub(col("ip")).as("geodata"))
+
+  /** F2+F3: 15 s watermark, 5-minute tumbling count by host
+    * (`aggregation_job.py:96-108`). Emits (event_hour, host, num_hits)
+    * — the reference's sink schema.
+    */
+  def tumblingHostAgg(df: DataFrame): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_timestamp", "15 seconds")
+      .groupBy(window(col("event_timestamp"), "5 minutes"), col("host"))
+      .agg(count(lit(1)).as("num_hits"))
+      .select(col("window.start").as("event_hour"), col("host"),
+        col("num_hits"))
+
+  /** F4: same with the referrer key (`aggregation_job.py:110-124`). */
+  def tumblingHostReferrerAgg(df: DataFrame): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_timestamp", "15 seconds")
+      .groupBy(window(col("event_timestamp"), "5 minutes"), col("host"),
+        col("referrer"))
+      .agg(count(lit(1)).as("num_hits"))
+      .select(col("window.start").as("event_hour"), col("host"),
+        col("referrer"), col("num_hits"))
+
+  /** F8 homework: 5-minute-gap session windows keyed by (ip, host). */
+  def sessionize(df: DataFrame, gap: String = "5 minutes"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_timestamp", "15 seconds")
+      .groupBy(session_window(col("event_timestamp"), gap), col("ip"),
+        col("host"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("ip"), col("host"), col("n_events"))
+
+  /** F8 second half: average events per session per host (batch agg
+    * over the finalized sessions).
+    */
+  def avgEventsPerSessionByHost(sessions: DataFrame): DataFrame =
+    sessions.groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        (sum(col("n_events")).cast("double") / count(lit(1)))
+          .as("avg_events_per_session"))
+
+  /** S11: the JDBC-style sink — `foreachBatch` with per-epoch
+    * idempotence (re-delivered micro-batches are dropped), faking the
+    * exactly-once the reference gets from Flink checkpoints.
+    */
+  class IdempotentBatchSink(write: DataFrame => Unit) {
+    private val seen = scala.collection.mutable.Set.empty[Long]
+    def apply(batch: DataFrame, epochId: Long): Unit = synchronized {
+      if (seen.add(epochId)) write(batch)
+    }
+  }
+}

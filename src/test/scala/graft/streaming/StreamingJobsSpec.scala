@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+case class WebEvent(url: String, referrer: String, user_agent: String,
+    host: String, ip: String, headers: String, event_time: String)
+
+/** Drives the streaming ports with a MemoryStream: watermark
+  * progression, late-data drop, tumbling and session windows
+  * (FIXTURES.md streaming fixtures: 2 ips × hosts, gaps straddling the
+  * 5-minute session gap, one event beyond the watermark).
+  */
+class StreamingJobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def runAppend(transform: DataFrame => DataFrame)(
+      batches: Seq[Seq[WebEvent]]): DataFrame = {
+    implicit val ctx = spark.sqlContext
+    n += 1
+    val name = s"stream_out_$n"
+    val input = MemoryStream[WebEvent]
+    val q = transform(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name)
+  }
+
+  private def ev(host: String, ip: String, t: String) =
+    WebEvent(s"/page", "ref", "ua", host, ip, "{}",
+      s"2024-01-01T$t.000Z")
+
+  test("tumbling 5-min host agg finalizes windows past the watermark") {
+    val out = runAppend(StreamingJobs.tumblingHostAgg)(Seq(
+      Seq(ev("a.com", "1.1.1.1", "00:00:10"),
+        ev("a.com", "1.1.1.1", "00:01:00"),
+        ev("b.com", "2.2.2.2", "00:02:00"),
+        ev("a.com", "1.1.1.1", "00:06:00")),
+      // advances watermark to 00:19:45 → both windows finalize
+      Seq(ev("a.com", "1.1.1.1", "00:20:00"))))
+    val rows = out.select(
+        date_format($"event_hour", "HH:mm").as("w"), $"host", $"num_hits")
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(("00:00", "a.com", 2L), ("00:00", "b.com", 1L),
+      ("00:05", "a.com", 1L)))
+  }
+
+  test("late data beyond the 15s watermark is dropped") {
+    val out = runAppend(StreamingJobs.tumblingHostAgg)(Seq(
+      Seq(ev("a.com", "1.1.1.1", "00:00:10")),
+      Seq(ev("a.com", "1.1.1.1", "00:20:00")),   // watermark → 00:19:45
+      Seq(ev("a.com", "1.1.1.1", "00:01:00")),   // late: < watermark
+      Seq(ev("a.com", "1.1.1.1", "00:40:00")))) // flush second window
+    val w0 = out.filter(date_format($"event_hour", "HH:mm") === "00:00")
+      .select($"num_hits").as[Long].collect().toSeq
+    assert(w0 == Seq(1L), s"late event must not reopen the window: $w0")
+  }
+
+  test("session windows: 5-min gap splits sessions, keyed by (ip, host)") {
+    val out = runAppend(df => StreamingJobs.sessionize(df))(Seq(
+      Seq(ev("a.com", "1.1.1.1", "00:00:00"),
+        ev("a.com", "1.1.1.1", "00:02:00"),
+        ev("a.com", "1.1.1.1", "00:04:00"),
+        ev("a.com", "1.1.1.1", "00:12:00"),   // gap 8 min → new session
+        ev("a.com", "9.9.9.9", "00:00:30")),  // other ip → own session
+      Seq(ev("a.com", "1.1.1.1", "01:00:00"))))
+    val sessions = out
+      .select($"ip", $"n_events").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sessions("1.1.1.1") == Seq(1L, 3L))
+    assert(sessions("9.9.9.9") == Seq(1L))
+
+    val avg = StreamingJobs.avgEventsPerSessionByHost(
+      spark.table(s"stream_out_$n"))
+      .select($"host", $"n_sessions", $"avg_events_per_session")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(avg == Seq(("a.com", 3L, 5.0 / 3)))
+  }
+
+  test("passthrough ETL enriches with deterministic geodata") {
+    val batch = Seq(
+      ev("a.com", "1.2.3.4", "00:00:00"),
+      ev("a.com", "1.2.3.4", "00:01:00")).toDF()
+    val got = StreamingJobs.processedEvents(batch)
+    assert(got.columns.toSeq == Seq("ip", "event_timestamp", "referrer",
+      "host", "url", "geodata"))
+    val geo = got.select($"geodata").as[String].collect().distinct
+    assert(geo.length == 1 && geo.head.contains("\"country\":\"country_"))
+    assert(got.filter($"event_timestamp".isNull).count() == 0)
+  }
+
+  test("foreachBatch sink is idempotent per epoch") {
+    var writes = 0
+    val sink = new StreamingJobs.IdempotentBatchSink(_ => writes += 1)
+    val df = Seq(1).toDF("x")
+    sink(df, 7L); sink(df, 7L); sink(df, 8L)
+    assert(writes == 2)
+  }
+}
