@@ -30,6 +30,21 @@ object Tables {
     }
   }
 
+  /** Load + round-robin repartition to the session's parallelism.
+    *
+    * For queries whose cost is per-row compute (minhash, simhash,
+    * cosine folds, regex tokenization), not I/O: the local test files
+    * are single-row-group parquet, so the scan is one task and the
+    * expensive projection would run single-threaded. The repartition
+    * is a tiny shuffle (MBs) that unlocks full-width execution. On a
+    * real cluster the input arrives as thousands of splits and this
+    * becomes a cheap rebalance against skewed file sizes.
+    */
+  def loadParallel(spark: SparkSession, dir: String, name: String)
+      : DataFrame =
+    load(spark, dir, name)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Register every table as a temp view (reference pattern S4:
     * `df.createOrReplaceTempView` then SQL — see SURVEY §2.1).
     */

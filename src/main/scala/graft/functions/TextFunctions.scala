@@ -51,18 +51,20 @@ object TextFunctions {
     * to zh; otherwise the marker lexicon with the most hits wins, ties
     * broken in declaration order (en > de > es > fr).
     */
-  def languageId(text: Column): Column = {
-    val toks = lowerTokens(text)
-    val scores = LangMarkers.map { case (lang, lex) =>
-      lang -> size(filter(toks, w => w.isin(lex: _*)))
+  def languageId(text: Column): Column =
+    Let(lowerTokens(text)) { toks =>
+      Let(array(LangMarkers.map { case (_, lex) =>
+        size(filter(toks, w => w.isin(lex: _*)))
+      }: _*)) { scores =>
+        val Seq(en, de, es, fr) =
+          (1 to 4).map(i => element_at(scores, i))
+        when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh")
+          .when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr")
+      }
     }
-    val Seq(en, de, es, fr) = scores.map(_._2)
-    when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh")
-      .when(en >= de && en >= es && en >= fr, "en")
-      .when(de >= es && de >= fr, "de")
-      .when(es >= fr, "es")
-      .otherwise("fr")
-  }
 
   /** Document fingerprint: md5 over the whitespace-normalized,
     * lowercased text — the exact-dedup key. 128-bit hex, so collisions
@@ -71,16 +73,27 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
-  /** Distinct word n-gram shingles (default 3), the MinHash/Jaccard
-    * unit. Returns an empty array for texts shorter than n words.
+  /** Distinct word n-gram shingles from an ALREADY-STAGED token array
+    * column (default 3), the MinHash/Jaccard unit. Returns an empty
+    * array for texts shorter than n words.
+    *
+    * `toks` must be a plain column reference, not an expression:
+    * higher-order-function lambdas are interpreted and re-evaluate
+    * non-attribute children once per element, so an inlined
+    * split(text) here would re-tokenize the document for every
+    * shingle. Stage tokens with `withColumn` first (see
+    * Dedup.withBandKeys).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = lowerTokens(text)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => when(i + n <= size(toks),
-            array_join(slice(toks, i + 1, lit(n)), " "))),
-        s => s.isNotNull))
-  }
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Convenience form over raw text — fine for fixtures and small
+    * inputs; hot paths must stage tokens and call shinglesOfTokens.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(lowerTokens(text), n)
 }

@@ -32,29 +32,43 @@ object Dedup {
     * array_min — deterministic across engines, no shuffle.
     */
   def minhashSignature(shingleSet: Column, k: Int = 16): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet,
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
+    graft.functions.Let(shingleSet) { sh =>
+      transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(sh,
+          s => md5(concat(i.cast("string"), lit(":"), s)))))
+    }
 
   /** LSH band keys: the signature sliced into `bands` groups of
     * `rowsPerBand`, each hashed to one bucket key.
     */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int)
       : Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(array_join(
-        slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+    graft.functions.Let(signature) { sig =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(
+          slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+    }
+
+  /** Stage shingles → signature → band keys as separate projections.
+    * Inlining them would re-evaluate the tokenize+shingle subtree once
+    * per minhash lambda (k×) and again per band (CollapseProject keeps
+    * non-cheap multi-referenced projections separate) — staging turns
+    * an O(k·|bands|) blow-up into one evaluation each.
+    */
+  private def withBandKeys(df: DataFrame, textCol: String, k: Int,
+      bands: Int): DataFrame =
+    df.withColumn("_toks", TextFunctions.lowerTokens(col(textCol)))
+      .withColumn("_sh", TextFunctions.shinglesOfTokens(col("_toks")))
+      .withColumn("_sig", minhashSignature(col("_sh"), k))
+      .withColumn("_bands", lshBandKeys(col("_sig"), bands, k / bands))
 
   /** Per-band LSH bucket summary: buckets and collision counts — the
     * candidate-generation telemetry of a near-dup pipeline.
     */
   def lshBandSummary(df: DataFrame, textCol: String,
       k: Int = 16, bands: Int = 4): DataFrame = {
-    val r = k / bands
-    df.select(posexplode(
-        lshBandKeys(
-          minhashSignature(TextFunctions.shingles(col(textCol)), k),
-          bands, r)).as(Seq("band_id", "band_hash")))
+    withBandKeys(df, textCol, k, bands)
+      .select(posexplode(col("_bands")).as(Seq("band_id", "band_hash")))
       .groupBy(col("band_id"))
       .agg(
         countDistinct(col("band_hash")).as("n_buckets"),
@@ -65,10 +79,8 @@ object Dedup {
   /** LSH candidate pairs: ids colliding in at least one band. */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(lshBandKeys(
-        minhashSignature(TextFunctions.shingles(col(textCol)), k),
-        bands, k / bands)).as("band_hash"))
+    val exploded = withBandKeys(df, textCol, k, bands)
+      .select(col(idCol).as("id"), explode(col("_bands")).as("band_hash"))
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.band_hash") === col("b.band_hash") &&
@@ -77,10 +89,13 @@ object Dedup {
       .distinct()
   }
 
-  /** Word n-gram Jaccard similarity between two shingle-set columns. */
+  /** Word n-gram Jaccard similarity between two shingle-set columns.
+    * |A∪B| = |A|+|B|−|A∩B|, so one intersect pass suffices (the inputs
+    * are already distinct sets).
+    */
   def jaccard(shinglesA: Column, shinglesB: Column): Column = {
     val inter = size(array_intersect(shinglesA, shinglesB))
-    val union = size(array_union(shinglesA, shinglesB))
+    val union = size(shinglesA) + size(shinglesB) - inter
     when(union === 0, 0.0)
       .otherwise(inter.cast("double") / union.cast("double"))
   }
@@ -91,15 +106,18 @@ object Dedup {
     */
   def simhash(text: Column): Column = {
     val toks = TextFunctions.lowerTokens(text)
+    // hash each token ONCE (its own transform pass) — were the md5
+    // inlined into the vote lambda, interpreted evaluation would
+    // recompute it for each of the 60 bit positions
+    val hashes = transform(toks,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
     val votes = aggregate(
-      toks,
+      hashes,
       array_repeat(lit(0), 60),
-      (acc, t) => {
-        val hv = conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+      (acc, hv) =>
         zip_with(acc, sequence(lit(0), lit(59)), (a, j) =>
           a + when(call_function("shiftright", hv, j)
-            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      })
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(59)), (s, j) =>
         when(s > 0, call_function("shiftleft", lit(1L), j))

@@ -67,7 +67,7 @@ object Patterns {
       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val anchor = lit("2024-01-01").cast("date")
-    Tables.load(spark, dir, "events")
+    Tables.loadParallel(spark, dir, "events")
       .groupBy($"user_id")
       .agg(collect_set($"ts".cast("date")).as("days"))
       .select($"user_id", Datelist.encode($"days", anchor).as("datelist_int"))
@@ -124,7 +124,7 @@ object Patterns {
       |FROM a JOIN f ON a.user_id = f.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.load(spark, dir, "events")
+    Tables.loadParallel(spark, dir, "events")
       .groupBy($"user_id")
       .agg(collect_set($"ts".cast("date")).as("days"))
       .withColumn("first_day", array_min($"days"))

@@ -197,7 +197,7 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.load(spark, dir, "events")
+    Tables.loadParallel(spark, dir, "events")
       .withColumn("k_bucket",
         (get_json_object($"props", "$.k").cast("int") % 10))
       .groupBy($"k_bucket")

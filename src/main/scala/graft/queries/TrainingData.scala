@@ -28,7 +28,7 @@ object TrainingData {
       |FROM documents
       |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.loadParallel(spark, dir, "documents")
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -58,7 +58,7 @@ object TrainingData {
       |FROM documents
       |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.loadParallel(spark, dir, "documents")
       .groupBy($"source")
       .agg(
         sum(length($"text").cast("long")).as("sum_chars"),
@@ -98,7 +98,7 @@ object TrainingData {
       |FROM documents
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.loadParallel(spark, dir, "documents")
       .groupBy($"lang".as("labeled"), languageId($"text").as("guessed"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"labeled", $"guessed")
@@ -113,7 +113,7 @@ object TrainingData {
       |FROM documents
       |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.loadParallel(spark, dir, "documents")
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -136,8 +136,9 @@ object TrainingData {
       |FROM s a JOIN s b ON a.doc_id < 40 AND b.doc_id > a.doc_id
       |ORDER BY jac DESC, id_a, id_b LIMIT 20""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val s = Tables.load(spark, dir, "documents")
-      .select($"doc_id", shingles($"text").as("sh"))
+    val s = Tables.loadParallel(spark, dir, "documents")
+      .withColumn("_toks", lowerTokens($"text"))
+      .select($"doc_id", shinglesOfTokens($"_toks").as("sh"))
     val a = s.filter($"doc_id" < 40)
       .select($"doc_id".as("id_a"), $"sh".as("sh_a"))
     val b = s.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
@@ -164,7 +165,7 @@ object TrainingData {
       |FROM band GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     Dedup.lshBandSummary(
-        Tables.load(spark, dir, "documents"), "text", k = 16, bands = 4)
+        Tables.loadParallel(spark, dir, "documents"), "text", k = 16, bands = 4)
       .select($"band_id".cast("int").as("band_id"), $"n_buckets",
         $"n_collisions")
       .orderBy($"band_id")
@@ -185,7 +186,7 @@ object TrainingData {
       |  CAST(bit_count(CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)) AS INT) AS n_bits
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.loadParallel(spark, dir, "documents")
       .select($"doc_id", Dedup.simhash($"text").as("simhash"))
       .select($"doc_id", $"simhash",
         bit_count($"simhash").cast("int").as("n_bits"))
@@ -215,7 +216,7 @@ object TrainingData {
       |WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val emb = Tables.load(spark, dir, "embeddings")
+    val emb = Tables.loadParallel(spark, dir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
     val candidates = emb.select($"vec_id".as("cid"), $"embedding".as("cvec"))
@@ -246,7 +247,7 @@ object TrainingData {
       |WHERE rn = 1
       |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val emb = Tables.load(spark, dir, "embeddings")
+    val emb = Tables.loadParallel(spark, dir, "embeddings")
     val centroids = emb.filter($"vec_id" < 8)
       .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
     Similarity.ivfAssign(
@@ -271,7 +272,7 @@ object TrainingData {
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val media = Multimodal.attachMedia(
-      Tables.load(spark, dir, "documents"), "doc_id", "text")
+      Tables.loadParallel(spark, dir, "documents"), "doc_id", "text")
     media
       .withColumn("features", Multimodal.decodePixelsStub($"bytes"))
       .groupBy($"kind")
