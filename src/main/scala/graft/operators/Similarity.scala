@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic left-to-right double fold of Σ aᵢ·bᵢ. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ via the native codegen'd [[graft.plans.VectorDot]]
+    * expression — a primitive float loop in generated code, summed
+    * left-to-right (bit-identical to a sequential fold, so oracle
+    * parity holds).
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorDot(a, b)
+
+  /** The composable fold form (interpreted HOF) — kept as the
+    * reference semantics VectorDot is property-tested against.
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

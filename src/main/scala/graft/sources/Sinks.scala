@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Write-side surface (SURVEY §2.1 S5–S8): managed-table sinks,
+  * partitioned writes (the explicit-derived-column emulation of
+  * Iceberg's hidden `years(col)` partitioning), 16-bucket sorted
+  * bucketing for shuffle-free joins, and ORC/Parquet format choice.
+  *
+  * Scale notes: bucketed+sorted tables are THE co-location tool — a
+  * join of two tables bucketed 16 ways on the same key plans as a
+  * sort-merge join with zero Exchange (verified by SinksSpec via the
+  * physical plan). Daily pipelines that repeatedly join on one key
+  * should pay the bucketing shuffle once at write time.
+  */
+object Sinks {
+
+  /** Managed-table write (reference S5: `.saveAsTable`). */
+  def saveTable(df: DataFrame, name: String,
+      format: String = "parquet",
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.format(format).mode(mode).saveAsTable(name)
+
+  /** Partitioned write on a derived column (reference S6: Iceberg
+    * `PARTITIONED BY (years(event_date))` emulated with an explicit
+    * year column — `event_data_pyspark.ipynb:384-391`).
+    */
+  def savePartitioned(df: DataFrame, name: String,
+      partitionCols: Seq[String],
+      format: String = "parquet"): Unit =
+    df.write.format(format).mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).saveAsTable(name)
+
+  /** Bucketed + sorted write (reference S7:
+    * `.bucketBy(16,"match_id").sortBy("match_id").saveAsTable` —
+    * `assignment_3_spark.py:36-53`).
+    */
+  def saveBucketed(df: DataFrame, name: String, key: String,
+      buckets: Int = 16, format: String = "parquet"): Unit =
+    df.write.format(format).mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(name)
+
+  /** Table size/file-count measurement (reference S13/X6: the
+    * storage-efficiency method — Iceberg `.files` scan, emulated by
+    * walking the table location like the reference's own fallback,
+    * `assignment_3_spark.py:152-161`).
+    */
+  def tableStats(spark: SparkSession, name: String): (Long, Long) = {
+    val location = new java.net.URI(spark.sql(
+        s"DESCRIBE FORMATTED $name")
+      .filter("col_name = 'Location'")
+      .select("data_type").head().getString(0))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      location, spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(location), true)
+    var bytes = 0L
+    var files = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) {
+        bytes += f.getLen; files += 1
+      }
+    }
+    (bytes, files)
+  }
+}
