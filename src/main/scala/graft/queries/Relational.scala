@@ -209,7 +209,25 @@ object Relational {
       .orderBy($"k_bucket")
   }
 
+  /** The at-scale COUNT(DISTINCT) variant (SURVEY A2 note + north-star
+    * extension): HyperLogLog++ sketch per group. No DuckDB oracle —
+    * sketch estimates are engine-specific — so the driver records a
+    * rows-only check; the accuracy contract (≤5% relative error at
+    * default precision) is asserted in ApproxSpec.
+    */
+  val q9_approx_distinct: Q = Q.noOracle("q9_approx_distinct") {
+    (spark, dir) =>
+      import spark.implicits._
+      Tables.load(spark, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("n_users_exact"),
+          approx_count_distinct($"user_id").as("n_users_approx"))
+        .orderBy($"event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q1_agg, q2_count_distinct, q3_case_when, q4_filter_like,
-    q5_scalar_funcs, q6_having_topk, q7_grouping_sets, q8_json_conditional)
+    q5_scalar_funcs, q6_having_topk, q7_grouping_sets,
+    q8_json_conditional, q9_approx_distinct)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.SparkSpec
+
+/** The physical/tuning surface the reference exercises deliberately
+  * (SURVEY §2.11 X1–X5): broadcast threshold toggling, cache/unpersist
+  * with plan-visible InMemoryRelation, shuffle-partition control.
+  */
+class TuningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+  private lazy val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+
+  test("X1: autoBroadcastJoinThreshold flips the join strategy") {
+    val joined = orders.join(customer, $"o_custkey" === $"c_custkey")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smj = joined.queryExecution.executedPlan.toString
+      assert(smj.contains("SortMergeJoin") && !smj.contains("BroadcastHashJoin"), smj)
+    } finally spark.conf.set(
+      "spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val bhj = orders.join(broadcast(customer),
+      $"o_custkey" === $"c_custkey").queryExecution.executedPlan.toString
+    assert(bhj.contains("BroadcastHashJoin"), bhj)
+  }
+
+  test("X3: cache materializes an InMemoryRelation reused downstream") {
+    val agg = orders.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("v"))
+      .persist(StorageLevel.MEMORY_ONLY)
+    try {
+      agg.count() // materialize
+      val consumer1 = agg.filter($"n" > 5)
+      val consumer2 = agg.agg(max($"v"))
+      assert(consumer1.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"))
+      assert(consumer2.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"))
+    } finally agg.unpersist()
+  }
+
+  test("X2: shuffle.partitions drives post-shuffle parallelism") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val n = orders.groupBy($"o_custkey").count()
+        .rdd.getNumPartitions
+      assert(n == 3)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+}
