@@ -262,8 +262,85 @@ object Patterns {
       .orderBy($"user_id")
   }
 
+  /** Cumulative dimension with struct-array history (the module-1
+    * flagship, reference `players` / `pipeline_query.sql:9-43`): one
+    * row per customer carrying the per-year order history as an array
+    * of structs (emitted as JSON for representation-stable compare),
+    * plus is_active / years_since_last_active bookkeeping.
+    */
+  val q39_cumulative_dim: Q = Q(
+    "q39_cumulative_dim",
+    """WITH d AS (SELECT o_custkey,
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (SELECT MAX(yr) AS cur FROM d)
+      |SELECT o_custkey,
+      |  to_json(list(struct_pack(year := yr, n_orders := n_orders) ORDER BY yr))
+      |    AS history,
+      |  MAX(yr) AS last_active,
+      |  MAX(yr) = ANY_VALUE(cur) AS is_active,
+      |  CAST(ANY_VALUE(cur) - MAX(yr) AS INT) AS ordinals_since_last_active
+      |FROM d, m
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val perYear = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey", year($"o_orderdate").cast("int").as("yr"))
+      .agg(count(lit(1)).as("n_orders"))
+    CumulativeDim.direct(perYear, "o_custkey", "yr",
+        struct($"yr".as("year"), $"n_orders"))
+      .select($"o_custkey", to_json($"history").as("history"),
+        $"last_active", $"is_active", $"ordinals_since_last_active")
+      .orderBy($"o_custkey")
+  }
+
+  /** As-of join (time-series enrichment): every event joined to the
+    * user's most recent order at or before the event time, via the
+    * single-shuffle union+window [[graft.operators.AsOfJoin]] (DuckDB
+    * oracles it with its native ASOF JOIN).
+    */
+  val q52_asof_join: Q = Q(
+    "q52_asof_join",
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+      |         o_orderkey, o_totalprice
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+      |                  ORDER BY o_orderkey DESC) AS rn FROM orders) t
+      |  WHERE rn = 1)
+      |SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  COUNT(o.o_orderkey) AS n_matched,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS matched_value
+      |FROM events ASOF LEFT JOIN o
+      |  ON events.user_id = o.o_custkey AND o.ots <= events.ts
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey", $"o_orderdate")
+      .orderBy($"o_orderkey".desc)
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderdate".as("ots"), $"o_orderkey",
+        $"o_totalprice")
+    AsOfJoin.lastPrior(events, orders,
+        $"user_id", $"o_custkey", $"ts", $"ots")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count($"asof.o_orderkey").as("n_matched"),
+        graft.functions.Exact.dsum($"asof.o_totalprice")
+          .as("matched_value"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q30_scd_streaks, q31_datelist_int, q32_growth_accounting,
     q33_retention, q34_array_metrics, q35_graph_vertices,
-    q36_graph_edges, q37_dedup_rows, q38_cumulate_merge)
+    q36_graph_edges, q37_dedup_rows, q38_cumulate_merge,
+    q39_cumulative_dim, q52_asof_join)
 }

@@ -17,8 +17,18 @@ trait SparkSpec extends AnyFunSuite {
     */
   def assertDfEquality(actual: DataFrame, expected: DataFrame,
       ignoreOrder: Boolean = true): Unit = {
-    val aSchema = actual.schema.map(f => (f.name, f.dataType))
-    val eSchema = expected.schema.map(f => (f.name, f.dataType))
+    import org.apache.spark.sql.types._
+    // chispa's ignore_nullable=True: nullability is not part of the
+    // semantic contract (collect_list vs literal arrays disagree on it)
+    def denull(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = denull(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(denull(a.elementType), true)
+      case m: MapType => MapType(denull(m.keyType), denull(m.valueType), true)
+      case other => other
+    }
+    val aSchema = actual.schema.map(f => (f.name, denull(f.dataType)))
+    val eSchema = expected.schema.map(f => (f.name, denull(f.dataType)))
     assert(aSchema == eSchema,
       s"schema mismatch:\n  actual:   $aSchema\n  expected: $eSchema")
     def rows(df: DataFrame): Seq[Row] = {
