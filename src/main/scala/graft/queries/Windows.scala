@@ -153,7 +153,35 @@ object Windows {
       .orderBy($"user_id")
   }
 
+  /** Top-k per group via the bounded [[graft.functions.TopK]]
+    * aggregator (k-bounded buffer through partial aggregation — ships
+    * k rows per partition instead of sorting whole groups like the
+    * window formulation; TopKSpec proves result equality with
+    * row_number).
+    */
+  val q25_topk_per_group: Q = Q(
+    "q25_topk_per_group",
+    """SELECT o_orderstatus, CAST(rn AS INT) AS rank, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+      |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) t
+      |WHERE rn <= 5
+      |ORDER BY o_orderstatus, rank""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(graft.functions.TopK.topK(5)($"o_totalprice", $"o_orderkey")
+        .as("top"))
+      .select($"o_orderstatus", posexplode($"top").as(Seq("pos", "t")))
+      .select($"o_orderstatus", ($"pos" + 1).cast("int").as("rank"),
+        $"t._2".as("o_orderkey"),
+        money($"t._1").cast("double").as("total_price"))
+      .orderBy($"o_orderstatus", $"rank")
+  }
+
   val all: Seq[Q] = Seq(
     q20_dedup_latest, q21_lag_daily, q22_running_sum, q23_frames,
-    q24_ordered_collect)
+    q24_ordered_collect, q25_topk_per_group)
 }
