@@ -42,10 +42,16 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       k: Int): DataFrame = {
-    val scored = queries
-      .crossJoin(candidates)
+    // norms hoisted per side: one fold per row instead of three per
+    // pair — at q queries × n candidates that's 2(q+n) folds replacing
+    // 2qn of them
+    val q = queries.withColumn("_qnorm", norm(col("qvec")))
+    val c = candidates.withColumn("_cnorm", norm(col("cvec")))
+    val scored = q
+      .crossJoin(c)
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("cos",
+        dot(col("qvec"), col("cvec")) / (col("_qnorm") * col("_cnorm")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
     scored
@@ -65,8 +71,11 @@ object Similarity {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_id"))
     vectors
-      .crossJoin(broadcast(centroids))
-      .withColumn("cos", cosine(col("embedding"), col("centroid")))
+      .withColumn("_vnorm", norm(col("embedding")))
+      .crossJoin(broadcast(
+        centroids.withColumn("_cnorm", norm(col("centroid")))))
+      .withColumn("cos", dot(col("embedding"), col("centroid")) /
+        (col("_vnorm") * col("_cnorm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"), col("cos"))
