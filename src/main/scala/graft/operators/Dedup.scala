@@ -100,6 +100,18 @@ object Dedup {
       .otherwise(inter.cast("double") / union.cast("double"))
   }
 
+  /** Jaccard over PRE-SORTED distinct shingle arrays, scored by the
+    * codegen'd merge-walk [[graft.plans.SortedIntersectCount]] — the
+    * hot-loop form for verify stages that score millions of candidate
+    * pairs (sort each document's shingles once, not per pair).
+    */
+  def jaccardSorted(sortedA: Column, sortedB: Column): Column = {
+    val inter = graft.plans.SortedIntersectCount(sortedA, sortedB)
+    val union = size(sortedA) + size(sortedB) - inter
+    when(union === 0, 0.0)
+      .otherwise(inter.cast("double") / union.cast("double"))
+  }
+
   /** 60-bit SimHash over the token multiset: per-token md5-derived
     * 60-bit hash, per-bit ±1 majority vote, folded entirely inside one
     * expression (no shuffle).

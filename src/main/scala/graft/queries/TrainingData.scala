@@ -136,14 +136,17 @@ object TrainingData {
       |FROM s a JOIN s b ON a.doc_id < 40 AND b.doc_id > a.doc_id
       |ORDER BY jac DESC, id_a, id_b LIMIT 20""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // shingles sorted ONCE per doc → per-pair scoring is a codegen'd
+    // merge walk (SortedIntersectCount), no per-pair hash sets
     val s = Tables.loadParallel(spark, dir, "documents")
       .withColumn("_toks", lowerTokens($"text"))
-      .select($"doc_id", shinglesOfTokens($"_toks").as("sh"))
+      .select($"doc_id", array_sort(shinglesOfTokens($"_toks")).as("sh"))
     val a = s.filter($"doc_id" < 40)
       .select($"doc_id".as("id_a"), $"sh".as("sh_a"))
     val b = s.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
     a.join(b, $"id_b" > $"id_a")
-      .select($"id_a", $"id_b", Dedup.jaccard($"sh_a", $"sh_b").as("jac"))
+      .select($"id_a", $"id_b",
+        Dedup.jaccardSorted($"sh_a", $"sh_b").as("jac"))
       .orderBy($"jac".desc, $"id_a", $"id_b")
       .limit(20)
   }
