@@ -47,7 +47,11 @@ object ArrayMetrics {
     */
   def positionalTotals(arrays: DataFrame, arrayCol: String): DataFrame =
     arrays
-      .select(posexplode(col(arrayCol)).as(Seq("day_idx", "m")))
+      // outer + attribute filter: a plain posexplode infers a
+      // size(arrayCol) > 0 filter that pushes below the array-building
+      // projection and recomputes it (see Dedup.lshBandSummary)
+      .select(posexplode_outer(col(arrayCol)).as(Seq("day_idx", "m")))
+      .filter(col("day_idx").isNotNull)
       .groupBy(col("day_idx"))
       .agg(sum(col("m")).as("total"))
 }

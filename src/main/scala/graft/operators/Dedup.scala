@@ -27,16 +27,42 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("_fp")
 
-  /** MinHash signature over a shingle-set column: k independent hash
-    * functions realized as md5("<i>:" + shingle) with per-row
-    * array_min — deterministic across engines, no shuffle.
+  /** The k XOR seeds of the one-hash MinHash family (60-bit, so every
+    * xored value stays positive). Deterministic; the oracle SQL embeds
+    * the same constants.
     */
-  def minhashSignature(shingleSet: Column, k: Int = 16): Column =
-    graft.functions.Let(shingleSet) { sh =>
-      transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(sh,
-          s => md5(concat(i.cast("string"), lit(":"), s)))))
+  val MinhashSeeds: Seq[Long] = {
+    val rng = new scala.util.Random(2024)
+    Seq.fill(16)(rng.nextLong() & ((1L << 60) - 1))
+  }
+
+  /** MinHash signature over a shingle-set column, as ARRAY<STRING>.
+    *
+    * One-hash construction: each shingle is md5-hashed ONCE to a
+    * 60-bit base value; the k "permutations" are XORs with fixed
+    * seeds. That is k·|shingles| cheap long ops instead of
+    * k·|shingles| md5 calls — the difference between ~1000 and ~70
+    * digest computations per document. Everything is per-row
+    * expression work; no shuffle.
+    */
+  def minhashSignature(shingleSet: Column, k: Int = 16): Column = {
+    require(k <= MinhashSeeds.length, s"at most ${MinhashSeeds.length}")
+    graft.plans.MinHashSig(shingleSet, MinhashSeeds.take(k))
+  }
+
+  /** The composable HOF formulation of the same signature — reference
+    * semantics the kernel is property-tested against.
+    */
+  def minhashSignatureFold(shingleSet: Column, k: Int = 16): Column = {
+    require(k <= MinhashSeeds.length, s"at most ${MinhashSeeds.length}")
+    graft.functions.Let(
+      transform(shingleSet, s =>
+        conv(substring(md5(s), 1, 15), 16, 10).cast("long"))) { hashes =>
+      transform(typedlit(MinhashSeeds.take(k)), sd =>
+        array_min(transform(hashes, h => h.bitwiseXOR(sd)))
+          .cast("string"))
     }
+  }
 
   /** LSH band keys: the signature sliced into `bands` groups of
     * `rowsPerBand`, each hashed to one bucket key.
@@ -57,6 +83,10 @@ object Dedup {
     */
   private def withBandKeys(df: DataFrame, textCol: String, k: Int,
       bands: Int): DataFrame =
+    // no size-filter here: a Filter would be predicate-pushed below the
+    // staged projections, re-inlining (and per-element re-evaluating)
+    // the shingle expression. Sub-n-gram docs get a NULL signature from
+    // MinHashSig instead, and explode/posexplode drops them.
     df.withColumn("_toks", TextFunctions.lowerTokens(col(textCol)))
       .withColumn("_sh", TextFunctions.shinglesOfTokens(col("_toks")))
       .withColumn("_sig", minhashSignature(col("_sh"), k))
@@ -67,8 +97,16 @@ object Dedup {
     */
   def lshBandSummary(df: DataFrame, textCol: String,
       k: Int = 16, bands: Int = 4): DataFrame = {
+    // posexplode_OUTER + attribute filter: a plain posexplode makes the
+    // optimizer infer `size(_bands) > 0` and push that filter below the
+    // staged projections — re-evaluating the whole signature chain a
+    // second time (with tokens re-inlined per element). The outer
+    // variant infers nothing; the null-drop happens on the cheap
+    // exploded attribute.
     withBandKeys(df, textCol, k, bands)
-      .select(posexplode(col("_bands")).as(Seq("band_id", "band_hash")))
+      .select(posexplode_outer(col("_bands"))
+        .as(Seq("band_id", "band_hash")))
+      .filter(col("band_hash").isNotNull)
       .groupBy(col("band_id"))
       .agg(
         countDistinct(col("band_hash")).as("n_buckets"),
@@ -80,7 +118,9 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4): DataFrame = {
     val exploded = withBandKeys(df, textCol, k, bands)
-      .select(col(idCol).as("id"), explode(col("_bands")).as("band_hash"))
+      .select(col(idCol).as("id"),
+        explode_outer(col("_bands")).as("band_hash"))
+      .filter(col("band_hash").isNotNull)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.band_hash") === col("b.band_hash") &&

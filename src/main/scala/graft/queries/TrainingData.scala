@@ -152,14 +152,19 @@ object TrainingData {
   }
 
   /** MinHash + LSH banding telemetry: per-band bucket and collision
-    * counts (k=16 signatures, 4 bands × 4 rows).
+    * counts (k=16 one-hash signatures — md5 base + XOR seed family,
+    * see Dedup.minhashSignature — 4 bands × 4 rows).
     */
   val q45_minhash_lsh: Q = Q(
     "q45_minhash_lsh",
     s"""WITH s AS (SELECT doc_id, $JacShingleSql AS sh FROM documents),
-      |sig AS (SELECT doc_id, i,
-      |    list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x))) AS mh
-      |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) t),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(x), 1, 15))::BIGINT AS hv
+      |  FROM (SELECT doc_id, unnest(sh) AS x FROM s WHERE len(sh) > 0) t),
+      |seeds(i, seed) AS (VALUES ${graft.operators.Dedup.MinhashSeeds
+        .zipWithIndex.map { case (s, i) => s"($i, $s::BIGINT)" }
+        .mkString(", ")}),
+      |sig AS (SELECT doc_id, i, CAST(MIN(xor(hv, seed)) AS VARCHAR) AS mh
+      |  FROM h CROSS JOIN seeds GROUP BY doc_id, i),
       |band AS (SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
       |    md5(string_agg(mh, ',' ORDER BY i)) AS band_hash
       |  FROM sig GROUP BY doc_id, i // 4)
