@@ -181,7 +181,49 @@ object Windows {
       .orderBy($"o_orderstatus", $"rank")
   }
 
+  /** Longest consecutive-day activity streak per user (reference W9
+    * homework family: streaks via the LAG + running-sum island id,
+    * `4-applying-analytical-patterns/homework/homework.md:26-28`).
+    * Uses the date-minus-dense-rank trick: consecutive days share one
+    * island key.
+    */
+  val q26_longest_streak: Q = Q(
+    "q26_longest_streak",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |i AS (SELECT user_id, day,
+      |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+      |      AS island
+      |  FROM a),
+      |s AS (SELECT user_id, island, COUNT(*) AS streak_len,
+      |    MIN(day) AS streak_start
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, CAST(MAX(streak_len) AS INT) AS longest_streak,
+      |  MIN(CASE WHEN streak_len = ms THEN streak_start END) AS streak_start
+      |FROM (SELECT *, MAX(streak_len) OVER (PARTITION BY user_id) AS ms FROM s) t
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"day")
+    val islands = Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts".cast("date").as("day"))
+      .distinct()
+      .withColumn("island",
+        date_sub($"day", row_number().over(byUser)))
+    val streaks = islands
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("streak_len"), min($"day").as("streak_start"))
+      .withColumn("ms",
+        max($"streak_len").over(Window.partitionBy($"user_id")))
+    streaks
+      .groupBy($"user_id")
+      .agg(
+        max($"streak_len").cast("int").as("longest_streak"),
+        min(when($"streak_len" === $"ms", $"streak_start"))
+          .as("streak_start"))
+      .orderBy($"user_id")
+  }
+
   val all: Seq[Q] = Seq(
     q20_dedup_latest, q21_lag_daily, q22_running_sum, q23_frames,
-    q24_ordered_collect, q25_topk_per_group)
+    q24_ordered_collect, q25_topk_per_group, q26_longest_streak)
 }
