@@ -27,6 +27,26 @@ class ScdSpec extends SparkSpec {
     assertDfEquality(got, expected)
   }
 
+  test("multi-attribute SCD: track a struct of (class, is_active)") {
+    // the reference's players_scd tracks scoring_class AND is_active
+    // (players_scd_table.sql:1-9); the kernel handles it as one struct
+    // attribute — change in either field opens a new period
+    val input = Seq(
+      ("mj", 2001, "Good", true), ("mj", 2002, "Good", false),
+      ("mj", 2003, "Good", false))
+      .toDF("player_name", "current_season", "scoring_class", "is_active")
+      .select($"player_name", $"current_season",
+        org.apache.spark.sql.functions.struct($"scoring_class", $"is_active")
+          .as("tracked"))
+    val got = Scd.backfill(input, "player_name", "current_season", "tracked")
+    val periods = got
+      .select($"tracked.scoring_class", $"tracked.is_active",
+        $"start_current_season", $"end_current_season")
+      .as[(String, Boolean, Int, Int)].collect().sortBy(_._3)
+    assert(periods.toSeq == Seq(
+      ("Good", true, 2001, 2001), ("Good", false, 2002, 2003)))
+  }
+
   test("incremental merge equals full backfill") {
     val hist = Seq(
       ("A", 2001, "Good"), ("A", 2002, "Good"), ("A", 2003, "Good"),
