@@ -46,6 +46,34 @@ object GrowthAccounting {
       .select(col(userCol), col("day"), col("state"))
   }
 
+  /** Weekly-window variant (the reference table also tracks
+    * `weekly_active_state`, `user_growth_accounting.sql:5`): a user is
+    * weekly-active on day d if active anywhere in [d−6, d]. Same
+    * single-shuffle shape; the window probes are `arrays_overlap`
+    * against the per-user day set.
+    */
+  def weeklyStates(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(collect_set(to_date(col(tsCol))).as("days"))
+      .withColumn("first_day", array_min(col("days")))
+    val horizon = events
+      .agg(max(to_date(col(tsCol))).as("end_day"))
+    val weeklyActive = arrays_overlap(col("days"),
+      sequence(date_sub(col("day"), 6), col("day")))
+    val weeklyActiveYday = arrays_overlap(col("days"),
+      sequence(date_sub(col("day"), 7), date_sub(col("day"), 1)))
+    perUser
+      .crossJoin(broadcast(horizon))
+      .select(col(userCol),
+        explode(sequence(col("first_day"), col("end_day"))).as("day"),
+        col("days"), col("first_day"))
+      .withColumn("state", stateOf(col("day") === col("first_day"),
+        weeklyActive, weeklyActiveYday))
+      .select(col(userCol), col("day"), col("state"))
+  }
+
   /** The state decision table — exact branch order of
     * `growth_accounting.sql:19-34`.
     */

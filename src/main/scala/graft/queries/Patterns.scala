@@ -338,9 +338,80 @@ object Patterns {
       .orderBy($"event_type")
   }
 
+  /** Weekly growth accounting (`user_growth_accounting.sql:5`
+    * weekly_active_state): per-day counts with a 7-day activity
+    * window.
+    */
+  val q53_growth_weekly: Q = Q(
+    "q53_growth_weekly",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM a GROUP BY 1),
+      |bounds AS (SELECT MAX(day) AS end_day FROM a),
+      |cal AS (SELECT user_id, first_day,
+      |    CAST(unnest(generate_series(first_day, end_day, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM f, bounds),
+      |j AS (SELECT cal.user_id, cal.day, cal.first_day,
+      |    EXISTS (SELECT 1 FROM a WHERE a.user_id = cal.user_id
+      |            AND a.day BETWEEN cal.day - 6 AND cal.day) AS wa,
+      |    EXISTS (SELECT 1 FROM a WHERE a.user_id = cal.user_id
+      |            AND a.day BETWEEN cal.day - 7 AND cal.day - 1) AS way
+      |  FROM cal)
+      |SELECT day, state, COUNT(*) AS n_users FROM (
+      |  SELECT day,
+      |    CASE WHEN day = first_day THEN 'new'
+      |         WHEN wa AND way THEN 'retained'
+      |         WHEN wa THEN 'resurrected'
+      |         WHEN way THEN 'churned'
+      |         ELSE 'stale' END AS state
+      |  FROM j) t
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    GrowthAccounting.weeklyStates(
+        Tables.load(spark, dir, "events"), "user_id", "ts")
+      .groupBy($"day", $"state")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"day", $"state")
+  }
+
+  /** Datelist mask analysis (`anaylze_datelist.sql:20-31`): DAU / WAU
+    * / MAU from the bitmask alone — no re-scan of raw activity.
+    */
+  val q54_datelist_analysis: Q = Q(
+    "q54_datelist_analysis",
+    s"""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |m AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN CAST(day - $Anchor AS INT) BETWEEN 0 AND 63
+      |      THEN 1::BIGINT << CAST(day - $Anchor AS INT) ELSE 0 END) AS BIGINT)
+      |      AS mask
+      |  FROM d GROUP BY 1)
+      |SELECT COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN mask != 0 THEN 1 ELSE 0 END) AS BIGINT) AS monthly_active,
+      |  CAST(SUM(CASE WHEN (mask & ${Datelist.windowMask(23, 7)}) != 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS weekly_active,
+      |  CAST(SUM(CASE WHEN (mask & ${1L << 29}) != 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS active_last_day
+      |FROM m""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val anchor = lit("2024-01-01").cast("date")
+    Tables.loadParallel(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(collect_set($"ts".cast("date")).as("days"))
+      .select(Datelist.encode($"days", anchor).as("mask"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when($"mask" =!= 0, 1).otherwise(0)).cast("long")
+          .as("monthly_active"),
+        sum(when(Datelist.activeInWindow($"mask", 23, 7), 1).otherwise(0))
+          .cast("long").as("weekly_active"),
+        sum(when($"mask".bitwiseAND(lit(1L << 29)) =!= 0, 1).otherwise(0))
+          .cast("long").as("active_last_day"))
+  }
+
   val all: Seq[Q] = Seq(
     q30_scd_streaks, q31_datelist_int, q32_growth_accounting,
     q33_retention, q34_array_metrics, q35_graph_vertices,
     q36_graph_edges, q37_dedup_rows, q38_cumulate_merge,
-    q39_cumulative_dim, q52_asof_join)
+    q39_cumulative_dim, q52_asof_join, q53_growth_weekly,
+    q54_datelist_analysis)
 }

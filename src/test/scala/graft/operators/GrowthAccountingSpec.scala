@@ -32,4 +32,21 @@ class GrowthAccountingSpec extends SparkSpec {
       .toDF("user_id", "day", "state")
     assertDfEquality(got, expected)
   }
+
+  test("weekly states stay 'retained' across short gaps") {
+    // active day 1 and day 5 (gap 3 days): daily says churned between,
+    // weekly stays retained because the 7-day window still covers day 1
+    val events = Seq(("u1", ts(1)), ("u1", ts(5)), ("u1", ts(15)))
+      .toDF("user_id", "ts")
+    val got = GrowthAccounting.weeklyStates(events, "user_id", "ts")
+      .orderBy("day")
+      .collect().map(r => (r.getDate(1).toString, r.getString(2)))
+    val byDay = got.toMap
+    assert(byDay("2024-01-01") == "new")
+    (2 to 11).foreach(i => assert(
+      byDay(f"2024-01-$i%02d") == "retained", s"day $i: ${byDay.toSeq.sorted}"))
+    assert(byDay("2024-01-12") == "churned")   // window [6..12] empty
+    assert(byDay("2024-01-13") == "stale")
+    assert(byDay("2024-01-15") == "resurrected")
+  }
 }
