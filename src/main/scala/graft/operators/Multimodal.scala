@@ -68,6 +68,26 @@ object Multimodal {
       meta.getField("duration_s").as("duration_s"))
   }
 
+  /** The per-partition imperative decode path — the Scala analog of a
+    * Pandas-UDF/`mapInPandas` batch decode. A real pipeline plugs a
+    * codec in `decode`; the decoder handle is constructed ONCE per
+    * partition and reused across rows (the connection/codec-reuse
+    * pattern `mapPartitions` exists for). The codec itself is the
+    * stubbed seam — this stand-in must stay deterministic.
+    */
+  def decodePartitions[T](df: DataFrame,
+      makeDecoder: () => Array[Byte] => T)(
+      implicit enc: org.apache.spark.sql.Encoder[(Long, T)])
+      : org.apache.spark.sql.Dataset[(Long, T)] = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decode = makeDecoder() // one decoder per partition
+        rows.map { case (id, bytes) => (id, decode(bytes)) }
+      }
+  }
+
   /** Frame sampling plan for video rows: one struct per sampled frame
     * at `fps` — pure plan arithmetic, distributed via explode.
     */

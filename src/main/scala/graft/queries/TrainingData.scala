@@ -58,13 +58,17 @@ object TrainingData {
       |FROM documents
       |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // one tokenization feeds both token and stopword counts (the plan
+    // scan showed the generic helpers tokenizing twice)
     Tables.loadParallel(spark, dir, "documents")
+      .withColumn("_ltoks", lowerTokens($"text"))
       .groupBy($"source")
       .agg(
         sum(length($"text").cast("long")).as("sum_chars"),
         sum(punctCount($"text").cast("long")).as("sum_punct"),
-        sum(tokenCount($"text").cast("long")).as("sum_tokens"),
-        sum(stopwordCount($"text").cast("long")).as("sum_stopwords"))
+        sum(size($"_ltoks").cast("long")).as("sum_tokens"),
+        sum(size(filter($"_ltoks", w => w.isin(EnStopwords: _*)))
+          .cast("long")).as("sum_stopwords"))
       .select($"source", $"sum_chars", $"sum_punct", $"sum_tokens",
         $"sum_stopwords",
         ($"sum_punct".cast("double") / $"sum_chars").as("punct_ratio"),

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.SparkRuntimeException
+import graft.SparkSpec
+
+class ValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val allowed = Seq("bad", "average", "good", "star")
+  private lazy val df =
+    Seq("good", "star", "legendary", null).toDF("scoring_class")
+
+  test("strict mode fails the job on out-of-domain values") {
+    val strict = df.select(
+      Validate.enumStrict($"scoring_class", allowed))
+    intercept[SparkRuntimeException] { strict.collect() }
+    // clean subset passes
+    val ok = df.filter($"scoring_class".isin("good", "star"))
+      .select(Validate.enumStrict($"scoring_class", allowed))
+    assert(ok.count() == 2)
+  }
+
+  test("quarantine mode nulls violations and flags them") {
+    val got = df.select(
+      Validate.enumOrNull($"scoring_class", allowed).as("v"),
+      Validate.enumViolation($"scoring_class", allowed).as("bad"))
+      .collect()
+    assert(got.map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("good"), Some("star"), None, None))
+    assert(got.map(_.getBoolean(1)).toSeq ==
+      Seq(false, false, true, false)) // NULL is absent, not a violation
+  }
+}

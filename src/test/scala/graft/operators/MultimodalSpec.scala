@@ -41,6 +41,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodePartitions reuses one decoder per partition") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+    val decoderBuilds = spark.sparkContext.longAccumulator("builds")
+    val got = Multimodal.decodePartitions(media.repartition(2), () => {
+      decoderBuilds.add(1) // one per partition, NOT per row
+      (bytes: Array[Byte]) => bytes.length
+    }).collect().toMap
+    assert(got == Map(0L -> 3, 1L -> 11, 2L -> 3))
+    assert(decoderBuilds.value <= 2,
+      s"decoder must be built per partition, got ${decoderBuilds.value}")
+  }
+
   test("sampleFrames emits duration*fps frames for videos only") {
     val frames = Multimodal.sampleFrames(media, 2.0)
     val ids = frames.select($"media_id").distinct()
