@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.SparkRuntimeException
 import graft.SparkSpec
 
 class ValidateSpec extends SparkSpec {
@@ -13,7 +12,9 @@ class ValidateSpec extends SparkSpec {
   test("strict mode fails the job on out-of-domain values") {
     val strict = df.select(
       Validate.enumStrict($"scoring_class", allowed))
-    intercept[SparkRuntimeException] { strict.collect() }
+    val ex = intercept[Exception] { strict.collect() }
+    assert(ex.toString.contains("USER_RAISED_EXCEPTION") ||
+      ex.getMessage.contains("enum violation"), ex.toString)
     // clean subset passes
     val ok = df.filter($"scoring_class".isin("good", "star"))
       .select(Validate.enumStrict($"scoring_class", allowed))
