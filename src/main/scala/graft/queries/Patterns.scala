@@ -408,10 +408,60 @@ object Patterns {
           .cast("long").as("active_last_day"))
   }
 
+  /** Reduced monthly fact with two metric arrays (reference
+    * `host_activity_reduced`: hit_array + unique_visitors,
+    * `2-fact-data-modeling/homework/assignmnet_2.sql:210-260`): one row
+    * per event_type per month carrying day-indexed totals and distinct
+    * users, emitted comma-joined for representation-stable compare.
+    */
+  val q55_activity_reduced: Q = Q(
+    "q55_activity_reduced",
+    s"""WITH d AS (SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - $Anchor AS INT) AS day_idx,
+      |    COUNT(*) AS hits,
+      |    COUNT(DISTINCT user_id) AS uniq
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT MAX(day_idx) AS max_idx FROM d),
+      |cal AS (SELECT event_type, day_idx FROM
+      |    (SELECT DISTINCT event_type FROM d),
+      |    (SELECT UNNEST(generate_series(0, (SELECT max_idx FROM bounds))) AS day_idx))
+      |SELECT cal.event_type,
+      |  STRING_AGG(CAST(COALESCE(d.hits, 0) AS VARCHAR), ',' ORDER BY cal.day_idx)
+      |    AS hit_array,
+      |  STRING_AGG(CAST(COALESCE(d.uniq, 0) AS VARCHAR), ',' ORDER BY cal.day_idx)
+      |    AS unique_visitors
+      |FROM cal LEFT JOIN d
+      |  ON cal.event_type = d.event_type AND cal.day_idx = d.day_idx
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val anchor = lit("2024-01-01").cast("date")
+    val perDay = Tables.load(spark, dir, "events")
+      .groupBy($"event_type",
+        datediff($"ts".cast("date"), anchor).as("day_idx"))
+      .agg(count(lit(1)).as("hits"),
+        countDistinct($"user_id").as("uniq"))
+    val horizon = perDay.agg((max($"day_idx") + 1).as("n_days"))
+    perDay
+      .groupBy($"event_type")
+      .agg(map_from_entries(collect_list(
+        struct($"day_idx", struct($"hits", $"uniq")))).as("by_idx"))
+      .crossJoin(broadcast(horizon))
+      .select($"event_type",
+        array_join(transform(sequence(lit(0), $"n_days" - 1), i =>
+          coalesce(call_function("element_at", $"by_idx", i)
+            .getField("hits"), lit(0L)).cast("string")), ",")
+          .as("hit_array"),
+        array_join(transform(sequence(lit(0), $"n_days" - 1), i =>
+          coalesce(call_function("element_at", $"by_idx", i)
+            .getField("uniq"), lit(0L)).cast("string")), ",")
+          .as("unique_visitors"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q30_scd_streaks, q31_datelist_int, q32_growth_accounting,
     q33_retention, q34_array_metrics, q35_graph_vertices,
     q36_graph_edges, q37_dedup_rows, q38_cumulate_merge,
     q39_cumulative_dim, q52_asof_join, q53_growth_weekly,
-    q54_datelist_analysis)
+    q54_datelist_analysis, q55_activity_reduced)
 }
