@@ -223,7 +223,57 @@ object Windows {
       .orderBy($"user_id")
   }
 
+  /** The full window-based dashboard (reference
+    * `window_based_analysis.sql:8-53` composite): LIKE-classified
+    * traffic classes × day, with per-class running cumulative, rolling
+    * week, and share-of-class-total — every frame in one pass over one
+    * shuffle (all windows partition by the same key).
+    */
+  val q27_window_dashboard: Q = Q(
+    "q27_window_dashboard",
+    """WITH c AS (SELECT CASE WHEN event_type LIKE '%view%'
+      |         OR event_type LIKE '%click%' THEN 'browse'
+      |       WHEN event_type = 'purchase' THEN 'commerce'
+      |       ELSE 'other' END AS event_class,
+      |    CAST(ts AS DATE) AS day
+      |  FROM events),
+      |d AS (SELECT event_class, day, COUNT(*) AS n FROM c GROUP BY 1, 2)
+      |SELECT event_class, day, n,
+      |  CAST(SUM(n) OVER (PARTITION BY event_class ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative,
+      |  CAST(SUM(n) OVER (PARTITION BY event_class ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_week,
+      |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_class
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS share_of_class
+      |FROM d
+      |ORDER BY event_class, day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val classified = Tables.load(spark, dir, "events")
+      .withColumn("event_class",
+        when($"event_type".like("%view%") ||
+          $"event_type".like("%click%"), "browse")
+          .when($"event_type" === "purchase", "commerce")
+          .otherwise("other"))
+      .groupBy($"event_class", $"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byClass = Window.partitionBy($"event_class").orderBy($"day")
+    classified.select(
+        $"event_class", $"day", $"n",
+        sum($"n").over(byClass.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("cumulative"),
+        sum($"n").over(byClass.rowsBetween(-6, 0))
+          .cast("long").as("rolling_week"),
+        ($"n".cast("double") / sum($"n").over(
+          Window.partitionBy($"event_class").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+          .as("share_of_class"))
+      .orderBy($"event_class", $"day")
+  }
+
   val all: Seq[Q] = Seq(
     q20_dedup_latest, q21_lag_daily, q22_running_sum, q23_frames,
-    q24_ordered_collect, q25_topk_per_group, q26_longest_streak)
+    q24_ordered_collect, q25_topk_per_group, q26_longest_streak,
+    q27_window_dashboard)
 }
