@@ -73,6 +73,41 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Overlapping token-window chunks (the LLM-ingest unit): windows of
+    * `size` tokens advancing by `size - overlap`, from a pre-staged
+    * token array (see shinglesOfTokens for why staging matters). The
+    * final partial window is kept.
+    */
+  def chunksOfTokens(toks: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap < chunkSize,
+      "overlap must be smaller than the chunk size")
+    val step = chunkSize - overlap
+    // number of windows: ceil(max(n - overlap, 1) / step)
+    val n = greatest(size(toks) - overlap, lit(1))
+    val nChunks = ceil(n.cast("double") / step).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * step + 1, lit(chunkSize)), " "))
+  }
+
+  /** Redact email-ish and long-digit-run spans (the cleaning pass a
+    * crawl corpus gets before training).
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\d{6,}", "<NUM>")
+
+  /** Deterministic train/val/test assignment from a stable id: md5
+    * bucket in [0,100) → 90/5/5. Hash-based (never random()) so the
+    * split is reproducible and stable under reprocessing.
+    */
+  def datasetSplit(id: Column): Column = {
+    val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
   /** Distinct word n-gram shingles from an ALREADY-STAGED token array
     * column (default 3), the MinHash/Jaccard unit. Returns an empty
     * array for texts shorter than n words.

@@ -296,8 +296,86 @@ object TrainingData {
       .orderBy($"kind")
   }
 
+  /** Token-window chunking (the LLM-ingest unit): 64-token windows
+    * with 16-token overlap, counted per source.
+    */
+  val q56_chunking: Q = Q(
+    "q56_chunking",
+    """WITH t AS (SELECT source, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |c AS (SELECT source,
+      |    CAST(ceil(greatest(len(toks) - 16, 1) / 48.0) AS INT) AS n_chunks,
+      |    len(toks) AS n_toks
+      |  FROM t)
+      |SELECT source,
+      |  CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+      |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      |  CAST(MAX(n_chunks) AS INT) AS max_chunks
+      |FROM c GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.loadParallel(spark, dir, "documents")
+      .withColumn("_toks", lowerTokens($"text"))
+      .withColumn("_chunks", chunksOfTokens($"_toks", 64, 16))
+      .groupBy($"source")
+      .agg(
+        sum(size($"_chunks").cast("long")).as("total_chunks"),
+        sum(size($"_toks").cast("long")).as("total_tokens"),
+        max(size($"_chunks")).cast("int").as("max_chunks"))
+      .orderBy($"source")
+  }
+
+  /** Redaction pass: email + long-digit spans → placeholders; measures
+    * how much text the cleaner touches.
+    */
+  val q57_redaction: Q = Q(
+    "q57_redaction",
+    """SELECT lang,
+      |  CAST(SUM(len(text)) AS BIGINT) AS chars_before,
+      |  CAST(SUM(len(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{6,}', '<NUM>', 'g'))) AS BIGINT) AS chars_after,
+      |  CAST(SUM(CASE WHEN regexp_matches(text, '\d{6,}')
+      |    OR regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.loadParallel(spark, dir, "documents")
+      .groupBy($"lang")
+      .agg(
+        sum(length($"text").cast("long")).as("chars_before"),
+        sum(length(redact($"text")).cast("long")).as("chars_after"),
+        sum(when(
+          regexp_count($"text", lit("\\d{6,}")) > 0 ||
+            regexp_count($"text",
+              lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")) > 0,
+          1L).otherwise(0L)).as("n_redacted_docs"))
+      .orderBy($"lang")
+  }
+
+  /** Deterministic train/val/test split by id hash (90/5/5) — stable
+    * under reprocessing, never random().
+    */
+  val q58_dataset_split: Q = Q(
+    "q58_dataset_split",
+    """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (SELECT n_chars,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+      |      FROM documents) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy(datasetSplit($"doc_id").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"split")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
-    q46_simhash, q47_cosine_topk, q48_ivf_assign, q49_multimodal)
+    q46_simhash, q47_cosine_topk, q48_ivf_assign, q49_multimodal,
+    q56_chunking, q57_redaction, q58_dataset_split)
 }

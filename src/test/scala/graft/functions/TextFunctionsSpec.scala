@@ -39,6 +39,39 @@ class TextFunctionsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("chunking: overlapping windows, partial tail kept") {
+    val toks = (1 to 10).map(i => s"w$i")
+    val got = Seq(Tuple1(toks)).toDF("toks")
+      .select(TextFunctions.chunksOfTokens($"toks", 4, 2))
+      .as[Seq[String]].head()
+    assert(got == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    val short = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
+      .select(TextFunctions.chunksOfTokens($"toks", 4, 2))
+      .as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("redaction replaces emails and long digit runs") {
+    val got = Seq("mail me at bob.smith+x@example.org or call 12345678")
+      .toDF("text").select(TextFunctions.redact($"text")).as[String].head()
+    assert(got == "mail me at <EMAIL> or call <NUM>")
+    val untouched = Seq("plain text 123").toDF("text")
+      .select(TextFunctions.redact($"text")).as[String].head()
+    assert(untouched == "plain text 123")
+  }
+
+  test("dataset split is deterministic and roughly 90/5/5") {
+    val df = (0L until 2000L).toDF("id")
+    val counts = df.groupBy(TextFunctions.datasetSplit($"id").as("s"))
+      .count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1700 && counts("train") < 1900, counts)
+    val again = df.groupBy(TextFunctions.datasetSplit($"id").as("s"))
+      .count().as[(String, Long)].collect().toMap
+    assert(counts == again)
+  }
+
   test("shingles: distinct word trigrams; short text yields empty") {
     val got = Seq("a b c d b c d").toDF("text")
       .select(TextFunctions.shingles($"text")).as[Seq[String]].head()
