@@ -198,13 +198,25 @@ object Joins {
       |HAVING COUNT(*) >= 3
       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val ps = Tables.load(spark, dir, "lineitem")
-      .select($"l_partkey", $"l_suppkey").distinct()
-    val a = ps.as("a")
-    val b = ps.as("b")
-    a.join(b, $"a.l_partkey" === $"b.l_partkey" &&
-        $"a.l_suppkey" > $"b.l_suppkey")
-      .groupBy($"a.l_suppkey".as("supp_a"), $"b.l_suppkey".as("supp_b"))
+    // instead of the reference's self-join (which materializes every
+    // pair row through a sort-merge join), collect each part's
+    // supplier set once and GENERATE the ordered pairs as a per-row
+    // expression — one shuffle on partkey, one on the pair key, and
+    // the quadratic blow-up never crosses an exchange unaggregated
+    val bySupp = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(array_sort(collect_set($"l_suppkey")).as("supps"))
+    val pairs = bySupp.select(
+      explode_outer(flatten(transform(
+        sequence(lit(0), greatest(size($"supps") - 2, lit(0))),
+        i => transform(slice($"supps", i + 2, size($"supps")),
+          bigger => struct(
+            bigger.as("supp_a"),
+            call_function("element_at", $"supps", i + 1)
+              .as("supp_b")))))).as("p"))
+      .filter($"p".isNotNull)
+    pairs
+      .groupBy($"p.supp_a".as("supp_a"), $"p.supp_b".as("supp_b"))
       .agg(count(lit(1)).as("shared_parts"))
       .filter($"shared_parts" >= 3)
       .orderBy($"supp_a", $"supp_b")

@@ -373,9 +373,46 @@ object TrainingData {
       .orderBy($"split")
   }
 
+  /** Embedding-cosine near-dup detection: each probe vector's single
+    * nearest neighbor with a duplicate verdict — the verify stage of
+    * an embedding-space dedup (candidates would come from the IVF/SRP
+    * buckets at scale).
+    */
+  val q59_embedding_neardup: Q = Q(
+    "q59_embedding_neardup",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      |           WHERE vec_id < 100),
+      |scored AS (SELECT qid, vec_id AS cid,
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65),
+      |        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(range(1, 65),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+      |    AS cos
+      |  FROM q, embeddings WHERE vec_id != qid)
+      |SELECT qid, cid AS nearest_id, cos AS nearest_cos,
+      |  cos >= 0.9 AS is_near_dup
+      |FROM (SELECT qid, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      |  FROM scored) t
+      |WHERE rn = 1
+      |ORDER BY qid""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.loadParallel(spark, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 100)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val candidates = emb.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    Similarity.bruteForceTopK(broadcast(queries), candidates, 1)
+      .select($"qid", $"cid".as("nearest_id"), $"cos".as("nearest_cos"),
+        ($"cos" >= 0.9).as("is_near_dup"))
+      .orderBy($"qid")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
     q46_simhash, q47_cosine_topk, q48_ivf_assign, q49_multimodal,
-    q56_chunking, q57_redaction, q58_dataset_split)
+    q56_chunking, q57_redaction, q58_dataset_split,
+    q59_embedding_neardup)
 }
