@@ -272,8 +272,40 @@ object Windows {
       .orderBy($"event_class", $"day")
   }
 
+  /** Ordered-by-another-key DESC aggregation (reference A3:
+    * `ARRAY_AGG(ROW(...) ORDER BY votes DESC NULLS LAST)`,
+    * `homework/assignment.sql:50-53`): per customer, order ids listed
+    * by price descending. Spark has no ORDER BY inside collect_list;
+    * the equivalent is sort_array over struct(negated sort key,
+    * payload) — negation in exact decimal so ties and order reproduce.
+    */
+  val q28_ordered_agg_desc: Q = Q(
+    "q28_ordered_agg_desc",
+    """SELECT o_custkey,
+      |  STRING_AGG(CAST(o_orderkey AS VARCHAR), ','
+      |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey)
+      |    AS orders_by_price,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              (-money($"o_totalprice")).as("neg_price"),
+              $"o_orderkey"))),
+            x => x.getField("o_orderkey").cast("string")),
+          ",").as("orders_by_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
   val all: Seq[Q] = Seq(
     q20_dedup_latest, q21_lag_daily, q22_running_sum, q23_frames,
     q24_ordered_collect, q25_topk_per_group, q26_longest_streak,
-    q27_window_dashboard)
+    q27_window_dashboard, q28_ordered_agg_desc)
 }
