@@ -6,6 +6,9 @@ import org.apache.spark.sql.types._
 import graft.SparkSpec
 import graft.core.Models._
 
+case class CsvDevice(device_id: Long, browser_type: String,
+    os_type: Option[String], device_type: String)
+
 /** CSV ingest (S1/S2) + the typed Dataset pipeline (J13/S2:
   * `DatasetApi.ipynb:185-243` — read→typed filter→joinWith→map).
   */
@@ -43,6 +46,13 @@ class CsvAndTypedSpec extends SparkSpec {
     val df = Csv.read(spark, csvPath, deviceSchema)
     assert(df.schema("device_id").dataType == LongType)
     assert(df.filter($"os_type".isNull).count() == 1)
+  }
+
+  test("typed CSV read: readAs with Option nullability") {
+    val ds = Csv.readAs[CsvDevice](spark, csvPath, deviceSchema)
+    val rows = ds.collect().sortBy(_.device_id)
+    assert(rows.map(_.device_id).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(1).os_type.isEmpty && rows(0).os_type.contains("Linux"))
   }
 
   test("typed pipeline: as[T], typed filter, joinWith, map") {
