@@ -29,7 +29,7 @@ object AsOfJoin {
   def lastPrior(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTs: Column, rightTs: Column): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toIndexedSeq
     val l = left.select(
       leftKey.as("_k"), leftTs.as("_ts"), lit(1).as("_side"),
       struct(leftCols.map(col): _*).as("_l"),
@@ -37,7 +37,7 @@ object AsOfJoin {
     val r = right.select(
       rightKey.as("_k"), rightTs.as("_ts"), lit(0).as("_side"),
       lit(null).cast(structType(left)).as("_l"),
-      struct(right.columns.map(col): _*).as("_r"))
+      struct(right.columns.toIndexedSeq.map(col): _*).as("_r"))
     // right sorts before left at equal ts (side 0 < 1) → `<=` matching
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts"), col("_side"))
