@@ -458,10 +458,65 @@ object Patterns {
       .orderBy($"event_type")
   }
 
+  /** Weekly cohort retention matrix: cohort (first-active week) ×
+    * weeks-since-cohort → distinct actives. The 2-D form of `q33`'s
+    * retention curve.
+    */
+  val q60_cohort_matrix: Q = Q(
+    "q60_cohort_matrix",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM a GROUP BY 1)
+      |SELECT CAST(date_trunc('week', f.first_day) AS DATE) AS cohort_week,
+      |  CAST((CAST(date_trunc('week', a.day) AS DATE)
+      |      - CAST(date_trunc('week', f.first_day) AS DATE)) / 7 AS INT)
+      |    AS week_n,
+      |  COUNT(DISTINCT a.user_id) AS n_active
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val actives = Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts".cast("date").as("day"))
+      .distinct()
+    val firsts = actives.groupBy($"user_id")
+      .agg(min($"day").as("first_day"))
+    actives.join(firsts, "user_id")
+      .groupBy(
+        date_trunc("week", $"first_day").cast("date").as("cohort_week"),
+        (datediff(date_trunc("week", $"day").cast("date"),
+          date_trunc("week", $"first_day").cast("date")) / 7).cast("int")
+          .as("week_n"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_week", $"week_n")
+  }
+
+  /** Pivot: event_type × day-of-week counts (the DataFrame
+    * `groupBy().pivot()` API; oracle is conditional aggregation).
+    */
+  val q61_pivot: Q = Q(
+    "q61_pivot",
+    """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(dayofweek($"ts").cast("int").as("dow"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"dow")
+  }
+
   val all: Seq[Q] = Seq(
     q30_scd_streaks, q31_datelist_int, q32_growth_accounting,
     q33_retention, q34_array_metrics, q35_graph_vertices,
     q36_graph_edges, q37_dedup_rows, q38_cumulate_merge,
     q39_cumulative_dim, q52_asof_join, q53_growth_weekly,
-    q54_datelist_analysis, q55_activity_reduced)
+    q54_datelist_analysis, q55_activity_reduced, q60_cohort_matrix,
+    q61_pivot)
 }

@@ -226,8 +226,30 @@ object Relational {
         .orderBy($"event_type")
   }
 
+  /** Exact ordered-statistics aggregation: median and p90 of order
+    * value per status (Spark `percentile` and DuckDB `quantile_cont`
+    * share the linear-interpolation definition).
+    */
+  val q62_percentiles: Q = Q(
+    "q62_percentiles",
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price,
+      |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        percentile($"o_totalprice", lit(0.5)).as("median_price"),
+        percentile($"o_totalprice", lit(0.9)).as("p90_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(
     q1_agg, q2_count_distinct, q3_case_when, q4_filter_like,
     q5_scalar_funcs, q6_having_topk, q7_grouping_sets,
-    q8_json_conditional, q9_approx_distinct)
+    q8_json_conditional, q9_approx_distinct, q62_percentiles)
 }
