@@ -182,4 +182,39 @@ object Dedup {
     */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** End-to-end near-dup dedup: LSH candidates → Jaccard verify →
+    * keep-list.
+    *
+    * Verified pairs (id_a < id_b) are collapsed by dropping every id
+    * that appears as the LARGER side of a pair — a single-pass
+    * approximation of connected components (exact for pair clusters;
+    * a chain a~b~c where a≁c directly keeps only `a`, which is the
+    * usual aggressive-dedup stance; full transitive closure would be
+    * an iterative min-id propagation if a curator wants it).
+    * All stages are bounded: candidates come only from band-bucket
+    * collisions, never the O(n²) pair space.
+    *
+    * @return the rows of `df` that survive dedup
+    */
+  def nearDupDedup(df: DataFrame, textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8, k: Int = 16, bands: Int = 4)
+      : DataFrame = {
+    val staged = df
+      .withColumn("_toks", TextFunctions.lowerTokens(col(textCol)))
+      .withColumn("_sorted_sh",
+        array_sort(TextFunctions.shinglesOfTokens(col("_toks"))))
+    val candidates = lshCandidatePairs(df, textCol, idCol, k, bands)
+    val sh = staged.select(col(idCol).as("_id"), col("_sorted_sh"))
+    val verified = candidates
+      .join(sh.withColumnRenamed("_sorted_sh", "_sh_a"),
+        col("id_a") === col("_id"))
+      .drop("_id")
+      .join(sh.withColumnRenamed("_sorted_sh", "_sh_b"),
+        col("id_b") === col("_id"))
+      .filter(jaccardSorted(col("_sh_a"), col("_sh_b")) >= jaccardThreshold)
+      .select(col("id_b").as("_drop_id"))
+      .distinct()
+    df.join(verified, col(idCol) === col("_drop_id"), "left_anti")
+  }
 }

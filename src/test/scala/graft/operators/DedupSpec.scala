@@ -50,6 +50,15 @@ class DedupSpec extends SparkSpec {
     assert(jac((1L, 4L)) == 0.0)
   }
 
+  test("end-to-end near-dup dedup keeps one representative") {
+    val survivors = Dedup.nearDupDedup(docs, "text", "doc_id",
+      jaccardThreshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    // 2 (exact dup of 1) and 3 (near dup of 1) collapse into 1;
+    // unrelated 4 survives
+    assert(survivors == Set(1L, 4L), survivors)
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
       .as[(Long, Long)].collect().toMap
