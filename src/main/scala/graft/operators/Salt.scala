@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
-  /** Deterministic salt in [0, n) derived from a stable column. */
-  def saltCol(from: Column, n: Int): Column = pmod(crc32(from.cast("string")), lit(n))
+  /** Deterministic salt in [0, n) derived from a stable column. NULL
+    * inputs salt to 0 (crc32(NULL) is NULL, which an inner join on
+    * _salt would silently drop).
+    */
+  def saltCol(from: Column, n: Int): Column =
+    coalesce(pmod(crc32(from.cast("string")), lit(n)), lit(0))
 
   /** Two-phase salted count: groupBy (key, salt) → groupBy key.
     * Identical result to a direct count, but the heavy key's rows

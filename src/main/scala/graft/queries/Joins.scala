@@ -75,7 +75,7 @@ object Joins {
     """SELECT c_mktsegment,
       |  COUNT(*) AS n_customers,
       |  COUNT(o_orderkey) AS n_orders,
-      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orderless
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>

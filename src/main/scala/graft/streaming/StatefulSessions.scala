@@ -34,6 +34,7 @@ object StatefulSessions {
 
     StreamingJobs.withEventTime(df)
       .withWatermark("event_timestamp", "15 seconds")
+      .filter(col("event_timestamp").isNotNull) // unparseable event_time
       .select(col("ip").as[String], col("host").as[String],
         col("event_timestamp").as[Timestamp])
       .groupByKey { case (ip, host, _) => SessionKey(ip, host) }
@@ -55,8 +56,10 @@ object StatefulSessions {
             times.foreach { t =>
               open match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  open = Some(s.copy(lastMs = math.max(s.lastMs, t),
-                    n = s.n + 1))
+                  // late in-gap event may precede the open session's
+                  // start (within the watermark) — extend backward too
+                  open = Some(s.copy(startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= close(s)
                   open = Some(OpenSession(t, t, 1))
