@@ -14,7 +14,6 @@ run / fork := true
 // Forked runs default to LoggedOutput, which prefixes every program
 // line with "[info] " — that breaks machine parsing of Bench's JSON
 // line. Inherit the real stdout instead.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -24,6 +24,34 @@ object Graph {
       to_json(struct(props.map { case (n, c) => c.as(n) }: _*))
         .as("properties"))
 
+  /** Triangle census of an undirected graph given canonical edges
+    * (u < v, one row per edge), as one summary row. "Wedges" here are
+    * the ordered candidate paths a<b<c with both legs (a,b), (b,c)
+    * present — exactly the triple set a triangle can close over, so
+    * each triangle is generated and counted precisely once (this is
+    * smaller than the graph-theoretic 2-path count, which centers any
+    * vertex).
+    *
+    * Relational formulation: wedge = edges ⋈ edges on e1.v = e2.u
+    * (the a<b<c ordering is free because every edge is stored small→
+    * large), closed by checking a third edge copy for (a,c). At scale
+    * the join keys are vertex ids — shuffle-partitioned both sides;
+    * when the edge list is bounded (top-K edges, as in q64) the joins
+    * broadcast instead.
+    */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("u").as("a"), col("v").as("b"))
+    val e2 = edges.select(col("u").as("b"), col("v").as("c"))
+    val e3 = edges.select(col("u").as("a"), col("v").as("c"),
+      lit(1).as("_closed"))
+    val wedges = e1.join(e2, "b").select(col("a"), col("b"), col("c"))
+    val closed = wedges.join(e3, Seq("a", "c"), "left")
+      .agg(
+        count(lit(1)).as("n_wedges"),
+        count(col("_closed")).as("n_triangles"))
+    edges.agg(count(lit(1)).as("n_edges")).crossJoin(closed)
+  }
+
   /** Build an edge table between two identified endpoints. */
   def edges(df: DataFrame, subjectId: Column, subjectType: String,
       objectId: Column, objectType: String, edgeType: String,

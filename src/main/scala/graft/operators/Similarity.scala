@@ -81,6 +81,62 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("cos"))
   }
 
+  /** Top-nprobe centroids per query vector — the IVF probe list.
+    *
+    * @param queries   (qid, qvec)
+    * @param centroids (centroid_id, centroid)
+    */
+  def ivfProbes(queries: DataFrame, centroids: DataFrame, nprobe: Int)
+      : DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("centroid_id"))
+    queries
+      .withColumn("_qnorm", norm(col("qvec")))
+      .crossJoin(broadcast(
+        centroids.withColumn("_cnorm", norm(col("centroid")))))
+      .withColumn("cos", dot(col("qvec"), col("centroid")) /
+        (col("_qnorm") * col("_cnorm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("centroid_id"))
+  }
+
+  /** Full IVF ANN search: assign every vector to its cell once (the
+    * index build), probe each query's nprobe nearest cells, score only
+    * the vectors living there, keep the top-k. The candidate set
+    * shrinks by ~nprobe/ncells versus brute force — this is the 100 TB
+    * path: the assignment is the big partitioned table (bucket it by
+    * centroid_id on disk), queries and probe lists broadcast, and the
+    * expensive cosine fold runs on the reduced candidate set only.
+    *
+    * @param vectors   (vec_id, embedding) — the corpus
+    * @param centroids (centroid_id, centroid)
+    * @param queries   (qid, qvec)
+    * @return (qid, rank, cid, cos), rank 1..k per query
+    */
+  def ivfSearch(vectors: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val assign = ivfAssign(vectors, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val probes = ivfProbes(queries, centroids, nprobe)
+    val cand = assign.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    // norms hoisted per side, as in bruteForceTopK
+    val v = vectors.withColumn("_vnorm", norm(col("embedding")))
+    val q = queries.withColumn("_qnorm", norm(col("qvec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(v, Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos", dot(col("qvec"), col("embedding")) /
+        (col("_qnorm") * col("_vnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("cos"))
+  }
+
   /** Signed-random-projection LSH bucket id: sign bit per hyperplane,
     * planes supplied as a literal array-of-arrays (generated once,
     * broadcast as part of the plan — never recomputed per row).

@@ -512,11 +512,104 @@ object Patterns {
       .orderBy($"dow")
   }
 
+  /** Triangle census of the supplier co-supply graph: edges = the
+    * top-2000 supplier pairs by shared part count (deterministic
+    * tie-break, so the edge set is identical at every scale factor),
+    * then the relational wedge/closure joins of
+    * [[graft.operators.Graph.triangleCensus]]. Top-K bounds the edge
+    * list by construction — the census joins broadcast at any SF; for
+    * unbounded edge sets the same operator shuffle-partitions on the
+    * vertex ids.
+    */
+  val q64_triangles: Q = Q(
+    "q64_triangles",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |pairs AS (SELECT b.l_suppkey AS u, a.l_suppkey AS v, COUNT(*) AS n
+      |  FROM ps a JOIN ps b
+      |    ON a.l_partkey = b.l_partkey AND a.l_suppkey > b.l_suppkey
+      |  GROUP BY 1, 2),
+      |edges AS (SELECT u, v FROM (
+      |    SELECT u, v, ROW_NUMBER() OVER (ORDER BY n DESC, u, v) AS rn
+      |    FROM pairs) t
+      |  WHERE rn <= 2000),
+      |wedges AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u),
+      |tri AS (SELECT 1 FROM wedges w
+      |  JOIN edges e3 ON w.a = e3.u AND w.c = e3.v)
+      |SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+      |  CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+      |  CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(collect_set($"l_suppkey").as("supps"))
+      .select($"supps", explode($"supps").as("v"))
+      .select($"v", explode(filter($"supps", x => x < $"v")).as("u"))
+      .repartition(shufflePartitions, $"u", $"v")
+      .groupBy($"u", $"v")
+      .agg(count(lit(1)).as("n"))
+    val edges = pairs
+      .orderBy($"n".desc, $"u", $"v").limit(2000)
+      .select($"u", $"v")
+      .cache()
+    Graph.triangleCensus(edges)
+  }
+
+  /** Daily DAU/WAU/MAU trend straight off the datelist_int bitmask
+    * (reference `anaylze_datelist.sql:20-31` generalized to a
+    * per-day series): one AND-mask probe per (user, day) instead of
+    * re-scanning raw events per window — the whole trend costs one
+    * pass over the per-user masks.
+    */
+  val q65_wau_mau_trend: Q = Q(
+    "q65_wau_mau_trend",
+    s"""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |m AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN CAST(day - $Anchor AS INT) BETWEEN 0 AND 63
+      |      THEN 1::BIGINT << CAST(day - $Anchor AS INT) ELSE 0 END) AS BIGINT)
+      |      AS mask
+      |  FROM d GROUP BY 1),
+      |cal AS (SELECT CAST(idx AS INT) AS idx FROM range(6, 30) t(idx))
+      |SELECT $Anchor + idx AS day,
+      |  CAST(SUM(CASE WHEN (mask & (1::BIGINT << idx)) != 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+      |  CAST(SUM(CASE WHEN (mask & (127::BIGINT << (idx - 6))) != 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+      |  CAST(SUM(CASE WHEN (mask &
+      |      (((1::BIGINT << LEAST(idx + 1, 30)) - 1) << GREATEST(idx - 29, 0))) != 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS mau
+      |FROM m, cal
+      |GROUP BY idx ORDER BY day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val anchor = lit("2024-01-01").cast("date")
+    val masks = Tables.loadParallel(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(collect_set($"ts".cast("date")).as("days"))
+      .select(Datelist.encode($"days", anchor).as("mask"))
+    val cal = spark.range(1)
+      .select(explode(sequence(lit(6), lit(29))).as("idx"))
+    def hit(m: org.apache.spark.sql.Column) =
+      sum(when($"mask".bitwiseAND(m) =!= 0, 1).otherwise(0)).cast("long")
+    val one = lit(1L)
+    masks.crossJoin(broadcast(cal))
+      .groupBy($"idx")
+      .agg(
+        hit(call_function("shiftleft", one, $"idx")).as("dau"),
+        hit(call_function("shiftleft", lit(127L), $"idx" - 6)).as("wau"),
+        hit(call_function("shiftleft",
+          call_function("shiftleft", one, least($"idx" + 1, lit(30))) - 1,
+          greatest($"idx" - 29, lit(0)))).as("mau"))
+      .select(date_add(anchor, $"idx").as("day"), $"dau", $"wau", $"mau")
+      .orderBy($"day")
+  }
+
   val all: Seq[Q] = Seq(
     q30_scd_streaks, q31_datelist_int, q32_growth_accounting,
     q33_retention, q34_array_metrics, q35_graph_vertices,
     q36_graph_edges, q37_dedup_rows, q38_cumulate_merge,
     q39_cumulative_dim, q52_asof_join, q53_growth_weekly,
     q54_datelist_analysis, q55_activity_reduced, q60_cohort_matrix,
-    q61_pivot)
+    q61_pivot, q64_triangles, q65_wau_mau_trend)
 }

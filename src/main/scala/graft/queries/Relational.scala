@@ -248,8 +248,46 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  /** Sketch-based percentiles — the 100 TB companion to `q62` exactly
+    * as `q9_approx_distinct` is to `q2`: `percentile` buffers every
+    * value per group, `approx_percentile` keeps a fixed-size KLL-style
+    * sketch with map-side merge. Estimates are engine-specific →
+    * rows-only check (same policy as q9).
+    */
+  val q66_approx_percentiles: Q = Q.noOracle("q66_approx_percentiles") {
+    (spark, dir) =>
+      import spark.implicits._
+      Tables.load(spark, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          percentile_approx($"o_totalprice", lit(0.5), lit(10000))
+            .as("median_approx"),
+          percentile_approx($"o_totalprice", lit(0.9), lit(10000))
+            .as("p90_approx"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderstatus")
+  }
+
+  /** Skew-safe two-phase aggregation ([[graft.operators.Salt]]): the
+    * salted count must equal the plain GROUP BY count — the oracle IS
+    * the unsalted query, so this checks the rewrite's correctness, not
+    * just that it runs. events.event_type is the skewed key (5 values
+    * over every row); the salt spreads each key over 32 reducers.
+    */
+  val q67_salted_count: Q = Q(
+    "q67_salted_count",
+    """SELECT event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Salt
+      .saltedCount(Tables.load(spark, dir, "events"),
+        key = "event_type", saltFrom = "user_id", n = 32)
+      .orderBy($"event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q1_agg, q2_count_distinct, q3_case_when, q4_filter_like,
     q5_scalar_funcs, q6_having_topk, q7_grouping_sets,
-    q8_json_conditional, q9_approx_distinct, q62_percentiles)
+    q8_json_conditional, q9_approx_distinct, q62_percentiles,
+    q66_approx_percentiles, q67_salted_count)
 }

@@ -409,10 +409,68 @@ object TrainingData {
       .orderBy($"qid")
   }
 
+  /** Full IVF ANN search (completing the q48 index-build story):
+    * vectors 0..7 seed the centroids, queries are vectors 100..104,
+    * each probes its 2 nearest cells and ranks the vectors living
+    * there — top-3 per query. The oracle replays the exact pipeline
+    * (assignment, probes, candidate scoring) in SQL, so this checks
+    * the approximate result itself, not a brute-force stand-in.
+    */
+  val q63_ivf_search: Q = Q(
+    "q63_ivf_search", {
+      def dotD(a: String, b: String) =
+        s"""list_reduce(list_transform(range(1, 65),
+           |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding,
+         |    sqrt(${dotD("embedding", "embedding")}) AS vn
+         |  FROM embeddings),
+         |cn AS (SELECT vec_id AS centroid_id, embedding AS ce, vn AS cnm
+         |  FROM v WHERE vec_id < 8),
+         |assign AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT v.vec_id, cn.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${dotD("v.embedding", "cn.ce")} / (v.vn * cn.cnm) DESC,
+         |        cn.centroid_id) AS rn
+         |    FROM v, cn) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, vn AS qn
+         |  FROM v WHERE vec_id BETWEEN 100 AND 104),
+         |probes AS (SELECT qid, centroid_id FROM (
+         |    SELECT q.qid, cn.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        ${dotD("q.qe", "cn.ce")} / (q.qn * cn.cnm) DESC,
+         |        cn.centroid_id) AS rn
+         |    FROM q, cn) t WHERE rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id
+         |  FROM probes p JOIN assign a USING (centroid_id)
+         |  WHERE a.vec_id != p.qid),
+         |scored AS (SELECT cand.qid, cand.vec_id AS cid,
+         |    ${dotD("q.qe", "v.embedding")} / (q.qn * v.vn) AS cos
+         |  FROM cand JOIN v ON cand.vec_id = v.vec_id
+         |  JOIN q ON cand.qid = q.qid)
+         |SELECT qid, CAST(rank AS INT) AS rank, cid, cos FROM (
+         |  SELECT qid, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.loadParallel(spark, dir, "embeddings")
+    val centroids = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    val queries = emb.filter($"vec_id".between(100, 104))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    Similarity.ivfSearch(
+        emb.select($"vec_id", $"embedding"), centroids, queries,
+        k = 3, nprobe = 2)
+      .select($"qid", $"rank".cast("int").as("rank"), $"cid", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
     q46_simhash, q47_cosine_topk, q48_ivf_assign, q49_multimodal,
     q56_chunking, q57_redaction, q58_dataset_split,
-    q59_embedding_neardup)
+    q59_embedding_neardup, q63_ivf_search)
 }

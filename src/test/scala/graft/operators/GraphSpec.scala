@@ -32,6 +32,28 @@ class GraphSpec extends SparkSpec {
       """{"abbreviation":"GSW","nickname":"Bad Warriors","city":"San Francisco"}""")
   }
 
+  test("triangleCensus counts wedges and closed triangles exactly") {
+    // K4 on {1,2,3,4}: every ordered triple a<b<c is a wedge (4) and
+    // closes (4 triangles). Pendant edge 4-5 adds wedges a<4<5 for
+    // a in {1,2,3} but no triangle.
+    val k4 = for {
+      u <- 1 to 4; v <- 1 to 4 if u < v
+    } yield (u, v)
+    val edges = (k4 :+ ((4, 5))).toDF("u", "v")
+    val got = Graph.triangleCensus(edges)
+      .as[(Long, Long, Long)].head()
+    assert(got == ((7L, 7L, 4L)),
+      s"expected (n_edges=7, n_wedges=7, n_triangles=4), got $got")
+  }
+
+  test("triangleCensus on a triangle-free graph") {
+    // path 1-2-3-4: two wedges, zero triangles
+    val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("u", "v")
+    val got = Graph.triangleCensus(edges)
+      .as[(Long, Long, Long)].head()
+    assert(got == ((3L, 2L, 0L)))
+  }
+
   test("edges carry endpoint types and JSON properties") {
     val df = Seq((10, 20, "AUTomobile")).toDF("c", "n", "seg")
     val got = Graph.edges(df, $"c", "customer", $"n", "nation",

@@ -51,6 +51,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfSearch finds the planted cluster-mates with nprobe=1") {
+    // two tight clusters around orthogonal axes: IVF with the two
+    // axis seeds as centroids and nprobe=1 must return exactly the
+    // query's cluster-mates, matching brute force within the cluster
+    val rng = new scala.util.Random(11)
+    def around(base: Seq[Float], id: Long) =
+      (id, base.map(x => x + rng.nextGaussian().toFloat * 0.01f))
+    val axisA = Seq(10f, 0f, 0f, 0f)
+    val axisB = Seq(0f, 10f, 0f, 0f)
+    val corpus = ((0L until 5L).map(around(axisA, _)) ++
+      (5L until 10L).map(around(axisB, _))).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, axisA), (1L, axisB))
+      .toDF("centroid_id", "centroid")
+    val queries = corpus.filter($"vec_id" === 0L || $"vec_id" === 7L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Similarity.ivfSearch(corpus, centroids, queries,
+      k = 4, nprobe = 1)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.length == 8)
+    val byQ = got.groupBy(_._1)
+    assert(byQ(0L).map(_._3).toSet == Set(1L, 2L, 3L, 4L),
+      "query 0 must see only its own cluster")
+    assert(byQ(7L).map(_._3).toSet == Set(5L, 6L, 8L, 9L),
+      "query 7 must see only its own cluster")
+    got.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq.reverse.sorted.reverse ==
+        sorted.map(_._4).toSeq, "cos non-increasing by rank")
+    }
+  }
+
+  test("ivfSearch with nprobe = all cells equals brute force") {
+    val centroids = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    val queries = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val ivf = Similarity.ivfSearch(vecs, centroids, queries,
+        k = 5, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val bf = Similarity.bruteForceTopK(queries,
+        vecs.select($"vec_id".as("cid"), $"embedding".as("cvec")), 5)
+      .select($"qid", $"rank".cast("int"), $"cid", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ivf == bf, "probing every cell must recover brute force")
+  }
+
   test("SRP buckets are deterministic and group identical vectors") {
     val doubled = vecs.unionByName(vecs)
     val h1 = Similarity.srpBucketHistogram(doubled, 8, 16)
