@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Exact._
+import graft.operators.RangeJoin
 
 /** Join surface (SURVEY §2.3): inner/left/semi/anti equi-joins,
   * broadcast dims, non-equi residuals, cross join, funnel self-join
@@ -260,8 +261,59 @@ object Joins {
       .orderBy($"r_name", $"order_status")
   }
 
+  /** Point-in-interval join through the custom
+    * [[graft.operators.RangeJoin]] operator (logical node → planner
+    * strategy → BroadcastRangeJoinExec): orders land in calendar-month
+    * windows plus one all-time window (so every order matches two
+    * intervals — genuine multi-match range semantics, not a disguised
+    * equi join). Stock Spark plans the BETWEEN join as
+    * BroadcastNestedLoopJoin, probing every interval per order; the
+    * custom exec binary-searches the sorted broadcast intervals —
+    * O(log m) per row, the 100 TB-safe shape.
+    */
+  val q68_range_interval_join: Q = Q(
+    "q68_range_interval_join",
+    """WITH pts AS (SELECT o_totalprice,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS pday
+      |  FROM orders),
+      |months AS (SELECT
+      |    strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m') AS label,
+      |    CAST(CAST(date_trunc('month', o_orderdate) AS DATE) - DATE '1970-01-01' AS INT) AS lo,
+      |    CAST(last_day(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' AS INT) AS hi
+      |  FROM orders GROUP BY 1, 2, 3),
+      |allw AS (SELECT 'all' AS label, MIN(pday) AS lo, MAX(pday) AS hi FROM pts),
+      |iv AS (SELECT * FROM months UNION ALL SELECT * FROM allw)
+      |SELECT label, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM pts JOIN iv ON pts.pday BETWEEN iv.lo AND iv.hi
+      |GROUP BY label ORDER BY label""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val orders = Tables.load(spark, dir, "orders")
+    val pts = orders.select($"o_totalprice",
+      datediff($"o_orderdate", epoch).as("pday"))
+    val months = orders
+      .groupBy(
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM")
+          .as("label"),
+        datediff(date_trunc("month", $"o_orderdate").cast("date"), epoch)
+          .as("lo"),
+        datediff(last_day($"o_orderdate"), epoch).as("hi"))
+      .agg(count(lit(1)))
+      .select($"label", $"lo", $"hi")
+    val allWindow = pts.agg(
+        min($"pday").as("lo"), max($"pday").as("hi"))
+      .select(lit("all").as("label"), $"lo", $"hi")
+    val intervals = months.unionByName(allWindow)
+    RangeJoin.pointInInterval(pts, intervals, $"pday", $"lo", $"hi")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("revenue"))
+      .orderBy($"label")
+  }
+
   val all: Seq[Q] = Seq(
     q10_join_inner, q11_join_star, q12_join_left, q13_join_semi,
     q14_join_anti, q15_funnel, q16_join_range, q17_join_pairs,
-    q18_cross_join)
+    q18_cross_join, q68_range_interval_join)
 }
