@@ -304,8 +304,54 @@ object Windows {
       .orderBy($"o_custkey")
   }
 
+  /** Ranking/distribution window breadth beyond lag/row_number:
+    * NTILE, PERCENT_RANK, CUME_DIST, RANK/DENSE_RANK and the value
+    * functions FIRST/LAST/NTH over explicit frames. percent_rank and
+    * cume_dist are ratios of exact integers — deterministic doubles in
+    * any engine. Total ordering (acctbal, custkey) keeps every value
+    * function reproducible under ties.
+    */
+  val q29_window_ranks: Q = Q(
+    "q29_window_ranks",
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  CAST(RANK() OVER w AS INT) AS rnk,
+      |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd,
+      |  FIRST_VALUE(c_custkey) OVER w AS poorest,
+      |  LAST_VALUE(c_custkey) OVER
+      |    (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS richest,
+      |  NTH_VALUE(c_custkey, 2) OVER
+      |    (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS runner_up
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal", $"c_custkey")
+    val wFull = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment",
+        ntile(4).over(w).as("quartile"),
+        rank().over(w).cast("int").as("rnk"),
+        dense_rank().over(w).cast("int").as("drnk"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first_value($"c_custkey").over(w).as("poorest"),
+        last_value($"c_custkey").over(wFull).as("richest"),
+        nth_value($"c_custkey", 2).over(wFull).as("runner_up"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
   val all: Seq[Q] = Seq(
     q20_dedup_latest, q21_lag_daily, q22_running_sum, q23_frames,
     q24_ordered_collect, q25_topk_per_group, q26_longest_streak,
-    q27_window_dashboard, q28_ordered_agg_desc)
+    q27_window_dashboard, q28_ordered_agg_desc, q29_window_ranks)
 }
