@@ -29,6 +29,18 @@ object Datelist {
       lit(0L),
       (acc, x) => acc.bitwiseOR(x))
 
+  /** Aggregate form of encode: OR the per-row day bit straight into
+    * the mask. bit_or is idempotent, so duplicate (user, day) events
+    * need no DISTINCT pass, and the partial/final split keeps the
+    * combine map-side — one codegen'd hash aggregate instead of a
+    * collect_set array plus an interpreted per-element fold.
+    */
+  def encodeAgg(day: Column, anchor: Column): Column = {
+    val idx = datediff(day, anchor)
+    bit_or(when(idx.between(0, 63),
+      call_function("shiftleft", lit(1L), idx)).otherwise(lit(0L)))
+  }
+
   /** Decode a bitmask back to ARRAY<DATE> (inverse of encode). */
   def decode(mask: Column, anchor: Column, nDays: Int = 64): Column =
     filter(

@@ -48,7 +48,8 @@ object Patterns {
   /** datelist_int bitmask fact (reference `generate_datelist.sql:12-19`
     * + `anaylze_datelist.sql:20-31`): one BIGINT per user encoding
     * January activity, with BIT_COUNT actives and a last-week AND-mask
-    * probe. Single shuffle: collect_set per user, fold to bits.
+    * probe. Single shuffle: per-row day bit OR'd straight into the
+    * mask (bit_or aggregate — idempotent, map-side combined).
     */
   val q31_datelist_int: Q = Q(
     "q31_datelist_int",
@@ -69,8 +70,8 @@ object Patterns {
     val anchor = lit("2024-01-01").cast("date")
     Tables.loadParallel(spark, dir, "events")
       .groupBy($"user_id")
-      .agg(collect_set($"ts".cast("date")).as("days"))
-      .select($"user_id", Datelist.encode($"days", anchor).as("datelist_int"))
+      .agg(Datelist.encodeAgg($"ts".cast("date"), anchor)
+        .as("datelist_int"))
       .select($"user_id", $"datelist_int",
         Datelist.activeDays($"datelist_int").as("n_active_days"),
         Datelist.activeInWindow($"datelist_int", 23, 7)
