@@ -24,9 +24,7 @@ object Scratch {
 
     val li = core.Tables.load(spark, dir, "lineitem")
 
-
-
-    // variant A: collect_set then double explode
+    // variant A: filter-lambda pairs (old q17)
     def variantA = {
       val bySupp = li.groupBy($"l_partkey")
         .agg(collect_set($"l_suppkey").as("supps"))
@@ -34,54 +32,23 @@ object Scratch {
         .select($"supps", explode($"supps").as("supp_a"))
         .select($"supp_a",
           explode(filter($"supps", x => x < $"supp_a")).as("supp_b"))
+        .repartition(32, $"supp_a", $"supp_b")
         .groupBy($"supp_a", $"supp_b")
         .agg(count(lit(1)).as("shared_parts"))
         .filter($"shared_parts" >= 3)
         .orderBy($"supp_a", $"supp_b")
     }
-    time("doubleExplode")(variantA)
+    time("filterLambda")(variantA)
 
-    // variant B: classic self-join on distinct (part, supp)
-    def variantB = {
-      val ps = li.select($"l_partkey", $"l_suppkey").distinct()
-      val a = ps.as("a"); val b = ps.as("b")
-      a.join(b, $"a.l_partkey" === $"b.l_partkey" &&
-          $"a.l_suppkey" > $"b.l_suppkey")
-        .groupBy($"a.l_suppkey".as("supp_a"), $"b.l_suppkey".as("supp_b"))
-        .agg(count(lit(1)).as("shared_parts"))
+    // variant B: sorted slice pairs (Graph.coPairs)
+    def variantB =
+      operators.Graph.coPairs(li, $"l_partkey", $"l_suppkey", 32)
+        .select($"item_b".as("supp_a"), $"item_a".as("supp_b"),
+          $"n".as("shared_parts"))
         .filter($"shared_parts" >= 3)
         .orderBy($"supp_a", $"supp_b")
-    }
-    time("selfJoin")(variantB)
+    time("sortedSlice")(variantB)
 
-    // stage isolation
-    val bySupp = li.groupBy($"l_partkey")
-      .agg(collect_set($"l_suppkey").as("supps"))
-    val pairs = bySupp
-      .select($"supps", explode($"supps").as("supp_a"))
-      .select($"supp_a",
-        explode(filter($"supps", x => x < $"supp_a")).as("supp_b"))
-    println("n_pairs=" + pairs.count())
-    time("pairs_only")(pairs)
-    time("pairs_agg")(pairs.groupBy($"supp_a", $"supp_b")
-      .agg(count(lit(1)).as("shared_parts")))
-    time("pairs_agg_repart")(pairs
-      .repartition(32, $"supp_a", $"supp_b")
-      .groupBy($"supp_a", $"supp_b")
-      .agg(count(lit(1)).as("shared_parts")))
-    val packed = bySupp
-      .select($"supps", explode($"supps").as("supp_a"))
-      .select(explode(transform(filter($"supps", x => x < $"supp_a"),
-        b => shiftleft($"supp_a".cast("long"), 32) + b.cast("long")))
-        .as("pk"))
-    time("packed_agg_repart")(packed
-      .repartition(32, $"pk")
-      .groupBy($"pk")
-      .agg(count(lit(1)).as("shared_parts"))
-      .filter($"shared_parts" >= 3)
-      .select(shiftright($"pk", 32).cast("int").as("supp_a"),
-        ($"pk".bitwiseAND(lit(0xffffffffL))).cast("int").as("supp_b"),
-        $"shared_parts"))
     spark.stop()
   }
 }

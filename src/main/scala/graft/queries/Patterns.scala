@@ -397,8 +397,7 @@ object Patterns {
     val anchor = lit("2024-01-01").cast("date")
     Tables.loadParallel(spark, dir, "events")
       .groupBy($"user_id")
-      .agg(collect_set($"ts".cast("date")).as("days"))
-      .select(Datelist.encode($"days", anchor).as("mask"))
+      .agg(Datelist.encodeAgg($"ts".cast("date"), anchor).as("mask"))
       .agg(
         count(lit(1)).as("n_users"),
         sum(when($"mask" =!= 0, 1).otherwise(0)).cast("long")
@@ -543,14 +542,9 @@ object Patterns {
     (spark, dir) =>
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val pairs = Tables.load(spark, dir, "lineitem")
-      .groupBy($"l_partkey")
-      .agg(collect_set($"l_suppkey").as("supps"))
-      .select($"supps", explode($"supps").as("v"))
-      .select($"v", explode(filter($"supps", x => x < $"v")).as("u"))
-      .repartition(shufflePartitions, $"u", $"v")
-      .groupBy($"u", $"v")
-      .agg(count(lit(1)).as("n"))
+    val pairs = Graph.coPairs(Tables.load(spark, dir, "lineitem"),
+        $"l_partkey", $"l_suppkey", shufflePartitions)
+      .select($"item_a".as("u"), $"item_b".as("v"), $"n")
     val edges = pairs
       .orderBy($"n".desc, $"u", $"v").limit(2000)
       .select($"u", $"v")
@@ -587,8 +581,8 @@ object Patterns {
     val anchor = lit("2024-01-01").cast("date")
     val masks = Tables.loadParallel(spark, dir, "events")
       .groupBy($"user_id")
-      .agg(collect_set($"ts".cast("date")).as("days"))
-      .select(Datelist.encode($"days", anchor).as("mask"))
+      .agg(Datelist.encodeAgg($"ts".cast("date"), anchor).as("mask"))
+      .select($"mask")
     val cal = spark.range(1)
       .select(explode(sequence(lit(6), lit(29))).as("idx"))
     def hit(m: org.apache.spark.sql.Column) =
@@ -606,11 +600,84 @@ object Patterns {
       .orderBy($"day")
   }
 
+  /** SCD type-2 incremental fold (reference
+    * `incremental_scd_query.sql:10-110`): yesterday's SCD table + one
+    * new day of snapshots → the 4-way UNION of closed ∪
+    * unchanged-extended ∪ changed(old+new) ∪ retired ∪ fresh periods.
+    * The oracle replays the same union in SQL, so the merge semantics
+    * themselves (not just an end-state equivalence) are hash-checked.
+    * Scale: history and snapshot join once on the entity key; every
+    * branch is a filter over that one joined frame.
+    */
+  val q69_scd_incremental: Q = Q(
+    "q69_scd_incremental",
+    s"""WITH d AS (
+      |  SELECT user_id, CAST(CAST(ts AS DATE) - $Anchor AS INT) AS idx,
+      |    CASE WHEN COUNT(*) >= 3 THEN 'active' ELSE 'light' END AS activity_class
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT *, CASE WHEN activity_class =
+      |      LAG(activity_class) OVER (PARTITION BY user_id ORDER BY idx)
+      |    THEN 0 ELSE 1 END AS changed
+      |  FROM d WHERE idx < 29),
+      |s AS (
+      |  SELECT *, SUM(changed) OVER (PARTITION BY user_id ORDER BY idx
+      |    ROWS UNBOUNDED PRECEDING) AS streak
+      |  FROM c),
+      |scd AS (
+      |  SELECT user_id, activity_class,
+      |    MIN(idx) AS start_idx, MAX(idx) AS end_idx
+      |  FROM s GROUP BY user_id, activity_class, streak),
+      |today AS (SELECT user_id, activity_class FROM d WHERE idx = 29),
+      |open AS (SELECT * FROM scd WHERE end_idx = 28),
+      |closed AS (SELECT * FROM scd WHERE end_idx != 28),
+      |j AS (
+      |  SELECT o.user_id AS e, o.activity_class AS a,
+      |    o.start_idx AS si, o.end_idx AS ei,
+      |    t.user_id AS te, t.activity_class AS ta
+      |  FROM open o FULL OUTER JOIN today t ON o.user_id = t.user_id)
+      |SELECT user_id, activity_class,
+      |  CAST(start_idx AS INT) AS start_idx, CAST(end_idx AS INT) AS end_idx
+      |FROM (
+      |  SELECT user_id, activity_class, start_idx, end_idx FROM closed
+      |  UNION ALL
+      |  SELECT e, a, si, 29 FROM j
+      |    WHERE e IS NOT NULL AND te IS NOT NULL AND a = ta
+      |  UNION ALL
+      |  SELECT e, a, si, ei FROM j
+      |    WHERE e IS NOT NULL AND te IS NOT NULL AND a IS DISTINCT FROM ta
+      |  UNION ALL
+      |  SELECT te, ta, 29, 29 FROM j
+      |    WHERE e IS NOT NULL AND te IS NOT NULL AND a IS DISTINCT FROM ta
+      |  UNION ALL
+      |  SELECT e, a, si, ei FROM j WHERE te IS NULL
+      |  UNION ALL
+      |  SELECT te, ta, 29, 29 FROM j WHERE e IS NULL) u
+      |ORDER BY user_id, start_idx, end_idx, activity_class""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val anchor = lit("2024-01-01").cast("date")
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"user_id",
+        datediff($"ts".cast("date"), anchor).as("idx"))
+      .agg(when(count(lit(1)) >= 3, "active").otherwise("light")
+        .as("activity_class"))
+    val hist = Scd.backfill(
+      daily.filter($"idx" < 29), "user_id", "idx", "activity_class")
+    val today = daily.filter($"idx" === 29)
+      .select($"user_id", $"activity_class")
+    Scd.incremental(hist, today, "user_id", "idx", "activity_class", 29)
+      .select($"user_id", $"activity_class",
+        $"start_idx".cast("int").as("start_idx"),
+        $"end_idx".cast("int").as("end_idx"))
+      .orderBy($"user_id", $"start_idx", $"end_idx", $"activity_class")
+  }
+
   val all: Seq[Q] = Seq(
     q30_scd_streaks, q31_datelist_int, q32_growth_accounting,
     q33_retention, q34_array_metrics, q35_graph_vertices,
     q36_graph_edges, q37_dedup_rows, q38_cumulate_merge,
     q39_cumulative_dim, q52_asof_join, q53_growth_weekly,
     q54_datelist_analysis, q55_activity_reduced, q60_cohort_matrix,
-    q61_pivot, q64_triangles, q65_wau_mau_trend)
+    q61_pivot, q64_triangles, q65_wau_mau_trend, q69_scd_incremental)
 }
