@@ -149,6 +149,44 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** SRP-LSH bucketed ANN search: vectors and queries hash to a
+    * sign-pattern bucket (one bit per hyperplane), candidates are the
+    * same-bucket pairs, and only those pay the exact cosine re-rank.
+    * Expected candidate set shrinks by ~2^planes versus brute force.
+    *
+    * The planes are index metadata — a handful of vectors, passed as
+    * literals and compiled into the row scan (no join, no recompute
+    * per row). At 100 TB: bucket the corpus table by `_bucket` on
+    * disk, broadcast the (tiny) bucketed query side, and the probe
+    * only touches matching buckets. Note the recall trade: a single
+    * bucket probe misses near-neighbors across a hyperplane; probe
+    * Hamming-adjacent buckets to buy recall (the IVF variant's
+    * nprobe knob plays the same role).
+    *
+    * @param vectors (vec_id, embedding) — the corpus
+    * @param queries (qid, qvec)
+    * @param planes  hyperplanes (e.g. sampled corpus vectors or
+    *                [[planes]])
+    */
+  def srpSearch(vectors: DataFrame, queries: DataFrame,
+      planes: Seq[Seq[Double]], k: Int): DataFrame = {
+    val v = vectors
+      .withColumn("_bucket", srpBucket(col("embedding"), planes))
+      .withColumn("_vnorm", norm(col("embedding")))
+    val q = queries
+      .withColumn("_bucket", srpBucket(col("qvec"), planes))
+      .withColumn("_qnorm", norm(col("qvec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    v.join(broadcast(q), Seq("_bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qvec"), col("embedding")) /
+        (col("_qnorm") * col("_vnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded). */
   def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

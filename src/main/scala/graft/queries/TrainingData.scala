@@ -467,10 +467,60 @@ object TrainingData {
       .orderBy($"qid", $"rank")
   }
 
+  /** SRP-LSH bucketed ANN search (the second scale path next to IVF):
+    * 8 sign bits per vector → 256 buckets, exact cosine re-rank only
+    * within the probe's bucket. The hyperplanes are the first 8 corpus
+    * vectors, so the oracle can replay the exact same index build
+    * relationally — the approximation itself is what's hash-checked,
+    * not just the re-rank.
+    */
+  val q70_srp_search: Q = Q(
+    "q70_srp_search", {
+      def dotD(a: String, b: String) =
+        s"""list_reduce(list_transform(range(1, 65),
+           |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
+         |b AS (SELECT vec_id,
+         |    CAST(SUM(CASE WHEN ${dotD("e.embedding", "p.pe")} > 0
+         |      THEN 1::BIGINT << pid ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN p GROUP BY vec_id),
+         |v AS (SELECT vec_id, embedding,
+         |    sqrt(${dotD("embedding", "embedding")}) AS vn, bucket
+         |  FROM embeddings JOIN b USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, vn AS qn, bucket
+         |  FROM v WHERE vec_id BETWEEN 8 AND 12),
+         |scored AS (SELECT q.qid, v.vec_id AS cid,
+         |    ${dotD("q.qe", "v.embedding")} / (q.qn * v.vn) AS cos
+         |  FROM v JOIN q USING (bucket) WHERE v.vec_id != q.qid)
+         |SELECT qid, CAST(rank AS INT) AS rank, cid, cos FROM (
+         |  SELECT qid, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.loadParallel(spark, dir, "embeddings")
+    // index metadata: 8 plane vectors, collected once on the driver
+    // (the same driver-side role q63's centroid list plays)
+    val planes: Seq[Seq[Double]] = emb.filter($"vec_id" < 8)
+      .orderBy($"vec_id")
+      .select($"embedding")
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+      .toSeq
+    val queries = emb.filter($"vec_id".between(8, 12))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    Similarity.srpSearch(
+        emb.select($"vec_id", $"embedding"), queries, planes, k = 5)
+      .select($"qid", $"rank".cast("int").as("rank"), $"cid", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
     q46_simhash, q47_cosine_topk, q48_ivf_assign, q49_multimodal,
     q56_chunking, q57_redaction, q58_dataset_split,
-    q59_embedding_neardup, q63_ivf_search)
+    q59_embedding_neardup, q63_ivf_search, q70_srp_search)
 }

@@ -105,6 +105,21 @@ object StreamingJobs {
         (sum(col("n_events")).cast("double") / count(lit(1)))
           .as("avg_events_per_session"))
 
+  /** Streaming exact dedup (the training-pipeline front door): drop
+    * re-delivered events by key, with the watermark bounding the
+    * dedup state — keys older than the watermark are evicted, so
+    * state is O(keys within the late-data horizon), not O(all keys
+    * ever). `dropDuplicatesWithinWatermark` (Spark ≥3.5) admits a
+    * duplicate only while its first occurrence is still inside the
+    * horizon — exactly the at-least-once → effectively-once repair a
+    * Kafka source needs, at any scale the watermark allows.
+    */
+  def dedupStream(df: DataFrame, keys: Seq[String],
+      horizon: String = "15 seconds"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_timestamp", horizon)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** S11: the JDBC-style sink — `foreachBatch` with per-epoch
     * idempotence (re-delivered micro-batches are dropped), faking the
     * exactly-once the reference gets from Flink checkpoints.

@@ -97,6 +97,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == bf, "probing every cell must recover brute force")
   }
 
+  test("srpSearch finds an exact duplicate at rank 1, within-bucket only") {
+    val planes = Similarity.planes(6, 16)
+    // corpus = base vectors + an exact copy of vector 0 (id 100):
+    // the copy shares vector 0's bucket by construction and must come
+    // back as its rank-1 hit with cosine 1
+    val dup = vecs.filter($"vec_id" === 0L)
+      .select(lit(100L).as("vec_id"), $"embedding")
+    val corpus = vecs.unionByName(dup)
+    val queries = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Similarity.srpSearch(corpus, queries, planes, k = 3)
+      .orderBy($"rank").as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val (_, rank1, cid1, cos1) = got.head
+    assert(rank1 == 1 && cid1 == 100L && math.abs(cos1 - 1.0) < 1e-9)
+    // every candidate returned must share the query's bucket
+    val bucketOf = Similarity.srpBucket($"embedding", planes)
+    val qBucket = corpus.filter($"vec_id" === 0L)
+      .select(bucketOf).as[Long].head()
+    val candBuckets = corpus
+      .filter($"vec_id".isin(got.map(_._3): _*))
+      .select(bucketOf).as[Long].collect()
+    assert(candBuckets.forall(_ == qBucket))
+  }
+
   test("SRP buckets are deterministic and group identical vectors") {
     val doubled = vecs.unionByName(vecs)
     val h1 = Similarity.srpBucketHistogram(doubled, 8, 16)

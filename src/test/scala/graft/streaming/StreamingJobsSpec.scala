@@ -82,6 +82,24 @@ class StreamingJobsSpec extends SparkSpec {
     assert(avg == Seq(("a.com", 3L, 5.0 / 3)))
   }
 
+  test("dedupStream drops in-horizon duplicates, evicts expired state") {
+    // key = (ip, event_time): the same event re-delivered in the same
+    // and the next micro-batch is dropped; after the watermark passes
+    // its horizon the state is evicted (a very-late replay would not
+    // be, and must not be, caught — that's the documented contract)
+    val out = runAppend(
+      StreamingJobs.dedupStream(_, Seq("ip", "event_time")))(Seq(
+      Seq(ev("a.com", "1.1.1.1", "00:00:10"),
+        ev("a.com", "1.1.1.1", "00:00:10"),   // same-batch duplicate
+        ev("b.com", "2.2.2.2", "00:00:11")),
+      Seq(ev("a.com", "1.1.1.1", "00:00:10")), // next-batch duplicate
+      Seq(ev("a.com", "1.1.1.1", "00:20:00"))))
+    val times = out.select($"ip", $"event_time")
+      .as[(String, String)].collect().toSeq
+    assert(times.length == 3, s"expected 3 distinct events, got $times")
+    assert(times.distinct.length == 3)
+  }
+
   test("passthrough ETL enriches with deterministic geodata") {
     val batch = Seq(
       ev("a.com", "1.2.3.4", "00:00:00"),
