@@ -285,9 +285,38 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** ROLLUP hierarchy aggregation via the DataFrame API (`.rollup` +
+    * `grouping()`), complementing q7's SQL GROUPING SETS surface —
+    * same Expand-based physical plan, declared from the typed side.
+    */
+  val q74_rollup: Q = Q(
+    "q74_rollup",
+    """SELECT COALESCE(lang, '(all)') AS lang,
+      |  COALESCE(source, '(all)') AS source,
+      |  CAST(GROUPING(lang) AS INT) + CAST(GROUPING(source) AS INT) AS grouping_level,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY ROLLUP (lang, source)
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .rollup($"lang", $"source")
+      .agg(
+        (grouping($"lang").cast("int") + grouping($"source").cast("int"))
+          .as("grouping_level"),
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"))
+      .select(
+        coalesce($"lang", lit("(all)")).as("lang"),
+        coalesce($"source", lit("(all)")).as("source"),
+        $"grouping_level", $"n_docs", $"total_chars")
+      .orderBy($"lang", $"source")
+  }
+
   val all: Seq[Q] = Seq(
     q1_agg, q2_count_distinct, q3_case_when, q4_filter_like,
     q5_scalar_funcs, q6_having_topk, q7_grouping_sets,
     q8_json_conditional, q9_approx_distinct, q62_percentiles,
-    q66_approx_percentiles, q67_salted_count)
+    q66_approx_percentiles, q67_salted_count, q74_rollup)
 }

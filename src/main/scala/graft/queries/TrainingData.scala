@@ -517,10 +517,104 @@ object TrainingData {
       .orderBy($"qid", $"rank")
   }
 
+  /** Deterministic stratified sampling: per-source keep rates decided
+    * by an md5 hash bucket of the id (never `rand()` — resumable,
+    * reproducible across engines and retries, and exactly what a
+    * training-mix builder needs: high-value sources oversampled).
+    * Reported as per-source totals vs sampled counts.
+    */
+  val q71_stratified_sample: Q = Q(
+    "q71_stratified_sample",
+    """SELECT source,
+      |  COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN b < r THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM (SELECT source,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+      |        CASE WHEN source IN ('src0','src1','src2','src3','src4')
+      |          THEN 50 ELSE 10 END AS r
+      |      FROM documents) t
+      |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    val rate = when($"source".isin(
+      "src0", "src1", "src2", "src3", "src4"), 50).otherwise(10)
+    Tables.load(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(bucket < rate, 1).otherwise(0)).as("n_sampled"))
+      .orderBy($"source")
+  }
+
+  /** Boilerplate detection: the 3-gram shingles shared by the most
+    * documents (shingles are distinct within a doc, so each count is a
+    * document frequency). At scale this is the classic boilerplate
+    * scan: one explode + one count shuffle on the shingle, with the
+    * same staged-token discipline as the Jaccard/MinHash family.
+    */
+  val q72_boilerplate_ngrams: Q = Q(
+    "q72_boilerplate_ngrams",
+    s"""WITH s AS (SELECT doc_id, $JacShingleSql AS sh FROM documents)
+      |SELECT shingle, COUNT(*) AS n_docs FROM (
+      |  SELECT doc_id, unnest(sh) AS shingle FROM s) t
+      |GROUP BY shingle
+      |ORDER BY n_docs DESC, shingle LIMIT 10""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.loadParallel(spark, dir, "documents")
+      .withColumn("_toks", lowerTokens($"text"))
+      .select(explode_outer(shinglesOfTokens($"_toks")).as("shingle"))
+      .filter($"shingle".isNotNull)
+      .groupBy($"shingle")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"n_docs".desc, $"shingle")
+      .limit(10)
+  }
+
+  /** Train/test contamination scan: test-split documents whose
+    * 8-token-prefix fingerprint also appears in the train split — the
+    * leakage check every eval pipeline needs (the prefix fingerprint
+    * catches shared openings, not just byte-identical dups, which the
+    * split hash makes vanishingly rare). Per source: test-doc count
+    * and how many are contaminated. At scale both sides
+    * shuffle-partition on the md5 key; only (fingerprint, source)
+    * moves, never the text.
+    */
+  val q73_contamination: Q = Q(
+    "q73_contamination",
+    """WITH f AS (SELECT source,
+      |    md5(array_to_string(string_split_regex(lower(text), '\s+')[1:8], ' ')) AS fp,
+      |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+      |         THEN 'train'
+      |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95
+      |         THEN 'val' ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_test,
+      |  CAST(SUM(CASE WHEN fp IN (SELECT fp FROM f WHERE split = 'train')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM f WHERE split = 'test'
+      |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val prefixFp = md5(concat_ws(" ", slice(lowerTokens($"text"), 1, 8)))
+    val f = Tables.load(spark, dir, "documents")
+      .select($"source", prefixFp.as("fp"),
+        datasetSplit($"doc_id").as("split"))
+    val trainFps = f.filter($"split" === "train")
+      .select($"fp").distinct()
+      .withColumn("_hit", lit(1))
+    f.filter($"split" === "test")
+      .join(trainFps, Seq("fp"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_test"),
+        count($"_hit").as("n_contaminated"))
+      .orderBy($"source")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
     q46_simhash, q47_cosine_topk, q48_ivf_assign, q49_multimodal,
     q56_chunking, q57_redaction, q58_dataset_split,
-    q59_embedding_neardup, q63_ivf_search, q70_srp_search)
+    q59_embedding_neardup, q63_ivf_search, q70_srp_search,
+    q71_stratified_sample, q72_boilerplate_ngrams, q73_contamination)
 }
