@@ -610,11 +610,52 @@ object TrainingData {
       .orderBy($"source")
   }
 
+  /** Token-budget packing (the training-mix builder): per source, rank
+    * documents by quality (stopword ratio — a real-language signal)
+    * and keep the best until a per-source token budget fills. One
+    * window pass per source partition; the double ratio is derived
+    * from exact integer counts identically in both engines, and the
+    * doc_id tie-break makes the packing order total, so the greedy
+    * cut is deterministic at any scale.
+    */
+  val q75_token_budget_pack: Q = Q(
+    "q75_token_budget_pack",
+    """WITH d AS (SELECT doc_id, source,
+      |    len(string_split_regex(lower(text), '\s+')) AS n_toks,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      w -> list_contains(['the','a','of','and','to','in','is','for','on','with'], w))) AS DOUBLE)
+      |      / len(string_split_regex(lower(text), '\s+')) AS quality
+      |  FROM documents),
+      |w AS (SELECT *, SUM(n_toks) OVER (PARTITION BY source
+      |    ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d)
+      |SELECT source, COUNT(*) AS n_docs_kept,
+      |  CAST(SUM(n_toks) AS BIGINT) AS tokens_packed
+      |FROM w WHERE cum <= 2000
+      |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .withColumn("_ltoks", lowerTokens($"text"))
+      .select($"doc_id", $"source", size($"_ltoks").as("n_toks"),
+        (size(filter($"_ltoks", w => w.isin(EnStopwords: _*)))
+          .cast("double") / size($"_ltoks")).as("quality"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum($"n_toks").over(w))
+      .filter($"cum" <= 2000)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum($"n_toks").cast("long").as("tokens_packed"))
+      .orderBy($"source")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
     q46_simhash, q47_cosine_topk, q48_ivf_assign, q49_multimodal,
     q56_chunking, q57_redaction, q58_dataset_split,
     q59_embedding_neardup, q63_ivf_search, q70_srp_search,
-    q71_stratified_sample, q72_boilerplate_ngrams, q73_contamination)
+    q71_stratified_sample, q72_boilerplate_ngrams, q73_contamination,
+    q75_token_budget_pack)
 }
