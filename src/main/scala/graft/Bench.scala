@@ -22,6 +22,11 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // settle before measuring: the warmup leaves a GC + ContextCleaner
+    // backlog (broadcast/shuffle cleanup runs async) that otherwise
+    // lands on whichever queries happen to run first
+    System.gc()
+    Thread.sleep(3000)
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
