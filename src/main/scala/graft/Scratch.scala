@@ -49,6 +49,28 @@ object Scratch {
         .orderBy($"supp_a", $"supp_b")
     time("sortedSlice")(variantB)
 
+    // variant C: pack the pair into one long before the shuffle
+    def variantC = {
+      val pairs = li.groupBy($"l_partkey")
+        .agg(sort_array(collect_set($"l_suppkey")).as("_items"))
+        .select($"_items", posexplode($"_items").as(Seq("_pos", "b")))
+        .select($"b",
+          explode_outer(slice($"_items", lit(1), $"_pos")).as("a"))
+        .filter($"a".isNotNull)
+        .select((shiftleft($"b".cast("long"), 32)
+          .bitwiseOR($"a".cast("long"))).as("pk"))
+      pairs
+        .repartition(32, $"pk")
+        .groupBy($"pk")
+        .agg(count(lit(1)).as("shared_parts"))
+        .filter($"shared_parts" >= 3)
+        .select(shiftright($"pk", 32).cast("int").as("supp_a"),
+          $"pk".bitwiseAND(lit(0xffffffffL)).cast("int").as("supp_b"),
+          $"shared_parts")
+        .orderBy($"supp_a", $"supp_b")
+    }
+    time("packedLong")(variantC)
+
     spark.stop()
   }
 }

@@ -203,7 +203,7 @@ object Joins {
     // Graph.coPairs for the full shape + scale rationale
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     Graph.coPairs(Tables.load(spark, dir, "lineitem"),
-        $"l_partkey", $"l_suppkey", shufflePartitions)
+        $"l_partkey", $"l_suppkey", shufflePartitions, packKey = true)
       .select($"item_b".as("supp_a"), $"item_a".as("supp_b"),
         $"n".as("shared_parts"))
       .filter($"shared_parts" >= 3)

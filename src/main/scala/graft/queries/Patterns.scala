@@ -543,7 +543,7 @@ object Patterns {
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = Graph.coPairs(Tables.load(spark, dir, "lineitem"),
-        $"l_partkey", $"l_suppkey", shufflePartitions)
+        $"l_partkey", $"l_suppkey", shufflePartitions, packKey = true)
       .select($"item_a".as("u"), $"item_b".as("v"), $"n")
     val edges = pairs
       .orderBy($"n".desc, $"u", $"v").limit(2000)
