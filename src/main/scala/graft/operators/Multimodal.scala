@@ -89,13 +89,19 @@ object Multimodal {
   }
 
   /** Frame sampling plan for video rows: one struct per sampled frame
-    * at `fps` — pure plan arithmetic, distributed via explode.
+    * at `fps` — pure plan arithmetic, distributed via explode. Videos
+    * shorter than one frame interval emit zero rows: the guard
+    * matters because Spark's `sequence(0, -1)` is a DESCENDING
+    * [0, -1], not empty — an unguarded explode would fabricate
+    * negative frame indexes.
     */
-  def sampleFrames(df: DataFrame, fps: Double): DataFrame =
+  def sampleFrames(df: DataFrame, fps: Double): DataFrame = {
+    val n = (col("meta.duration_s") * fps).cast("int")
     df.filter(col("kind") === "video")
       .select(col("media_id"),
-        explode(sequence(lit(0),
-          (col("meta.duration_s") * fps).cast("int") - 1))
+        explode_outer(when(n >= 1, sequence(lit(0), n - 1)))
           .as("frame_idx"))
+      .filter(col("frame_idx").isNotNull)
       .withColumn("t_offset_s", col("frame_idx") / fps)
+  }
 }

@@ -650,6 +650,49 @@ object TrainingData {
       .orderBy($"source")
   }
 
+  /** Video frame-sampling rollup: 0.5 fps frame plans + aspect-fit
+    * resize metadata per video, aggregated by id bucket. Exercises the
+    * full multimodal plumbing chain (attach → sampleFrames explode →
+    * resizeMeta) against a purely arithmetic oracle — including the
+    * zero-frame edge (odd 1-second videos sample no frame at 0.5 fps)
+    * and the floor-vs-round cast trap (oracle uses FLOOR explicitly:
+    * DuckDB's double→INT cast rounds, Spark's truncates).
+    */
+  val q76_frame_sample: Q = Q(
+    "q76_frame_sample",
+    """WITH v AS (SELECT doc_id AS media_id,
+      |    (doc_id * 37) % 1216 + 64 AS w,
+      |    (doc_id * 53) % 656 + 64 AS h,
+      |    (doc_id * 7) % 240 + 1 AS dur
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |r AS (SELECT media_id,
+      |    CAST(FLOOR(w * LEAST(256.0 / GREATEST(w, h), 1.0)) AS INT) AS rw,
+      |    CAST(FLOOR(h * LEAST(256.0 / GREATEST(w, h), 1.0)) AS INT) AS rh,
+      |    CAST(FLOOR(dur * 0.5) AS INT) AS n_frames
+      |  FROM v)
+      |SELECT media_id % 5 AS bucket, COUNT(*) AS n_videos,
+      |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+      |  CAST(SUM(rw) AS BIGINT) AS sum_rw,
+      |  CAST(SUM(rh) AS BIGINT) AS sum_rh
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val media = Multimodal.attachMedia(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    val videos = media.filter($"kind" === "video")
+      .select($"media_id", Multimodal.resizeMeta($"meta", 256).as("rmeta"))
+    val frames = Multimodal.sampleFrames(media, 0.5)
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames"))
+    videos.join(frames, Seq("media_id"), "left")
+      .groupBy(($"media_id" % 5).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_videos"),
+        sum(coalesce($"n_frames", lit(0L))).as("total_frames"),
+        sum($"rmeta.width".cast("long")).as("sum_rw"),
+        sum($"rmeta.height".cast("long")).as("sum_rh"))
+      .orderBy($"bucket")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
@@ -657,5 +700,5 @@ object TrainingData {
     q56_chunking, q57_redaction, q58_dataset_split,
     q59_embedding_neardup, q63_ivf_search, q70_srp_search,
     q71_stratified_sample, q72_boilerplate_ngrams, q73_contamination,
-    q75_token_budget_pack)
+    q75_token_budget_pack, q76_frame_sample)
 }

@@ -63,4 +63,13 @@ class MultimodalSpec extends SparkSpec {
       .select($"meta.duration_s").as[Int].head()
     assert(frames.count() == dur * 2L)
   }
+
+  test("sampleFrames emits zero rows when duration*fps < 1") {
+    // sequence(0, -1) is DESCENDING in Spark — the guard must stop a
+    // sub-interval video from fabricating frames [0, -1]
+    val frames = Multimodal.sampleFrames(media, 0.001)
+    assert(frames.count() == 0)
+    assert(Multimodal.sampleFrames(media, 2.0)
+      .filter($"frame_idx" < 0).count() == 0)
+  }
 }
