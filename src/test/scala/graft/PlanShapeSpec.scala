@@ -1,0 +1,62 @@
+package graft
+
+/** Plan-shape regression guards for the headline queries: the
+  * scale-critical plan properties (pushdown, broadcasts, rank
+  * pushdown, no accidental nested-loop joins) asserted against the
+  * executed plan string — so a refactor that silently loses a
+  * broadcast or a pushed filter fails CI, not the 100 TB run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "filter must reach the scan")
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      "unused columns must be pruned from the scan")
+  }
+
+  test("q11_join_star broadcasts every dimension") {
+    val p = plan("q11_join_star")
+    val broadcasts =
+      "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3,
+      s"customer/nation/region must broadcast, saw $broadcasts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q17_join_pairs never plans a nested-loop or cartesian join") {
+    val p = plan("q17_join_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay explode-based")
+  }
+
+  test("ANN searches get per-partition top-k pushdown (WindowGroupLimit)") {
+    Seq("q63_ivf_search", "q70_srp_search").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"),
+        s"$q must plan partial top-k below the rank window")
+    }
+  }
+
+  test("q31_datelist_int is one hash aggregate, no array materialization") {
+    val p = plan("q31_datelist_int")
+    assert(p.contains("bit_or"), "mask must fold via bit_or")
+    assert(!p.contains("collect_set"),
+      "no per-user array may be materialized")
+  }
+
+  test("q69_scd_incremental reads history through a single join pass") {
+    val p = plan("q69_scd_incremental")
+    val joins = "SortMergeJoin".r.findAllIn(p).length +
+      "BroadcastHashJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(joins == 1, s"expected exactly 1 join, saw $joins")
+    assert(!p.contains("Union"),
+      "the 4-way union must be fused into one explode pass")
+  }
+}
