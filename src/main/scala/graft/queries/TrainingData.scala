@@ -693,6 +693,55 @@ object TrainingData {
       .orderBy($"bucket")
   }
 
+  /** End-to-end corpus prep (the capstone composition): quality
+    * filter (stopword ratio — drops gibberish) → exact dedup (keep
+    * the lowest doc_id per normalized fingerprint) → deterministic
+    * split → per-split document/token totals. Exactly the chain a
+    * pretraining corpus runs, each stage the operator proven
+    * individually by q41/q43/q58. One scan, one dedup shuffle on the
+    * fingerprint, one split aggregation.
+    */
+  val q77_corpus_prep: Q = Q(
+    "q77_corpus_prep",
+    """WITH d AS (SELECT doc_id,
+      |    len(string_split_regex(lower(text), '\s+')) AS n_toks,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      w -> list_contains(['the','a','of','and','to','in','is','for','on','with'], w))) AS DOUBLE)
+      |      / len(string_split_regex(lower(text), '\s+')) AS sr,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |clean AS (SELECT * FROM d WHERE sr >= 0.05),
+      |dedup AS (SELECT doc_id, n_toks FROM (
+      |    SELECT doc_id, n_toks,
+      |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM clean) t WHERE rn = 1)
+      |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+      |FROM (SELECT n_toks,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+      |      FROM dedup) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .withColumn("_ltoks", lowerTokens($"text"))
+      .select($"doc_id", size($"_ltoks").as("n_toks"),
+        (size(filter($"_ltoks", w => w.isin(EnStopwords: _*)))
+          .cast("double") / size($"_ltoks")).as("sr"),
+        fingerprint($"text").as("fp"))
+    val clean = d.filter($"sr" >= 0.05)
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    val deduped = clean
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+    deduped
+      .groupBy(datasetSplit($"doc_id").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").cast("long").as("total_tokens"))
+      .orderBy($"split")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
@@ -700,5 +749,5 @@ object TrainingData {
     q56_chunking, q57_redaction, q58_dataset_split,
     q59_embedding_neardup, q63_ivf_search, q70_srp_search,
     q71_stratified_sample, q72_boilerplate_ngrams, q73_contamination,
-    q75_token_budget_pack, q76_frame_sample)
+    q75_token_budget_pack, q76_frame_sample, q77_corpus_prep)
 }
