@@ -742,6 +742,55 @@ object TrainingData {
       .orderBy($"split")
   }
 
+  /** Full near-dup dedup pipeline, oracle-checked end to end: MinHash
+    * signatures → LSH band collisions → candidate pairs → exact
+    * Jaccard verify (≥0.8) → drop the higher doc_id of each verified
+    * pair → per-source keep counts. The oracle replays every stage in
+    * SQL (same seeds, same band hashing as q45), so the whole
+    * approximate pipeline — not just its summary — is hash-checked.
+    * Scale: candidates are generated by a self-join on the band hash
+    * (shuffle key = 32-char md5), the verify join moves only
+    * (id, sorted shingles), and the final keep is a left anti join.
+    */
+  val q78_neardup_pipeline: Q = Q(
+    "q78_neardup_pipeline",
+    s"""WITH s AS (SELECT doc_id, $JacShingleSql AS sh FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(x), 1, 15))::BIGINT AS hv
+      |  FROM (SELECT doc_id, unnest(sh) AS x FROM s WHERE len(sh) > 0) t),
+      |seeds(i, seed) AS (VALUES ${graft.operators.Dedup.MinhashSeeds
+        .take(16).zipWithIndex.map { case (s, i) => s"($i, $s::BIGINT)" }
+        .mkString(", ")}),
+      |sig AS (SELECT doc_id, i, CAST(MIN(xor(hv, seed)) AS VARCHAR) AS mh
+      |  FROM h CROSS JOIN seeds GROUP BY doc_id, i),
+      |band AS (SELECT doc_id,
+      |    md5(string_agg(mh, ',' ORDER BY i)) AS band_hash
+      |  FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM band a JOIN band b
+      |    ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |dropped AS (SELECT DISTINCT id_b FROM cand
+      |  JOIN s sa ON cand.id_a = sa.doc_id
+      |  JOIN s sb ON cand.id_b = sb.doc_id
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+      |      >= 0.8)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id IN (SELECT id_b FROM dropped)
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+      |FROM documents
+      |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val kept = Dedup.nearDupDedup(docs, "text", "doc_id",
+      jaccardThreshold = 0.8, k = 16, bands = 4)
+    docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(kept.groupBy($"source").agg(count(lit(1)).as("_k")),
+        Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"_k", lit(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
@@ -749,5 +798,6 @@ object TrainingData {
     q56_chunking, q57_redaction, q58_dataset_split,
     q59_embedding_neardup, q63_ivf_search, q70_srp_search,
     q71_stratified_sample, q72_boilerplate_ngrams, q73_contamination,
-    q75_token_budget_pack, q76_frame_sample, q77_corpus_prep)
+    q75_token_budget_pack, q76_frame_sample, q77_corpus_prep,
+    q78_neardup_pipeline)
 }
