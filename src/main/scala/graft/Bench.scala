@@ -17,14 +17,27 @@ object Bench {
     // first-run numbers otherwise carry 2-5 s of Janino compilation
     // and interpreter-mode execution that no steady-state deployment
     // would see.
+    // warmup runs 8 queries at a time — Spark schedules concurrent
+    // jobs from separate threads fine, and the tiny sf0.001 jobs
+    // underutilize local[32] one at a time
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val warmups = SparkEntry.queries.toSeq.map { case (_, fn) =>
+      scala.concurrent.Future {
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     }
-    // settle before measuring: the warmup leaves a GC + ContextCleaner
-    // backlog (broadcast/shuffle cleanup runs async) that otherwise
-    // lands on whichever queries happen to run first
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(warmups),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    // settle before measuring: the warmup leaves cached plans plus a
+    // GC + ContextCleaner backlog (broadcast/shuffle cleanup runs
+    // async) that otherwise lands on whichever queries run first
+    spark.catalog.clearCache()
     System.gc()
     Thread.sleep(3000)
     var errors = List.empty[String]
