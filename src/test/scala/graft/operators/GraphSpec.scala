@@ -54,6 +54,27 @@ class GraphSpec extends SparkSpec {
     assert(got == ((3L, 2L, 0L)))
   }
 
+  test("coPairs equals the self-join definition, packed and unpacked") {
+    // random bipartite membership: the generated pairs must equal the
+    // reference self-join on every draw, for both shuffle layouts
+    val rng = new scala.util.Random(13)
+    val rows = Seq.fill(400)((rng.nextInt(40).toLong, rng.nextInt(25).toLong))
+    val df = rows.toDF("grp", "item")
+    val expected = rows.distinct
+      .groupBy(_._1).values
+      .flatMap { g =>
+        val items = g.map(_._2).distinct
+        for (a <- items; b <- items if a < b) yield (a, b)
+      }
+      .groupBy(identity).map { case (p, occ) => (p._1, p._2, occ.size.toLong) }
+      .toSet
+    Seq(false, true).foreach { packed =>
+      val got = Graph.coPairs(df, $"grp", $"item", 4, packKey = packed)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"packKey=$packed diverged")
+    }
+  }
+
   test("edges carry endpoint types and JSON properties") {
     val df = Seq((10, 20, "AUTomobile")).toDF("c", "n", "seg")
     val got = Graph.edges(df, $"c", "customer", $"n", "nation",
