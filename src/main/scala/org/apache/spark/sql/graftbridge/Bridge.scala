@@ -45,10 +45,14 @@ object Bridge {
     * runtime counterpart of `injectPlannerStrategy`).
     */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,
-      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
-    val exp = spark
-      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(s))
-      exp.extraStrategies = exp.extraStrategies :+ s
-  }
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit =
+    // synchronized: Verify/Bench build queries from multiple threads,
+    // and the read-modify-write on extraStrategies would otherwise
+    // race (a lost update could drop a concurrently-added strategy)
+    synchronized {
+      val exp = spark
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
 }
