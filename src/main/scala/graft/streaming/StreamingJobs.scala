@@ -120,6 +120,32 @@ object StreamingJobs {
       .withWatermark("event_timestamp", horizon)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join (attribution): each click joined to
+    * the impressions that preceded it within `window` on the same ip.
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, so Spark can size and EVICT the join state
+    * — the shape that keeps a two-stream join runnable forever at
+    * production rates (an unbounded-condition stream join would
+    * accumulate state without limit).
+    */
+  def impressionClickJoin(impressions: DataFrame, clicks: DataFrame,
+      window: String = "10 minutes"): DataFrame = {
+    val i = withEventTime(impressions)
+      .select(col("ip"), col("url").as("imp_url"),
+        col("event_timestamp").as("imp_ts"))
+      .withWatermark("imp_ts", "15 seconds")
+    val c = withEventTime(clicks)
+      .select(col("ip").as("click_ip"), col("url").as("click_url"),
+        col("event_timestamp").as("click_ts"))
+      .withWatermark("click_ts", "15 seconds")
+    i.join(c,
+      col("ip") === col("click_ip") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $window"))
+      .select(col("ip"), col("imp_url"), col("imp_ts"),
+        col("click_url"), col("click_ts"))
+  }
+
   /** S11: the JDBC-style sink — `foreachBatch` with per-epoch
     * idempotence (re-delivered micro-batches are dropped), faking the
     * exactly-once the reference gets from Flink checkpoints.

@@ -100,6 +100,35 @@ class StreamingJobsSpec extends SparkSpec {
     assert(times.distinct.length == 3)
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    implicit val ctx = spark.sqlContext
+    n += 1
+    val name = s"stream_out_$n"
+    val imps = MemoryStream[WebEvent]
+    val clicks = MemoryStream[WebEvent]
+    val q = StreamingJobs.impressionClickJoin(imps.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      imps.addData(Seq(ev("a.com", "1.1.1.1", "00:00:00"),
+        ev("a.com", "2.2.2.2", "00:00:00")))
+      clicks.addData(Seq(
+        ev("a.com", "1.1.1.1", "00:02:00"),   // in-window, same ip
+        ev("a.com", "2.2.2.2", "00:30:00"),   // beyond 10-min window
+        ev("a.com", "3.3.3.3", "00:01:00")))  // no matching impression
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      imps.addData(Seq(ev("a.com", "9.9.9.9", "01:00:00")))
+      clicks.addData(Seq(ev("a.com", "9.9.9.8", "01:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select($"ip", date_format($"click_ts", "HH:mm").as("t"))
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(("1.1.1.1", "00:02")),
+      s"only the in-window same-ip click may join, got $rows")
+  }
+
   test("passthrough ETL enriches with deterministic geodata") {
     val batch = Seq(
       ev("a.com", "1.2.3.4", "00:00:00"),
