@@ -24,53 +24,22 @@ object Scratch {
 
     val li = core.Tables.load(spark, dir, "lineitem")
 
-    // variant A: filter-lambda pairs (old q17)
-    def variantA = {
-      val bySupp = li.groupBy($"l_partkey")
-        .agg(collect_set($"l_suppkey").as("supps"))
-      bySupp
-        .select($"supps", explode($"supps").as("supp_a"))
-        .select($"supp_a",
-          explode(filter($"supps", x => x < $"supp_a")).as("supp_b"))
-        .repartition(32, $"supp_a", $"supp_b")
-        .groupBy($"supp_a", $"supp_b")
-        .agg(count(lit(1)).as("shared_parts"))
-        .filter($"shared_parts" >= 3)
-        .orderBy($"supp_a", $"supp_b")
-    }
-    time("filterLambda")(variantA)
-
-    // variant B: sorted slice pairs (Graph.coPairs)
-    def variantB =
-      operators.Graph.coPairs(li, $"l_partkey", $"l_suppkey", 32)
-        .select($"item_b".as("supp_a"), $"item_a".as("supp_b"),
-          $"n".as("shared_parts"))
-        .filter($"shared_parts" >= 3)
-        .orderBy($"supp_a", $"supp_b")
-    time("sortedSlice")(variantB)
-
-    // variant C: pack the pair into one long before the shuffle
-    def variantC = {
-      val pairs = li.groupBy($"l_partkey")
-        .agg(sort_array(collect_set($"l_suppkey")).as("_items"))
-        .select($"_items", posexplode($"_items").as(Seq("_pos", "b")))
-        .select($"b",
-          explode_outer(slice($"_items", lit(1), $"_pos")).as("a"))
-        .filter($"a".isNotNull)
-        .select((shiftleft($"b".cast("long"), 32)
-          .bitwiseOR($"a".cast("long"))).as("pk"))
-      pairs
-        .repartition(32, $"pk")
-        .groupBy($"pk")
-        .agg(count(lit(1)).as("shared_parts"))
-        .filter($"shared_parts" >= 3)
-        .select(shiftright($"pk", 32).cast("int").as("supp_a"),
-          $"pk".bitwiseAND(lit(0xffffffffL)).cast("int").as("supp_b"),
-          $"shared_parts")
-        .orderBy($"supp_a", $"supp_b")
-    }
-    time("packedLong")(variantC)
-
+    // q17 stage isolation
+    val sets = li.groupBy($"l_partkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("_items"))
+    time("1_sets_only")(sets)
+    val gen = sets
+      .select($"_items", posexplode($"_items").as(Seq("_pos", "b")))
+      .select($"b",
+        explode_outer(slice($"_items", lit(1), $"_pos")).as("a"))
+      .filter($"a".isNotNull)
+      .select(shiftleft($"b".cast("long"), 32)
+        .bitwiseOR($"a".cast("long")).as("pk"))
+    time("2_gen_pairs")(gen)
+    val agg = gen.repartition(32, $"pk").groupBy($"pk")
+      .agg(count(lit(1)).as("n")).filter($"n" >= 3)
+    time("3_pair_agg")(agg)
+    time("4_full_q17")(SparkEntry.queries("q17_join_pairs")(spark, dir))
     spark.stop()
   }
 }
