@@ -183,6 +183,41 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
+  /** SimHash near-dup pairs by the pigeonhole band trick: split the
+    * 60-bit signature into `bands` segments — two signatures within
+    * Hamming distance `maxDist < bands` MUST agree exactly on at
+    * least one segment, so an equi-join on (band_id, band_value)
+    * generates a complete candidate set and the exact popcount check
+    * verifies it. One signature pass, one candidate shuffle on a
+    * 15-bit key, no all-pairs stage. At larger corpora the 15-bit
+    * band space saturates (birthday collisions inflate candidates) —
+    * scale by widening the signature (e.g. 64-bit, 4×16) or
+    * compounding the band key with a cheap blocking attribute.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxDist < bands, "pigeonhole needs maxDist < bands")
+    val bits = 60 / bands
+    val mask = (1L << bits) - 1
+    val banded = df
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band_id"))
+      .withColumn("band_val",
+        call_function("shiftright", col("sig"), col("band_id") * bits)
+          .bitwiseAND(lit(mask)))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** End-to-end near-dup dedup: LSH candidates → Jaccard verify →
     * keep-list.
     *

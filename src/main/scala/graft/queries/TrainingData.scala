@@ -791,6 +791,39 @@ object TrainingData {
       .orderBy($"source")
   }
 
+  /** SimHash near-dup pairs, oracle-checked end to end (the third
+    * dedup family completed, after exact-fingerprint q43/q77 and
+    * MinHash q78): banded pigeonhole candidates → exact Hamming
+    * verify ≤ 3. See [[graft.operators.Dedup.simhashNearDupPairs]]
+    * for the scale shape.
+    */
+  val q79_simhash_neardup: Q = Q(
+    "q79_simhash_neardup",
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) t
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
+      |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS dist
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, dist FROM cand WHERE dist <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Dedup.simhashNearDupPairs(
+        Tables.loadParallel(spark, dir, "documents"), "text", "doc_id",
+        maxDist = 3, bands = 4)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
@@ -799,5 +832,5 @@ object TrainingData {
     q59_embedding_neardup, q63_ivf_search, q70_srp_search,
     q71_stratified_sample, q72_boilerplate_ngrams, q73_contamination,
     q75_token_budget_pack, q76_frame_sample, q77_corpus_prep,
-    q78_neardup_pipeline)
+    q78_neardup_pipeline, q79_simhash_neardup)
 }

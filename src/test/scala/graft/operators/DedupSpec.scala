@@ -68,4 +68,20 @@ class DedupSpec extends SparkSpec {
     assert(near < 15, s"near-dup hamming $near should be small")
     assert(far > near, s"unrelated hamming $far should exceed near $near")
   }
+
+  test("simhashNearDupPairs equals the brute-force band-free scan") {
+    // pigeonhole completeness: every pair within maxDist must surface
+    // through some shared band — compare against the all-pairs answer
+    val got = Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        maxDist = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .as[(Long, Long)].collect()
+    val expected = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == expected)
+    assert(expected.contains((1L, 2L, 0)), "exact dup must appear at dist 0")
+  }
 }
