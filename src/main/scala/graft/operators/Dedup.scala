@@ -153,10 +153,17 @@ object Dedup {
   }
 
   /** 60-bit SimHash over the token multiset: per-token md5-derived
-    * 60-bit hash, per-bit ±1 majority vote, folded entirely inside one
-    * expression (no shuffle).
+    * 60-bit hash, per-bit ±1 majority vote — computed by the
+    * single-pass [[graft.plans.SimHashSig]] kernel (no shuffle, no
+    * interpreted per-bit lambdas).
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.plans.SimHashSig(TextFunctions.lowerTokens(text))
+
+  /** The composable fold form (interpreted HOFs) — kept as the
+    * reference semantics SimHashSig is property-tested against.
+    */
+  def simhashFold(text: Column): Column = {
     val toks = TextFunctions.lowerTokens(text)
     // hash each token ONCE (its own transform pass) — were the md5
     // inlined into the vote lambda, interpreted evaluation would
