@@ -141,10 +141,14 @@ object TrainingData {
       |ORDER BY jac DESC, id_a, id_b LIMIT 20""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     // shingles sorted ONCE per doc → per-pair scoring is a codegen'd
-    // merge walk (SortedIntersectCount), no per-pair hash sets
+    // merge walk (SortedIntersectCount), no per-pair hash sets.
+    // cache(): both join branches read the staged shingles — without
+    // it each side re-tokenizes the full corpus (reference X3, the
+    // shared-aggregate caching pattern)
     val s = Tables.loadParallel(spark, dir, "documents")
       .withColumn("_toks", lowerTokens($"text"))
       .select($"doc_id", array_sort(shinglesOfTokens($"_toks")).as("sh"))
+      .cache()
     val a = s.filter($"doc_id" < 40)
       .select($"doc_id".as("id_a"), $"sh".as("sh_a"))
     val b = s.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
