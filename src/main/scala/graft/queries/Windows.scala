@@ -350,8 +350,36 @@ object Windows {
       .orderBy($"c_mktsegment", $"c_custkey")
   }
 
+  /** Forward fill (last observation carried forward): each event
+    * carries the most recent purchase value seen so far for its user
+    * — the sparse-column gap-filling every feature pipeline needs,
+    * done with `last(col, ignoreNulls = true)` over a running frame
+    * (one window pass, one shuffle on the user key; never a self-join
+    * against "previous non-null"). Ordering is by event_id alone:
+    * events.ts is ns-precision in the files and µs in Spark, so a
+    * ts-ordered fill would diverge across engines on sub-µs ties.
+    */
+  val q80_forward_fill: Q = Q(
+    "q80_forward_fill",
+    """SELECT user_id, event_id,
+      |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY event_id
+      |          ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id",
+        last(when($"event_type" === "purchase", $"value"),
+          ignoreNulls = true).over(w).as("last_purchase_value"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q20_dedup_latest, q21_lag_daily, q22_running_sum, q23_frames,
     q24_ordered_collect, q25_topk_per_group, q26_longest_streak,
-    q27_window_dashboard, q28_ordered_agg_desc, q29_window_ranks)
+    q27_window_dashboard, q28_ordered_agg_desc, q29_window_ranks,
+    q80_forward_fill)
 }
