@@ -673,11 +673,55 @@ object Patterns {
       .orderBy($"user_id", $"start_idx", $"end_idx", $"activity_class")
   }
 
+  /** Snapshot diff / CDC (generic [[graft.operators.Diff]]): each
+    * user's day-10 activity state vs day-11, classified added /
+    * removed / changed / unchanged, summarized by class — the
+    * day-over-day dimension-table diff every warehouse load audits.
+    */
+  val q81_snapshot_diff: Q = Q(
+    "q81_snapshot_diff",
+    s"""WITH b AS (SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+      |  FROM events WHERE CAST(ts AS DATE) = $Anchor + 9 GROUP BY 1),
+      |a AS (SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+      |  FROM events WHERE CAST(ts AS DATE) = $Anchor + 10 GROUP BY 1),
+      |d AS (SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+      |    CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+      |           AND a.n_events IS NOT DISTINCT FROM b.n_events
+      |           AND a.n_purchases IS NOT DISTINCT FROM b.n_purchases
+      |         THEN 'unchanged'
+      |         WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+      |         THEN 'changed'
+      |         WHEN a.user_id IS NOT NULL THEN 'added'
+      |         ELSE 'removed' END AS change_type
+      |  FROM b FULL OUTER JOIN a ON b.user_id = a.user_id)
+      |SELECT change_type, COUNT(*) AS n_users
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val anchor = lit("2024-01-01").cast("date")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"event_type" === "purchase", 1).otherwise(0))
+            .as("n_purchases"))
+    val events = Tables.load(spark, dir, "events")
+    val before = state(events.filter(
+      $"ts".cast("date") === date_add(anchor, 9)))
+    val after = state(events.filter(
+      $"ts".cast("date") === date_add(anchor, 10)))
+    Diff.snapshotDiff(before, after, Seq("user_id"))
+      .groupBy($"change_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"change_type")
+  }
+
   val all: Seq[Q] = Seq(
     q30_scd_streaks, q31_datelist_int, q32_growth_accounting,
     q33_retention, q34_array_metrics, q35_graph_vertices,
     q36_graph_edges, q37_dedup_rows, q38_cumulate_merge,
     q39_cumulative_dim, q52_asof_join, q53_growth_weekly,
     q54_datelist_analysis, q55_activity_reduced, q60_cohort_matrix,
-    q61_pivot, q64_triangles, q65_wau_mau_trend, q69_scd_incremental)
+    q61_pivot, q64_triangles, q65_wau_mau_trend, q69_scd_incremental,
+    q81_snapshot_diff)
 }

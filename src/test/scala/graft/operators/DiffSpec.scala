@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val before = Seq(
+      (1L, "a", 10),                    // unchanged
+      (2L, "b", 20),                    // changed (attr)
+      (3L, "c", 30),                    // removed
+      (5L, null.asInstanceOf[String], 50)) // changed: null → value
+      .toDF("id", "s", "n")
+    val after = Seq(
+      (1L, "a", 10),
+      (2L, "b", 99),
+      (4L, "d", 40),                    // added
+      (5L, "now", 50))
+      .toDF("id", "s", "n")
+    val got = Diff.snapshotDiff(before, after, Seq("id"))
+      .select($"id", $"change_type").as[(Long, String)]
+      .collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added", 5L -> "changed"))
+  }
+
+  test("snapshotDiff: NULL == NULL is unchanged (null-safe compare)") {
+    val before = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
+    val after = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
+    val got = Diff.snapshotDiff(before, after, Seq("id"))
+      .select($"change_type").as[String].head()
+    assert(got == "unchanged")
+  }
+}
