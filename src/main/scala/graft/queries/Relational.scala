@@ -314,9 +314,119 @@ object Relational {
       .orderBy($"lang", $"source")
   }
 
+  /** Equi-width histogram via width_bucket — distribution profiling
+    * as one partial-aggregated pass (the engine-side shape behind
+    * ANALYZE-style range statistics).
+    */
+  val q82_histogram: Q = Q(
+    "q82_histogram",
+    """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+      |       WHEN o_totalprice >= 600000 THEN 13
+      |       ELSE FLOOR(o_totalprice / 50000.0) + 1 END AS INT) AS bucket,
+      |  COUNT(*) AS n_orders,
+      |  CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+      |  CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+      |FROM orders
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy(width_bucket($"o_totalprice", lit(0), lit(600000), lit(12))
+        .cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_totalprice").cast("double").as("lo"),
+        max($"o_totalprice").cast("double").as("hi"))
+      .orderBy($"bucket")
+  }
+
+  /** Column profiling (ANALYZE-style statistics): null count, distinct
+    * count, min/max per column, one row per profiled column — the
+    * stats a cost-based optimizer or data-quality monitor collects.
+    * All columns profile in a single scan (one aggregate row,
+    * unpivoted driver-side-free via stack).
+    */
+  val q83_profile: Q = Q(
+    "q83_profile",
+    """SELECT col, n_nulls, n_distinct, min_val, max_val FROM (
+      |  SELECT 'o_custkey' AS col,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |    COUNT(DISTINCT o_custkey) AS n_distinct,
+      |    CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+      |    CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus',
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(DISTINCT o_orderstatus),
+      |    MIN(o_orderstatus), MAX(o_orderstatus)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority',
+      |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(DISTINCT o_orderpriority),
+      |    MIN(o_orderpriority), MAX(o_orderpriority)
+      |  FROM orders) t
+      |ORDER BY col""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+    // single scan: all per-column aggregates in ONE aggregate row,
+    // then unpivot with stack — never one pass per column
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val stackExpr = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+      .mkString(s"stack(${cols.length}, ", ", ",
+        ") as (col, n_nulls, n_distinct, min_val, max_val)")
+    Tables.load(spark, dir, "orders")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(stackExpr))
+      .orderBy($"col")
+  }
+
+  /** Referential-integrity audit: orphan counts for each foreign-key
+    * edge of the star schema — left anti joins, dimension side
+    * broadcast, one row per edge.
+    */
+  val q84_integrity: Q = Q(
+    "q84_integrity",
+    """SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+      |  CAST((SELECT COUNT(*) FROM lineitem
+      |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+      |    AS n_orphans
+      |UNION ALL
+      |SELECT 'orders.o_custkey -> customer',
+      |  CAST((SELECT COUNT(*) FROM orders
+      |        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'customer.c_nationkey -> nation',
+      |  CAST((SELECT COUNT(*) FROM customer
+      |        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
+      |ORDER BY fk_edge""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    def orphans(edge: String, fact: String, fk: String,
+        dim: String, pk: String) = {
+      val d = Tables.load(spark, dir, dim).select(col(pk))
+      Tables.load(spark, dir, fact)
+        .join(d, col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(edge).as("fk_edge"), $"n_orphans")
+    }
+    orphans("lineitem.l_orderkey -> orders",
+        "lineitem", "l_orderkey", "orders", "o_orderkey")
+      .unionByName(orphans("orders.o_custkey -> customer",
+        "orders", "o_custkey", "customer", "c_custkey"))
+      .unionByName(orphans("customer.c_nationkey -> nation",
+        "customer", "c_nationkey", "nation", "n_nationkey"))
+      .orderBy($"fk_edge")
+  }
+
   val all: Seq[Q] = Seq(
     q1_agg, q2_count_distinct, q3_case_when, q4_filter_like,
     q5_scalar_funcs, q6_having_topk, q7_grouping_sets,
     q8_json_conditional, q9_approx_distinct, q62_percentiles,
-    q66_approx_percentiles, q67_salted_count, q74_rollup)
+    q66_approx_percentiles, q67_salted_count, q74_rollup,
+    q82_histogram, q83_profile, q84_integrity)
 }
