@@ -42,6 +42,38 @@ class TuningSpec extends SparkSpec {
     } finally agg.unpersist()
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    // the 100 TB star-join essential: a selective dim filter prunes
+    // fact PARTITIONS at runtime via a DPP subquery — without it the
+    // fact side would scan every partition
+    spark.sql("DROP TABLE IF EXISTS dpp_fact")
+    // a previously failed run can leave the managed location behind
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/dpp_fact"), true)
+    orders.withColumn("ds", $"o_orderstatus")
+      .write.partitionBy("ds").mode("overwrite")
+      .saveAsTable("dpp_fact")
+    // the dim must be file-backed: a LocalRelation's filter is
+    // constant-folded away before the DPP rule looks for a selective
+    // predicate on the dim side
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft_dpp_dim").toString
+    // NB the filter must be one Catalyst deems "likely selective"
+    // (EqualTo/In/…): a bare boolean attribute does not qualify
+    Seq(("O", "keep"), ("F", "drop"), ("P", "drop"))
+      .toDF("ds", "flag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = spark.table("dpp_fact")
+      .join(dim.filter($"flag" === "keep"), Seq("ds"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a DPP subquery in:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS dpp_fact")
+  }
+
   test("X2: shuffle.partitions drives post-shuffle parallelism") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
