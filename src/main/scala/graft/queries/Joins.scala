@@ -297,8 +297,47 @@ object Joins {
       .orderBy($"label")
   }
 
+  /** Typed Dataset pipeline (reference S2/J13, `DatasetApi.ipynb`):
+    * `as[Order] joinWith as[Customer] → map` to a result case class,
+    * then back to the relational surface for aggregation. The typed
+    * map inserts deliberate Serialize/Deserialize boundaries — the
+    * trade the reference demonstrates (DataFrame stays in Tungsten,
+    * `Dataset.map` drops to JVM objects); the oracle proves the typed
+    * path computes exactly what the relational one does.
+    */
+  val q85_typed_pipeline: Q = Q(
+    "q85_typed_pipeline",
+    """SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.core.Models.{Customer, Order, OrderWithCustomer}
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice", $"o_orderdate".cast("timestamp").as("o_orderdate"),
+        $"o_orderpriority")
+      .as[Order]
+    val customers = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_name",
+        $"c_nationkey".cast("int").as("c_nationkey"),
+        $"c_acctbal", $"c_mktsegment")
+      .as[Customer]
+    orders
+      .filter((o: Order) => o.o_orderstatus == "F")
+      .joinWith(customers, $"o_custkey" === $"c_custkey", "inner")
+      .map { case (o, c) =>
+        OrderWithCustomer(o.o_orderkey, o.o_totalprice, c.c_name,
+          c.c_mktsegment)
+      }
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"segment")
+  }
+
   val all: Seq[Q] = Seq(
     q10_join_inner, q11_join_star, q12_join_left, q13_join_semi,
     q14_join_anti, q15_funnel, q16_join_range, q17_join_pairs,
-    q18_cross_join, q68_range_interval_join)
+    q18_cross_join, q68_range_interval_join, q85_typed_pipeline)
 }
