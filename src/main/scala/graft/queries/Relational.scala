@@ -423,10 +423,66 @@ object Relational {
       .orderBy($"fk_edge")
   }
 
+  /** Pearson correlation per segment — computed from six EXACT
+    * decimal aggregates (n, Σx, Σy, Σx², Σy², Σxy) with the double
+    * arithmetic confined to the final scalar formula. A native
+    * `corr()` accumulates doubles in partition order and is not
+    * reproducible across engines; this decomposition is, and it
+    * scales identically (one partial-aggregated pass). Inputs are
+    * cent-scaled to scale-0 decimals first: correlation is
+    * scale-invariant, and a scale-0 → double cast is ONE correctly
+    * rounded conversion in both engines (a scale-k cast divides by
+    * 10^k in double — a second rounding that diverges at the ulp).
+    */
+  val q86_exact_corr: Q = Q(
+    "q86_exact_corr",
+    """SELECT c_mktsegment,
+      |  n,
+      |  CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS DOUBLE)
+      |    AS price_balance_corr
+      |FROM (
+      |  SELECT c_mktsegment, COUNT(*) AS n,
+      |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))) AS sx,
+      |    SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))) AS sy,
+      |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))
+      |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))) AS sxx,
+      |    SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))
+      |      * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))) AS syy,
+      |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))
+      |      * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))) AS sxy
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1) t
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val x = (money($"o_totalprice") * 100).cast(DecimalType(18, 0))
+    val y = (money($"c_acctbal") * 100).cast(DecimalType(18, 0))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select($"c_mktsegment", $"n",
+        ((d($"n") * d($"sxy") - d($"sx") * d($"sy"))
+          / (sqrt(d($"n") * d($"sxx") - d($"sx") * d($"sx"))
+            * sqrt(d($"n") * d($"syy") - d($"sy") * d($"sy"))))
+          .cast("double").as("price_balance_corr"))
+      .orderBy($"c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(
     q1_agg, q2_count_distinct, q3_case_when, q4_filter_like,
     q5_scalar_funcs, q6_having_topk, q7_grouping_sets,
     q8_json_conditional, q9_approx_distinct, q62_percentiles,
     q66_approx_percentiles, q67_salted_count, q74_rollup,
-    q82_histogram, q83_profile, q84_integrity)
+    q82_histogram, q83_profile, q84_integrity, q86_exact_corr)
 }
