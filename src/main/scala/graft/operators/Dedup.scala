@@ -242,17 +242,33 @@ object Dedup {
   def nearDupDedup(df: DataFrame, textCol: String, idCol: String,
       jaccardThreshold: Double = 0.8, k: Int = 16, bands: Int = 4)
       : DataFrame = {
+    // ONE tokenize+shingle pass feeds both the signature (MinHash
+    // minima are order-independent, so the sorted array serves the
+    // verify stage too) and the band keys; cached because candidates
+    // and both verify sides re-read it. At scale this is the staged
+    // signature table a curator would persist anyway.
     val staged = df
       .withColumn("_toks", TextFunctions.lowerTokens(col(textCol)))
-      .withColumn("_sorted_sh",
+      .withColumn("_sh",
         array_sort(TextFunctions.shinglesOfTokens(col("_toks"))))
-    val candidates = lshCandidatePairs(df, textCol, idCol, k, bands)
-    val sh = staged.select(col(idCol).as("_id"), col("_sorted_sh"))
+      .withColumn("_sig", minhashSignature(col("_sh"), k))
+      .withColumn("_bands", lshBandKeys(col("_sig"), bands, k / bands))
+      .select(col(idCol).as("_id"), col("_sh"), col("_bands"))
+      .cache()
+    val exploded = staged
+      .select(col("_id"), explode_outer(col("_bands")).as("band_hash"))
+      .filter(col("band_hash").isNotNull)
+    val candidates = exploded.as("a")
+      .join(exploded.as("b"), col("a.band_hash") === col("b.band_hash") &&
+        col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val sh = staged.select(col("_id"), col("_sh"))
     val verified = candidates
-      .join(sh.withColumnRenamed("_sorted_sh", "_sh_a"),
+      .join(sh.withColumnRenamed("_sh", "_sh_a"),
         col("id_a") === col("_id"))
       .drop("_id")
-      .join(sh.withColumnRenamed("_sorted_sh", "_sh_b"),
+      .join(sh.withColumnRenamed("_sh", "_sh_b"),
         col("id_b") === col("_id"))
       .filter(jaccardSorted(col("_sh_a"), col("_sh_b")) >= jaccardThreshold)
       .select(col("id_b").as("_drop_id"))
