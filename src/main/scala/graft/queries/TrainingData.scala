@@ -828,6 +828,56 @@ object TrainingData {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Count-Min sketch frequency estimation: d=4 md5-derived hash
+    * rows × w=256 counters built as a plain (row, bucket) GROUP BY —
+    * the sketch IS a partial-aggregable relation, so at 100 TB it
+    * builds in one map-side-combined pass and merges by summing
+    * counters (what exact per-key counts can't do when the key space
+    * explodes). Probes read back min over rows; estimates
+    * over-count, never under. Deterministic hashing makes the
+    * approximation itself hash-checkable — the oracle builds the
+    * same sketch.
+    */
+  val q87_countmin: Q = Q(
+    "q87_countmin",
+    """WITH e AS (SELECT user_id FROM events),
+      |rows_ AS (SELECT unnest(generate_series(0, 3)) AS i),
+      |h AS (SELECT user_id, i,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 256 AS b
+      |  FROM e CROSS JOIN rows_),
+      |cms AS (SELECT i, b, COUNT(*) AS c FROM h GROUP BY 1, 2),
+      |probes AS (SELECT user_id, COUNT(*) AS true_n FROM e
+      |  WHERE user_id < 5 GROUP BY 1),
+      |pb AS (SELECT p.user_id, p.true_n, r.i,
+      |    ('0x' || substr(md5(CAST(p.user_id AS VARCHAR) || '#' || CAST(r.i AS VARCHAR)), 1, 8))::BIGINT % 256 AS b
+      |  FROM probes p CROSS JOIN rows_ r)
+      |SELECT pb.user_id, pb.true_n, MIN(cms.c) AS cms_n
+      |FROM pb JOIN cms ON pb.i = cms.i AND pb.b = cms.b
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    def bucket(u: org.apache.spark.sql.Column,
+        i: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(u.cast("string"), lit("#"),
+        i.cast("string"))), 1, 8), 16, 10).cast("long"), lit(256))
+    val ev = Tables.loadParallel(spark, dir, "events")
+      .select($"user_id")
+    val cms = ev
+      .select($"user_id", explode(sequence(lit(0), lit(3))).as("i"))
+      .select($"i", bucket($"user_id", $"i").as("b"))
+      .groupBy($"i", $"b")
+      .agg(count(lit(1)).as("c"))
+    val probes = ev.filter($"user_id" < 5)
+      .groupBy($"user_id").agg(count(lit(1)).as("true_n"))
+    probes
+      .select($"user_id", $"true_n",
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .withColumn("b", bucket($"user_id", $"i"))
+      .join(cms, Seq("i", "b"))
+      .groupBy($"user_id", $"true_n")
+      .agg(min($"c").as("cms_n"))
+      .orderBy($"user_id")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
@@ -836,5 +886,5 @@ object TrainingData {
     q59_embedding_neardup, q63_ivf_search, q70_srp_search,
     q71_stratified_sample, q72_boilerplate_ngrams, q73_contamination,
     q75_token_budget_pack, q76_frame_sample, q77_corpus_prep,
-    q78_neardup_pipeline, q79_simhash_neardup)
+    q78_neardup_pipeline, q79_simhash_neardup, q87_countmin)
 }
