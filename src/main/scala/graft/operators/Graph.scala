@@ -105,6 +105,48 @@ object Graph {
     edges.agg(count(lit(1)).as("n_edges")).crossJoin(closed)
   }
 
+  /** Connected components by iterative min-label propagation — the
+    * transitive closure a near-dup pair list needs to become dedup
+    * GROUPS (chain a~b~c collapses to one component even when a≁c
+    * directly). Each iteration is one distributed join+aggregate;
+    * `localCheckpoint` truncates the lineage so the plan does not
+    * grow with iterations (the classic Spark iterative-algorithm
+    * discipline). Converges in O(diameter) rounds — near-dup
+    * clusters are shallow, so a handful.
+    *
+    * @param edges undirected edge list with columns `u`, `v`
+    * @return (id, comp) — every vertex labeled with its component's
+    *         minimum vertex id
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20)
+      : DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = sym.join(labels, col("a") === col("id"))
+        .groupBy(col("b").as("nid"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(prop, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("id").as("oid"), col("comp").as("ocomp")),
+          col("id") === col("oid"))
+        .filter(col("comp") =!= col("ocomp")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Build an edge table between two identified endpoints. */
   def edges(df: DataFrame, subjectId: Column, subjectType: String,
       objectId: Column, objectType: String, edgeType: String,

@@ -74,6 +74,30 @@ class TuningSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS dpp_fact")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the row-level sibling of DPP: a bloom filter built from the
+    // filtered dim side is pushed into the fact scan, dropping
+    // non-joining rows BEFORE the shuffle. Thresholds lowered because
+    // the test tables are tiny; at 100 TB the defaults fire on their
+    // own.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = customer.filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val joined = orders.join(dim, $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") ||
+        plan.contains("might_contain"),
+        s"expected a runtime bloom filter in:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("X2: shuffle.partitions drives post-shuffle parallelism") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")

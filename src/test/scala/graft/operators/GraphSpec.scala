@@ -75,6 +75,16 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents closes chains to the min label") {
+    // chain 1-2-3 plus pair 5-4 plus triangle 6-7-8 with 8-9 tail
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L),
+      (6L, 7L), (7L, 8L), (6L, 8L), (8L, 9L)).toDF("u", "v")
+    val got = Graph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L))
+  }
+
   test("edges carry endpoint types and JSON properties") {
     val df = Seq((10, 20, "AUTomobile")).toDF("c", "n", "seg")
     val got = Graph.edges(df, $"c", "customer", $"n", "nation",
