@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Graph, Multimodal, Similarity}
 
 /** LLM-training-data pipeline surface over `documents` and
   * `embeddings`: text statistics, quality signals, language-ID,
@@ -878,6 +878,53 @@ object TrainingData {
       .orderBy($"user_id")
   }
 
+  /** Near-dup GROUPS: SimHash pairs closed into transitive components
+    * by the iterative [[graft.operators.Graph.connectedComponents]],
+    * labeled by min doc_id — a chain a~b~c is ONE dedup group even
+    * when a≁c directly. The oracle closes the same pairs with a
+    * recursive CTE, so the iterative Spark operator is hash-checked
+    * against a declarative fixpoint.
+    */
+  val q88_neardup_groups: Q = Q(
+    "q88_neardup_groups",
+    """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) t
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
+      |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+      |pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |sym AS (SELECT u AS a, v AS b FROM pairs
+      |  UNION ALL SELECT v, u FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT s.b, r.lab FROM reach r JOIN sym s ON r.id = s.a),
+      |cc AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id)
+      |SELECT comp, COUNT(*) AS n_members FROM cc
+      |GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val pairs = Dedup.simhashNearDupPairs(
+        Tables.loadParallel(spark, dir, "documents"), "text", "doc_id",
+        maxDist = 3, bands = 4)
+      .select($"id_a".as("u"), $"id_b".as("v"))
+    Graph.connectedComponents(pairs)
+      .groupBy($"comp")
+      .agg(count(lit(1)).as("n_members"))
+      .filter($"n_members" >= 2)
+      .orderBy($"comp")
+  }
+
   val all: Seq[Q] = Seq(
     q40_token_stats, q41_quality_scores, q42_langid_confusion,
     q43_fingerprint_dedup, q44_jaccard_pairs, q45_minhash_lsh,
@@ -886,5 +933,6 @@ object TrainingData {
     q59_embedding_neardup, q63_ivf_search, q70_srp_search,
     q71_stratified_sample, q72_boilerplate_ngrams, q73_contamination,
     q75_token_budget_pack, q76_frame_sample, q77_corpus_prep,
-    q78_neardup_pipeline, q79_simhash_neardup, q87_countmin)
+    q78_neardup_pipeline, q79_simhash_neardup, q87_countmin,
+    q88_neardup_groups)
 }
