@@ -120,8 +120,13 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20)
       : DataFrame = {
+    // checkpoint the symmetrized edges FIRST: every iteration joins
+    // against them, and an unmaterialized edge list would re-execute
+    // its entire upstream (e.g. a near-dup candidate pipeline) once
+    // per round
     val sym = edges.select(col("u").as("a"), col("v").as("b"))
       .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
