@@ -141,10 +141,14 @@ object Graph {
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
             .as("comp"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("id").as("oid"), col("comp").as("ocomp")),
-          col("id") === col("oid"))
-        .filter(col("comp") =!= col("ocomp")).count()
+      // the first round always changes labels (every vertex starts
+      // self-labeled and has at least one edge) — skip its count job
+      changed =
+        if (i == 0) 1L
+        else next.as("n")
+          .join(labels.select(col("id").as("oid"), col("comp").as("ocomp")),
+            col("id") === col("oid"))
+          .filter(col("comp") =!= col("ocomp")).count()
       labels.unpersist()
       labels = next
       i += 1
