@@ -53,7 +53,10 @@ object Bench {
       // for a fast success
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    def r3(v: Double): String = f"$v%.3f" // keep the JSON line short
+    // Locale.ROOT: a comma-decimal default locale would print "1,234"
+    // and corrupt the machine-parsed JSON line
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -244,9 +244,13 @@ object Dedup {
       : DataFrame = {
     // ONE tokenize+shingle pass feeds both the signature (MinHash
     // minima are order-independent, so the sorted array serves the
-    // verify stage too) and the band keys; cached because candidates
-    // and both verify sides re-read it. At scale this is the staged
-    // signature table a curator would persist anyway.
+    // verify stage too) and the band keys; materialized because
+    // candidates and both verify sides re-read it. At scale this is
+    // the staged signature table a curator would persist anyway.
+    // localCheckpoint, not cache: CacheManager entries outlive the
+    // query and accumulate across a shared session, while checkpoint
+    // blocks are released by the ContextCleaner once this plan is
+    // garbage-collected.
     val staged = df
       .withColumn("_toks", TextFunctions.lowerTokens(col(textCol)))
       .withColumn("_sh",
@@ -254,7 +258,7 @@ object Dedup {
       .withColumn("_sig", minhashSignature(col("_sh"), k))
       .withColumn("_bands", lshBandKeys(col("_sig"), bands, k / bands))
       .select(col(idCol).as("_id"), col("_sh"), col("_bands"))
-      .cache()
+      .localCheckpoint()
     val exploded = staged
       .select(col("_id"), explode_outer(col("_bands")).as("band_hash"))
       .filter(col("band_hash").isNotNull)

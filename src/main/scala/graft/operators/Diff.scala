@@ -27,16 +27,21 @@ object Diff {
     val attrs = before.columns.filterNot(keys.contains).toSeq
     require(attrs == after.columns.filterNot(keys.contains).toSeq,
       "snapshots must share a schema")
+    // explicit per-side presence markers: key-nullability probing
+    // would misclassify rows whose first key column is legitimately
+    // NULL (a NULL-keyed after-only row must still read as "added")
     val b = before.select(
       keys.map(k => col(k).as(s"_bk_$k")) ++
-        attrs.map(a => col(a).as(s"${a}_before")): _*)
+        attrs.map(a => col(a).as(s"${a}_before")) :+
+        lit(true).as("_in_before"): _*)
     val a = after.select(
       keys.map(k => col(k).as(s"_ak_$k")) ++
-        attrs.map(c => col(c).as(s"${c}_after")): _*)
+        attrs.map(c => col(c).as(s"${c}_after")) :+
+        lit(true).as("_in_after"): _*)
     val cond = keys.map(k => col(s"_bk_$k") === col(s"_ak_$k"))
       .reduce(_ && _)
-    val inBefore = col(s"_bk_${keys.head}").isNotNull
-    val inAfter = col(s"_ak_${keys.head}").isNotNull
+    val inBefore = col("_in_before").isNotNull
+    val inAfter = col("_in_after").isNotNull
     val allEqual: Column = attrs
       .map(c => col(s"${c}_before") <=> col(s"${c}_after"))
       .reduceOption(_ && _).getOrElse(lit(true))

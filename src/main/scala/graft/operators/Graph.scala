@@ -153,6 +153,13 @@ object Graph {
       labels = next
       i += 1
     }
+    // returning partial labels would silently split a deep component
+    // into several groups — fail loudly instead (diameter > maxIter
+    // means the caller must raise maxIter, not trust the output)
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"($changed labels still changing); raise maxIter — the graph " +
+        "diameter exceeds the round budget")
     labels
   }
 

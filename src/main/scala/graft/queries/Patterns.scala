@@ -545,10 +545,13 @@ object Patterns {
     val pairs = Graph.coPairs(Tables.load(spark, dir, "lineitem"),
         $"l_partkey", $"l_suppkey", shufflePartitions, packKey = true)
       .select($"item_a".as("u"), $"item_b".as("v"), $"n")
+    // localCheckpoint, not cache: triangleCensus reads the edge list
+    // three times, and checkpoint blocks free on GC instead of
+    // accumulating in the shared session's CacheManager
     val edges = pairs
       .orderBy($"n".desc, $"u", $"v").limit(2000)
       .select($"u", $"v")
-      .cache()
+      .localCheckpoint()
     Graph.triangleCensus(edges)
   }
 

@@ -142,13 +142,15 @@ object TrainingData {
     import spark.implicits._
     // shingles sorted ONCE per doc → per-pair scoring is a codegen'd
     // merge walk (SortedIntersectCount), no per-pair hash sets.
-    // cache(): both join branches read the staged shingles — without
-    // it each side re-tokenizes the full corpus (reference X3, the
-    // shared-aggregate caching pattern)
+    // localCheckpoint: both join branches read the staged shingles —
+    // without it each side re-tokenizes the full corpus (reference
+    // X3, the shared-aggregate pattern); checkpoint instead of cache
+    // so the blocks free on GC rather than pinning the CacheManager
+    // for the session's lifetime
     val s = Tables.loadParallel(spark, dir, "documents")
       .withColumn("_toks", lowerTokens($"text"))
       .select($"doc_id", array_sort(shinglesOfTokens($"_toks")).as("sh"))
-      .cache()
+      .localCheckpoint()
     val a = s.filter($"doc_id" < 40)
       .select($"doc_id".as("id_a"), $"sh".as("sh_a"))
     val b = s.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
