@@ -50,6 +50,20 @@ class PlanShapeSpec extends SparkSpec {
       "no per-user array may be materialized")
   }
 
+  test("q98_salted_join honors the shuffle_hash hint through the salt") {
+    val p = plan("q98_salted_join")
+    assert(p.contains("ShuffledHashJoin"),
+      "the hint must survive the salt explode — otherwise the demo " +
+        "silently degrades to a broadcast and exercises nothing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q91_edit_distance broadcasts the small probe side") {
+    val p = plan("q91_edit_distance")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "theta join must broadcast the 50-row probe, not shuffle")
+  }
+
   test("q69_scd_incremental reads history through a single join pass") {
     val p = plan("q69_scd_incremental")
     val joins = "SortMergeJoin".r.findAllIn(p).length +
