@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only stage profiler (not part of the driver contract). */
 object Scratch {
@@ -11,7 +10,6 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
     val dir = "/root/testdata/sf0.1"
 
     def time(label: String, n: Int = 3)(
@@ -22,24 +20,10 @@ object Scratch {
         println(f"[$label run$i] ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
 
-    val li = core.Tables.load(spark, dir, "lineitem")
-
-    // q17 stage isolation
-    val sets = li.groupBy($"l_partkey")
-      .agg(sort_array(collect_set($"l_suppkey")).as("_items"))
-    time("1_sets_only")(sets)
-    val gen = sets
-      .select($"_items", posexplode($"_items").as(Seq("_pos", "b")))
-      .select($"b",
-        explode_outer(slice($"_items", lit(1), $"_pos")).as("a"))
-      .filter($"a".isNotNull)
-      .select(shiftleft($"b".cast("long"), 32)
-        .bitwiseOR($"a".cast("long")).as("pk"))
-    time("2_gen_pairs")(gen)
-    val agg = gen.repartition(32, $"pk").groupBy($"pk")
-      .agg(count(lit(1)).as("n")).filter($"n" >= 3)
-    time("3_pair_agg")(agg)
-    time("4_full_q17")(SparkEntry.queries("q17_join_pairs")(spark, dir))
+    val names = if (args.isEmpty) Seq("q88_neardup_groups") else args.toSeq
+    names.foreach { q =>
+      time(q)(SparkEntry.queries(q)(spark, dir))
+    }
     spark.stop()
   }
 }

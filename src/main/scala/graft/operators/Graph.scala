@@ -136,21 +136,25 @@ object Graph {
       val prop = sym.join(labels, col("a") === col("id"))
         .groupBy(col("b").as("nid"))
         .agg(min(col("comp")).as("ncomp"))
+      // carry a per-row change flag out of the SAME join that updates
+      // the label — the convergence check is then a near-free scan of
+      // the checkpointed result instead of an extra shuffle join of
+      // next against labels every round
       val next = labels.join(prop, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
-            .as("comp"))
+            .as("ncomp2"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp"))
+            .as("_chg"))
+        .withColumnRenamed("ncomp2", "comp")
         .localCheckpoint()
       // the first round always changes labels (every vertex starts
       // self-labeled and has at least one edge) — skip its count job
       changed =
         if (i == 0) 1L
-        else next.as("n")
-          .join(labels.select(col("id").as("oid"), col("comp").as("ocomp")),
-            col("id") === col("oid"))
-          .filter(col("comp") =!= col("ocomp")).count()
+        else next.filter(col("_chg")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     // returning partial labels would silently split a deep component

@@ -602,9 +602,13 @@ object TrainingData {
       |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val prefixFp = md5(concat_ws(" ", slice(lowerTokens($"text"), 1, 8)))
+    // stage the narrow (source, fp, split) projection once: both the
+    // train-fps branch and the test branch read it, and without the
+    // checkpoint each would re-tokenize and re-md5 the full corpus
     val f = Tables.load(spark, dir, "documents")
       .select($"source", prefixFp.as("fp"),
         datasetSplit($"doc_id").as("split"))
+      .localCheckpoint()
     val trainFps = f.filter($"split" === "train")
       .select($"fp").distinct()
       .withColumn("_hit", lit(1))
