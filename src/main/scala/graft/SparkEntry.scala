@@ -9,7 +9,8 @@ object SparkEntry {
   /** Every implemented query, one per operator from SURVEY.md §2. */
   val allQueries: Seq[Q] =
     Relational.all ++ Joins.all ++ SetOps.all ++ Windows.all ++
-      Patterns.all ++ TrainingData.all ++ Sessions.all ++ Extended.all
+      Patterns.all ++ TrainingData.all ++ Sessions.all ++ Extended.all ++
+      Extended2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -167,6 +167,60 @@ object Graph {
     labels
   }
 
+  /** PageRank in exact fixed-point integer arithmetic. Ranks are longs
+    * at `scale` (default 10¹²); each round distributes `rank DIV
+    * out_degree` along edges and renews every vertex as
+    * `(100−dampPct)·scale/100 + dampPct·(incoming sum) DIV 100`.
+    * Every step is truncating non-negative integer division, so the
+    * result is bit-identical in any engine, under retries, and across
+    * partitionings — float PageRank diverges at the ulp by summation
+    * order, which would break the cross-engine hash compare AND make
+    * the ranks irreproducible as ML features. Dangling-vertex mass is
+    * dropped (the simplified formulation); ranks are comparable
+    * without normalization.
+    *
+    * Same iterative discipline as [[connectedComponents]]: the
+    * loop-invariant degree-annotated edge list is checkpointed once,
+    * each round is one join + one aggregate + a checkpoint, lineage
+    * stays flat. A fixed iteration count (no convergence test) keeps
+    * the round count deterministic.
+    *
+    * Overflow bound: `nVertices · scale · dampPct` must stay below
+    * 2⁶³ — at the default scale that is ~10⁵ vertices; pass a smaller
+    * `scale` for bigger graphs (10⁶ vertices at scale 10⁹ etc.).
+    *
+    * @param edges directed, deduplicated edge list (`src`, `dst`)
+    * @return (node, pr) fixed-point ranks
+    */
+  def pageRankInt(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
+    require(dampPct > 0 && dampPct < 100, s"dampPct must be 1..99, got $dampPct")
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    val verts = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val base = ((100L - dampPct) * scale) / 100L
+    var ranks = verts.withColumn("pr", lit(scale))
+    var i = 0
+    while (i < iters) {
+      val incoming = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr DIV _deg").as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
+      val next = verts.join(incoming, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampPct * coalesce(_in, 0L)) DIV 100"))
+            .as("pr"))
+        .localCheckpoint()
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    ranks
+  }
+
   /** Build an edge table between two identified endpoints. */
   def edges(df: DataFrame, subjectId: Column, subjectType: String,
       objectId: Column, objectType: String, edgeType: String,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for algebraic aggregates.
+  *
+  * COUNT / SUM / MIN / MAX partials are mergeable: combining the
+  * per-period partial-aggregate tables is equivalent to aggregating
+  * the union of their raw inputs. That equivalence is the whole scale
+  * story — a 100 TB history is aggregated ONCE into a compact partial
+  * table, and each new batch only aggregates its own delta and merges
+  * key-by-key (one shuffle over partial-table cardinality, not a
+  * rescan of history). The reference maintains its cumulated tables
+  * with exactly this discipline (upsert into aggregate tables,
+  * `assignmnet_2.sql:128-137`); this operator is the generic form.
+  *
+  * Non-algebraic aggregates (MEDIAN, exact COUNT DISTINCT) do NOT
+  * merge this way — they need either the raw data or a mergeable
+  * sketch (see q9/q66/q87 for the sketch route).
+  */
+object IncrementalAgg {
+
+  /** Merge two partial-aggregate tables keyed by `keys`.
+    *
+    * A key present on one side only passes through unchanged (the
+    * null-safe merge expressions need no typed zero: `coalesce(b+d,
+    * b, d)` adds when both sides exist and falls back to whichever is
+    * present).
+    *
+    * @param sumCols columns merged by addition (COUNT and SUM
+    *                partials — works for integral and decimal types)
+    * @param maxCols columns merged by `greatest` (MAX partials)
+    * @param minCols columns merged by `least` (MIN partials)
+    */
+  def mergePartials(base: DataFrame, delta: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil): DataFrame = {
+    val valueCols = sumCols ++ maxCols ++ minCols
+    val d = delta.select(
+      (keys.map(col) ++ valueCols.map(c => col(c).as(s"_d_$c"))): _*)
+    val merged =
+      sumCols.map(c =>
+        coalesce(col(c) + col(s"_d_$c"), col(c), col(s"_d_$c")).as(c)) ++
+        maxCols.map(c => greatest(col(c), col(s"_d_$c")).as(c)) ++
+        minCols.map(c => least(col(c), col(s"_d_$c")).as(c))
+    base.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ merged: _*)
+  }
+}

@@ -45,4 +45,44 @@ object Intervals {
       .groupBy(keep: _*)
       .agg(max(col("_run")).as("max_concurrent"))
   }
+
+  /** Merge overlapping or touching intervals per partition key into
+    * maximal disjoint "islands" (interval union / coalescing).
+    *
+    * Sweep formulation: order intervals by (start, end); a row opens a
+    * new island exactly when its start lies strictly after the maximum
+    * end seen so far (ends are exclusive, and a touching pair — end =
+    * next start — merges). The island id is then a running count of
+    * the open flags, and one aggregation per (key, island) yields the
+    * merged bounds. One shuffle on the partition key, a single sorted
+    * pass per partition — never the O(n²) overlap self-join.
+    *
+    * Deterministic under ties: duplicate (start, end) rows see a
+    * prior max-end ≥ their start (any interval's end ≥ its own start),
+    * so they can never open an island regardless of their relative
+    * order, and island numbering depends only on the sorted boundary
+    * sequence.
+    *
+    * @return one row per island: partCols, `island` (1-based ordinal
+    *         within the key), merged `startCol`/`endCol`, `n_merged`
+    */
+  def mergeOverlaps(df: DataFrame, partCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    val keep = partCols.map(col)
+    val ord = Window.partitionBy(keep: _*)
+      .orderBy(col(startCol), col(endCol))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("_pme", max(col(endCol)).over(prev))
+      .withColumn("_open",
+        when(col("_pme").isNull || col("_pme") < col(startCol), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("_open")).over(run))
+      .groupBy(keep :+ col("island"): _*)
+      .agg(
+        min(col(startCol)).as(startCol),
+        max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_merged"))
+  }
 }

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Exact._
+import graft.operators.{Graph, IncrementalAgg, Intervals}
+
+/** Round-3 batch 2: fixed-point PageRank over the nation trade graph,
+  * interval coalescing, strict-ordered funnel sequences, incremental
+  * partial-aggregate maintenance, and map-column construction + HOFs.
+  */
+object Extended2 {
+
+  /** PageRank over the customer-nation → supplier-nation trade graph
+    * (who does a nation buy from), 3 rounds of exact fixed-point
+    * arithmetic — see [[graft.operators.Graph.pageRankInt]] for why
+    * integer ranks are the reproducible (and therefore oracle-able)
+    * formulation. The oracle unrolls the same three rounds in SQL.
+    */
+  val q100_pagerank: Q = Q(
+    "q100_pagerank",
+    """WITH e AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+      |    CAST(s.s_nationkey AS BIGINT) AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+      |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM v),
+      |r1 AS (SELECT v.node,
+      |    150000000000 + ((85 * COALESCE(SUM(r0.pr // deg.deg), 0)) // 100) AS pr
+      |  FROM v LEFT JOIN e ON e.dst = v.node
+      |    LEFT JOIN deg ON deg.src = e.src
+      |    LEFT JOIN r0 ON r0.node = e.src
+      |  GROUP BY v.node),
+      |r2 AS (SELECT v.node,
+      |    150000000000 + ((85 * COALESCE(SUM(r1.pr // deg.deg), 0)) // 100) AS pr
+      |  FROM v LEFT JOIN e ON e.dst = v.node
+      |    LEFT JOIN deg ON deg.src = e.src
+      |    LEFT JOIN r1 ON r1.node = e.src
+      |  GROUP BY v.node),
+      |r3 AS (SELECT v.node,
+      |    150000000000 + ((85 * COALESCE(SUM(r2.pr // deg.deg), 0)) // 100) AS pr
+      |  FROM v LEFT JOIN e ON e.dst = v.node
+      |    LEFT JOIN deg ON deg.src = e.src
+      |    LEFT JOIN r2 ON r2.node = e.src
+      |  GROUP BY v.node)
+      |SELECT n.n_name AS nation, r3.pr
+      |FROM r3 JOIN nation n ON n.n_nationkey = r3.node
+      |ORDER BY pr DESC, nation""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val c = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+    val s = Tables.load(spark, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey")
+    val edges = li
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .select($"c_nationkey".cast("long").as("src"),
+        $"s_nationkey".cast("long").as("dst"))
+      .filter($"src" =!= $"dst")
+      .distinct()
+    val nation = Tables.load(spark, dir, "nation")
+      .select($"n_nationkey".cast("long").as("node"), $"n_name")
+    Graph.pageRankInt(edges, iters = 3)
+      .join(broadcast(nation), "node")
+      .select($"n_name".as("nation"), $"pr")
+      .orderBy($"pr".desc, $"nation")
+  }
+
+  /** Activity-burst extraction: each event pads to a 5-minute
+    * [minute(ts), minute(ts)+5) interval and overlapping/touching
+    * intervals merge per user ([[Intervals.mergeOverlaps]]) — the
+    * interval-union dual of q94's concurrency sweep, and an
+    * alternative sessionization formulation (cf. q50's gap-based
+    * lag/cumsum). Minute-grain bounds are emitted as strings so both
+    * engines hash the same value regardless of timestamp precision.
+    */
+  val q101_interval_merge: Q = Q(
+    "q101_interval_merge",
+    """WITH iv0 AS (SELECT DISTINCT user_id, date_trunc('minute', ts) AS s
+      |  FROM events WHERE user_id < 50),
+      |iv AS (SELECT user_id, s, s + INTERVAL 5 MINUTE AS e FROM iv0),
+      |m AS (SELECT user_id, s, e,
+      |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |  FROM iv),
+      |isl AS (SELECT user_id, s, e,
+      |    SUM(CASE WHEN pme IS NULL OR pme < s THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s, e
+      |        ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM m)
+      |SELECT user_id, CAST(island AS BIGINT) AS island,
+      |  strftime(MIN(s), '%Y-%m-%d %H:%M') AS start_min,
+      |  strftime(MAX(e), '%Y-%m-%d %H:%M') AS end_min,
+      |  COUNT(*) AS n_merged
+      |FROM isl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val iv = Tables.load(spark, dir, "events")
+      .filter($"user_id" < 50)
+      .select($"user_id", date_trunc("minute", $"ts").as("s"))
+      .distinct()
+      .withColumn("e", $"s" + expr("INTERVAL 5 MINUTES"))
+    Intervals.mergeOverlaps(iv, Seq("user_id"), "s", "e")
+      .select($"user_id", $"island",
+        date_format($"s", "yyyy-MM-dd HH:mm").as("start_min"),
+        date_format($"e", "yyyy-MM-dd HH:mm").as("end_min"),
+        $"n_merged")
+      .orderBy($"user_id", $"island")
+  }
+
+  /** Strict-ordered funnel: view → click (after the first view) →
+    * purchase (after that click), each step's timestamp strictly
+    * greater than the previous step's. q15 counts same-day converters
+    * with one aggregation; this is the sequential variant whose steps
+    * genuinely depend on each other, so it chains one bounded
+    * (per-user) join per step. Comparisons run on microsecond longs —
+    * `unix_micros` here, `epoch_ns // 1000` in the oracle — because
+    * raw event timestamps carry ns in parquet and µs in Spark.
+    */
+  val q102_funnel_sequence: Q = Q(
+    "q102_funnel_sequence",
+    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+      |  FROM events),
+      |t1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT ev.user_id, MIN(ev.us) AS t2
+      |  FROM ev JOIN t1 USING (user_id)
+      |  WHERE ev.event_type = 'click' AND ev.us > t1.t1 GROUP BY 1),
+      |t3 AS (SELECT ev.user_id, MIN(ev.us) AS t3
+      |  FROM ev JOIN t2 USING (user_id)
+      |  WHERE ev.event_type = 'purchase' AND ev.us > t2.t2 GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM t1) AS n_step1,
+      |  (SELECT COUNT(*) FROM t2) AS n_step2,
+      |  (SELECT COUNT(*) FROM t3) AS n_step3""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val t2 = ev.filter($"event_type" === "click")
+      .join(t1, "user_id").filter($"us" > $"t1")
+      .groupBy($"user_id").agg(min($"us").as("t2"))
+    val t3 = ev.filter($"event_type" === "purchase")
+      .join(t2, "user_id").filter($"us" > $"t2")
+      .groupBy($"user_id").agg(min($"us").as("t3"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .agg(
+        count($"t1").as("n_step1"),
+        count($"t2").as("n_step2"),
+        count($"t3").as("n_step3"))
+  }
+
+  /** Incremental aggregate maintenance: per-customer order partials
+    * (count, exact-decimal spend, latest day) computed separately for
+    * the history (pre-1995) and the delta (1995+), then merged
+    * key-by-key ([[IncrementalAgg.mergePartials]]) — the oracle
+    * aggregates the raw union directly, proving merge ≡ recompute.
+    * At scale only the delta is ever re-aggregated.
+    */
+  val q103_incremental_agg: Q = Q(
+    "q103_incremental_agg",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_spend,
+      |  MAX(CAST(o_orderdate AS DATE)) AS last_day
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val cut = lit("1995-01-01").cast("timestamp")
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(money($"o_totalprice")).as("_total"),
+          max($"o_orderdate".cast("date")).as("last_day"))
+    val base = partials(orders.filter($"o_orderdate" < cut))
+    val delta = partials(orders.filter($"o_orderdate" >= cut))
+    IncrementalAgg.mergePartials(base, delta, Seq("o_custkey"),
+        sumCols = Seq("n_orders", "_total"), maxCols = Seq("last_day"))
+      .select($"o_custkey", $"n_orders",
+        $"_total".cast("double").as("total_spend"), $"last_day")
+      .orderBy($"o_custkey")
+  }
+
+  /** Map-typed columns end to end: build a per-user map event_type →
+    * count (`map_from_entries` over a sorted entry list), filter
+    * entries by value (`map_filter`), rescale values
+    * (`transform_values`), and explode back to rows. The oracle
+    * states the equivalent relational HAVING query — the map is pure
+    * per-row structure, so the plan stays one aggregation + one
+    * generate with no extra shuffle.
+    */
+  val q104_map_funcs: Q = Q(
+    "q104_map_funcs",
+    """SELECT user_id, event_type, COUNT(*) * 10 AS n_scaled
+      |FROM events WHERE user_id < 30
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .filter($"user_id" < 30)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct($"event_type", $"n")))).as("m"))
+      .withColumn("m", map_filter($"m", (_, v) => v >= 3))
+      .withColumn("m", transform_values($"m", (_, v) => v * 10))
+      .select($"user_id", explode($"m").as(Seq("event_type", "n_scaled")))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val all: Seq[Q] = Seq(
+    q100_pagerank, q101_interval_merge, q102_funnel_sequence,
+    q103_incremental_agg, q104_map_funcs)
+}

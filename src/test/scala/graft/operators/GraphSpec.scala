@@ -85,6 +85,28 @@ class GraphSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L))
   }
 
+  test("pageRankInt matches hand-computed fixed-point ranks") {
+    // 1→2, 1→3, 2→3, 3→1; scale 1000, damp 85, base 150.
+    // iter1: in(1)=1000, in(2)=500, in(3)=1500
+    //   → r1 = (1000, 575, 1425)
+    // iter2: in(1)=1425, in(2)=500, in(3)=500+575=1075
+    //   → r2 = (150+1211, 575, 150+913) = (1361, 575, 1063)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.pageRankInt(edges, iters = 2, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1361L, 2L -> 575L, 3L -> 1063L))
+  }
+
+  test("pageRankInt: dangling sink keeps receiving, contributes nothing") {
+    // 1→2 only: node 2 has no out-edges, its mass drops each round
+    // iter1: r = (150, 1000); iter2: r = (150, 150 + 85*150//100=277)
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRankInt(edges, iters = 2, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 150L, 2L -> 277L))
+  }
+
   test("edges carry endpoint types and JSON properties") {
     val df = Seq((10, 20, "AUTomobile")).toDF("c", "n", "seg")
     val got = Graph.edges(df, $"c", "customer", $"n", "nation",

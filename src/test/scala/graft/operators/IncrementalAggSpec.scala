@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Merge of partial aggregates ≡ aggregate of the raw union. */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def partials(rows: Seq[(String, Long)]) =
+    rows.toDF("k", "x").groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"),
+        max($"x").as("mx"), min($"x").as("mn"))
+
+  test("merge equals recompute, including one-sided keys") {
+    val baseRows = Seq(("a", 1L), ("a", 5L), ("b", 2L))
+    val deltaRows = Seq(("a", -3L), ("c", 7L)) // c: delta-only key
+    val merged = IncrementalAgg.mergePartials(
+        partials(baseRows), partials(deltaRows), Seq("k"),
+        sumCols = Seq("n", "s"), maxCols = Seq("mx"), minCols = Seq("mn"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val recomputed = partials(baseRows ++ deltaRows)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(merged == recomputed)
+    assert(merged.map(_._1) == Set("a", "b", "c"))
+  }
+
+  test("empty delta is an identity merge") {
+    val base = partials(Seq(("a", 1L), ("b", 2L)))
+    val merged = IncrementalAgg.mergePartials(
+        base, partials(Seq.empty[(String, Long)]), Seq("k"),
+        sumCols = Seq("n", "s"), maxCols = Seq("mx"), minCols = Seq("mn"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(merged ==
+      base.as[(String, Long, Long, Long, Long)].collect().toSet)
+  }
+}

@@ -33,4 +33,27 @@ class IntervalsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got == Map("g" -> 4L))
   }
+
+  test("mergeOverlaps: overlap and touch merge, gaps split") {
+    // [1,3)+[2,5) overlap, [5,6) touches (end==start merges),
+    // [8,9) gapped → 2 islands
+    val iv = Seq(
+      ("g", 1L, 3L), ("g", 2L, 5L), ("g", 5L, 6L), ("g", 8L, 9L),
+      ("h", 1L, 2L))
+      .toDF("g", "s", "e")
+    val got = Intervals.mergeOverlaps(iv, Seq("g"), "s", "e")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("g", 1L, 1L, 6L, 3L), ("g", 2L, 8L, 9L, 1L),
+      ("h", 1L, 1L, 2L, 1L)))
+  }
+
+  test("mergeOverlaps: nested and duplicate intervals collapse") {
+    val iv = Seq(("g", 1L, 10L), ("g", 2L, 3L), ("g", 2L, 3L),
+        ("g", 4L, 12L))
+      .toDF("g", "s", "e")
+    val got = Intervals.mergeOverlaps(iv, Seq("g"), "s", "e")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("g", 1L, 1L, 12L, 4L)))
+  }
 }
