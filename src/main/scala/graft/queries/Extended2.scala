@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Exact._
+import graft.functions.TextFunctions.lowerTokens
 import graft.operators.{Graph, IncrementalAgg, Intervals}
 
 /** Round-3 batch 2: fixed-point PageRank over the nation trade graph,
@@ -218,7 +219,111 @@ object Extended2 {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** String-function sweep beyond q5: padding, regex extract/replace,
+    * reversal, char translation, and 1-based substring position —
+    * every expression codegen'd, all engine-agnostic (the oracle
+    * passes the 'g' flag because DuckDB's regexp_replace is
+    * first-match-only by default while Spark's replaces all).
+    */
+  val q105_string_funcs: Q = Q(
+    "q105_string_funcs",
+    """SELECT p_partkey,
+      |  length(p_name) AS name_len,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_id,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+      |  reverse(p_name) AS rev_name,
+      |  replace(p_name, ' ', '_') AS snake_name,
+      |  strpos(p_name, ' ') AS first_space
+      |FROM part WHERE p_partkey <= 200
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .filter($"p_partkey" <= 200)
+      .select($"p_partkey",
+        length($"p_name").as("name_len"),
+        lpad($"p_partkey".cast("string"), 8, "0").as("padded_id"),
+        regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"),
+        regexp_replace($"p_name", "[aeiou]", "").as("devoweled"),
+        reverse($"p_name").as("rev_name"),
+        translate($"p_name", " ", "_").as("snake_name"),
+        instr($"p_name", " ").as("first_space"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Array functions + higher-order lambdas over token arrays:
+    * size/distinct/slice/join/contains/position, `transform` +
+    * `array_max`, `filter` with a length predicate, and an
+    * `aggregate` fold — the per-row array algebra a document
+    * pipeline leans on, matched to DuckDB's list_* forms. All
+    * per-row, zero shuffles beyond the final sort.
+    */
+  val q106_array_funcs: Q = Q(
+    "q106_array_funcs",
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents WHERE doc_id < 20)
+      |SELECT doc_id,
+      |  len(toks) AS n_toks,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  array_to_string(toks[1:3], '-') AS first3,
+      |  list_contains(toks, 'the') AS has_the,
+      |  COALESCE(list_position(toks, 'the'), 0) AS pos_the,
+      |  list_max(list_transform(toks, x -> length(x))) AS longest_tok,
+      |  len(list_filter(toks, x -> length(x) > 5)) AS n_long,
+      |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+      |    AS total_chars
+      |FROM t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter($"doc_id" < 20)
+      .select($"doc_id", lowerTokens($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").as("n_toks"),
+        size(array_distinct($"toks")).as("n_distinct"),
+        array_join(slice($"toks", 1, 3), "-").as("first3"),
+        array_contains($"toks", "the").as("has_the"),
+        array_position($"toks", "the").as("pos_the"),
+        array_max(transform($"toks", x => length(x))).as("longest_tok"),
+        size(filter($"toks", x => length(x) > 5)).as("n_long"),
+        aggregate($"toks", lit(0L), (acc, x) => acc + length(x))
+          .as("total_chars"))
+      .orderBy($"doc_id")
+  }
+
+  /** NULL-ordering surface (reference O4, `NULLS LAST`): the same
+    * column ranked under ASC NULLS FIRST and DESC NULLS LAST in one
+    * pass, with nulls synthesized from negative balances. Ties break
+    * by key, so both rankings are total orders.
+    */
+  val q107_null_ordering: Q = Q(
+    "q107_null_ordering",
+    """WITH c AS (SELECT c_custkey,
+      |    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      |  FROM customer WHERE c_custkey <= 300)
+      |SELECT c_custkey, bal,
+      |  ROW_NUMBER() OVER (ORDER BY bal ASC NULLS FIRST, c_custkey)
+      |    AS rn_nulls_first,
+      |  ROW_NUMBER() OVER (ORDER BY bal DESC NULLS LAST, c_custkey)
+      |    AS rn_nulls_last
+      |FROM c ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.load(spark, dir, "customer")
+      .filter($"c_custkey" <= 300)
+      .select($"c_custkey",
+        when($"c_acctbal" < 0, lit(null)).otherwise($"c_acctbal")
+          .as("bal"))
+    c.select($"c_custkey", $"bal",
+        row_number().over(Window.orderBy(
+          $"bal".asc_nulls_first, $"c_custkey")).as("rn_nulls_first"),
+        row_number().over(Window.orderBy(
+          $"bal".desc_nulls_last, $"c_custkey")).as("rn_nulls_last"))
+      .orderBy($"c_custkey")
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
-    q103_incremental_agg, q104_map_funcs)
+    q103_incremental_agg, q104_map_funcs, q105_string_funcs,
+    q106_array_funcs, q107_null_ordering)
 }
