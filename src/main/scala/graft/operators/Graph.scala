@@ -195,7 +195,11 @@ object Graph {
   def pageRankInt(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
     require(dampPct > 0 && dampPct < 100, s"dampPct must be 1..99, got $dampPct")
-    val e = edges.select(col("src"), col("dst"))
+    // checkpoint the (possibly expensive) edge list FIRST: degrees,
+    // the degree-annotated join, and the vertex set all derive from
+    // it, and without the checkpoint each derivation would re-execute
+    // the caller's whole edge-construction pipeline
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
     val withDeg = e.join(deg, "src").localCheckpoint()
     val verts = e.select(col("src").as("node"))

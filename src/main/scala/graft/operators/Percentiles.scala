@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact continuous percentiles by distributed rank selection.
+  *
+  * Spark's `percentile` aggregate buffers every value of a group in
+  * one aggregation buffer — exact, but the buffer is O(group size),
+  * so a group with 10¹² rows OOMs a single task. `percentile_approx`
+  * (q66) fixes memory with a sketch but gives estimates. This
+  * operator is the third regime: EXACT values with bounded memory —
+  * a range-partitioned sort by (group, value), contiguous global
+  * ranks from per-partition counts + prefix offsets (the classic
+  * distributed zip-with-index), then only the two rows flanking each
+  * target rank are extracted and linearly interpolated
+  * (`quantile_cont` semantics, matching Spark's own `percentile`).
+  *
+  * Regime guidance: use this for FEW groups with HUGE populations
+  * (global/per-status distributions over a 100 TB fact) — driver
+  * state is O(partitions × groups). For millions of small groups use
+  * `percentile` (per-group buffers are small there); for estimates at
+  * any scale use `percentile_approx`.
+  *
+  * `mapPartitions` is justified here (SURVEY §7.2 ladder, option d):
+  * contiguous distributed rank assignment has no Catalyst expression
+  * form — a `Window.partitionBy(group)` row_number funnels each whole
+  * group through ONE task, which is exactly the bottleneck this
+  * operator removes. Ties are safe: rows with equal (group, value)
+  * may rank in any order, but every target rank still reads the same
+  * value.
+  */
+object Percentiles {
+
+  /** @param ps percentiles in [0,1], e.g. Seq(0.5, 0.9)
+    * @return one row per (group, p): groupCol, `p`, `value` (exact
+    *         interpolated percentile), `n_rows` (group population)
+    */
+  def exactCont(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0,1], got $ps")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val data = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    // one materialized sorted layout feeds both passes (count + pick)
+    val sorted = data
+      .repartitionByRange(nPart, col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+      .localCheckpoint()
+    val rdd = sorted.rdd.map(r => (r.getString(0), r.getDouble(1)))
+
+    // pass 1: per-partition group counts → driver-side prefix offsets
+    val partCounts: Array[(Int, Seq[(String, Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
+        Iterator((pid, m.toSeq))
+      }.collect()
+    val offsets = scala.collection.mutable.Map.empty[(Int, String), Long]
+    val totals = scala.collection.mutable.Map.empty[String, Long]
+    partCounts.sortBy(_._1).foreach { case (pid, gs) =>
+      gs.foreach { case (g, c) =>
+        offsets((pid, g)) = totals.getOrElse(g, 0L)
+        totals(g) = totals.getOrElse(g, 0L) + c
+      }
+    }
+
+    // target ranks per group: continuous position 1 + (n-1)p needs the
+    // rows at floor and ceil
+    val targets: Seq[(String, Double, Long, Long, Double, Long)] =
+      totals.toSeq.flatMap { case (g, n) =>
+        ps.map { p =>
+          val pos = 1.0 + (n - 1) * p
+          val lo = math.floor(pos).toLong
+          val hi = math.ceil(pos).toLong
+          (g, p, lo, hi, pos - lo, n)
+        }
+      }
+    val needed: Map[String, Set[Long]] = targets
+      .groupBy(_._1)
+      .map { case (g, ts) => g -> ts.flatMap(t => Seq(t._3, t._4)).toSet }
+
+    // pass 2: stream each partition once, keep ONLY the flanking rows
+    val sc = spark.sparkContext
+    val bcOff = sc.broadcast(offsets.toMap)
+    val bcNeed = sc.broadcast(needed)
+    val pickedRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bcOff.value
+      val need = bcNeed.value
+      val local = scala.collection.mutable.Map.empty[String, Long]
+      it.flatMap { case (g, v) =>
+        val seen = local.getOrElse(g, 0L) + 1L
+        local(g) = seen
+        val rank = off.getOrElse((pid, g), 0L) + seen
+        if (need.getOrElse(g, Set.empty).contains(rank))
+          Iterator(Row(g, rank, v))
+        else Iterator.empty
+      }
+    }
+    val pickedSchema = StructType(Seq(
+      StructField("g", StringType), StructField("r", LongType),
+      StructField("v", DoubleType)))
+    // materialize the (tiny) flanking-row set once — it is consumed by
+    // two join sides, and each consumption would otherwise re-stream
+    // the full sorted data
+    val picked = spark.createDataFrame(pickedRdd, pickedSchema)
+      .localCheckpoint()
+
+    // tiny: |groups|·|ps| rows joined against the flanking values
+    import spark.implicits._
+    val tdf = targets.toDF("g", "p", "lo", "hi", "frac", "n_rows")
+    val loSide = picked.select(col("g").as("_gl"), col("r").as("_rl"),
+      col("v").as("vlo"))
+    val hiSide = picked.select(col("g").as("_gh"), col("r").as("_rh"),
+      col("v").as("vhi"))
+    tdf
+      .join(broadcast(loSide),
+        col("g") === col("_gl") && col("lo") === col("_rl"))
+      .join(broadcast(hiSide),
+        col("g") === col("_gh") && col("hi") === col("_rh"))
+      // (1−g)·lo + g·hi, NOT lo + (hi−lo)·g: algebraically equal but a
+      // different rounding path — Spark's Percentile (and DuckDB's
+      // quantile_cont) use the two-product form, and the single-ulp
+      // divergence of the other form fails the cross-engine hash
+      .select(col("g").as(groupCol), col("p"),
+        ((lit(1.0) - col("frac")) * col("vlo") +
+          col("frac") * col("vhi")).as("value"),
+        col("n_rows"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Exact._
 import graft.functions.TextFunctions.lowerTokens
-import graft.operators.{Graph, IncrementalAgg, Intervals}
+import graft.operators.{Graph, IncrementalAgg, Intervals, Percentiles}
 
 /** Round-3 batch 2: fixed-point PageRank over the nation trade graph,
   * interval coalescing, strict-ordered funnel sequences, incremental
@@ -322,8 +322,37 @@ object Extended2 {
       .orderBy($"c_custkey")
   }
 
+  /** Exact percentiles by distributed rank selection
+    * ([[graft.operators.Percentiles.exactCont]]) — same report and
+    * same `quantile_cont` oracle as q62, but where q62's `percentile`
+    * aggregate buffers every group value in one task, this path
+    * range-partitions the sort and extracts only the rows flanking
+    * each target rank: exact answers with bounded memory on groups of
+    * any size. The matching hash proves the two regimes agree.
+    */
+  val q108_percentile_rank: Q = Q(
+    "q108_percentile_rank",
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price,
+      |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Percentiles.exactCont(
+        Tables.load(spark, dir, "orders"),
+        groupCol = "o_orderstatus", valueCol = "o_totalprice",
+        ps = Seq(0.5, 0.9))
+      .groupBy($"o_orderstatus")
+      .agg(
+        max(when($"p" === 0.5, $"value")).as("median_price"),
+        max(when($"p" === 0.9, $"value")).as("p90_price"),
+        max($"n_rows").as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
-    q106_array_funcs, q107_null_ordering)
+    q106_array_funcs, q107_null_ordering, q108_percentile_rank)
 }

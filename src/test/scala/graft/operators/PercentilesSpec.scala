@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Distributed rank-selection percentiles ≡ Spark's buffering
+  * `percentile` aggregate (which q62's oracle already proves equals
+  * DuckDB's quantile_cont).
+  */
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactCont equals the percentile aggregate on random groups") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(5000)(
+      (s"g${rng.nextInt(4)}", rng.nextInt(100000) / 7.0))
+    val df = rows.toDF("grp", "x").repartition(13)
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = Percentiles.exactCont(df, "grp", "x", ps)
+      .select($"grp", $"p", $"value")
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p, v) => (g, p) -> v }.toMap
+    val aggCols = ps.map(p => percentile($"x", lit(p)).as(s"p$p"))
+    val expected = df.groupBy($"grp")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .flatMap { r =>
+        ps.zipWithIndex.map { case (p, i) =>
+          (r.getString(0), p) -> r.getDouble(i + 1)
+        }
+      }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) =>
+      assert(v == expected(k), s"mismatch at $k: $v vs ${expected(k)}")
+    }
+  }
+
+  test("single-element and two-element groups interpolate correctly") {
+    val df = Seq(("a", 10.0), ("b", 1.0), ("b", 3.0)).toDF("grp", "x")
+    val got = Percentiles.exactCont(df, "grp", "x", Seq(0.5))
+      .select($"grp", $"value").as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 10.0, "b" -> 2.0))
+  }
+
+  test("nulls are excluded, population counts reflect it") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(5.0)))
+      .toDF("grp", "x")
+    val got = Percentiles.exactCont(df, "grp", "x", Seq(0.5))
+      .select($"grp", $"value", $"n_rows")
+      .as[(String, Double, Long)].collect()
+    assert(got.toSeq == Seq(("a", 3.0, 2L)))
+  }
+}
