@@ -156,4 +156,37 @@ object StreamingJobs {
       if (seen.add(epochId)) write(batch)
     }
   }
+
+  /** Streaming incremental-view maintenance: a `foreachBatch` sink
+    * that aggregates ONLY each micro-batch and merges the partials
+    * into a running aggregate table
+    * ([[graft.operators.IncrementalAgg.mergePartials]] — the same
+    * merge ≡ recompute law q103 proves in batch). This is the
+    * append-stream alternative to an output-mode=update stateful agg:
+    * the stream side carries NO Spark state (restart-safe without a
+    * state store), the running table lives wherever `load`/`save`
+    * point (a table, a path), and each epoch costs one delta
+    * aggregation + one key-wise merge regardless of history size.
+    * Per-epoch idempotence comes from the same epoch-dedup discipline
+    * as [[IdempotentBatchSink]]; `save` must swap atomically (e.g.
+    * overwrite a staging table then rename) for crash consistency.
+    */
+  class IncrementalAggSink(
+      aggregate: DataFrame => DataFrame,
+      keys: Seq[String], sumCols: Seq[String],
+      maxCols: Seq[String] = Nil, minCols: Seq[String] = Nil,
+      load: () => Option[DataFrame], save: DataFrame => Unit) {
+    private val seen = scala.collection.mutable.Set.empty[Long]
+    def apply(batch: DataFrame, epochId: Long): Unit = synchronized {
+      if (seen.add(epochId)) {
+        val delta = aggregate(batch)
+        val merged = load() match {
+          case Some(base) => graft.operators.IncrementalAgg
+            .mergePartials(base, delta, keys, sumCols, maxCols, minCols)
+          case None => delta
+        }
+        save(merged)
+      }
+    }
+  }
 }

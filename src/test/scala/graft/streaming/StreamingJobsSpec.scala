@@ -148,4 +148,31 @@ class StreamingJobsSpec extends SparkSpec {
     sink(df, 7L); sink(df, 7L); sink(df, 8L)
     assert(writes == 2)
   }
+
+  test("incremental-agg sink maintains merge ≡ recompute across epochs") {
+    implicit val ctx = spark.sqlContext
+    var table: Option[DataFrame] = None
+    val sink = new StreamingJobs.IncrementalAggSink(
+      aggregate = b => b.groupBy($"host")
+        .agg(count(lit(1)).as("n"), sum(length($"url")).as("chars")),
+      keys = Seq("host"), sumCols = Seq("n", "chars"),
+      load = () => table,
+      save = df => table = Some(df.localCheckpoint()))
+    val input = MemoryStream[WebEvent]
+    val q = input.toDF().writeStream
+      .foreachBatch((b: DataFrame, id: Long) => sink(b, id))
+      .start()
+    val batches = Seq(
+      Seq(ev("a.com", "1.1.1.1", "00:00:10"),
+        ev("b.com", "2.2.2.2", "00:01:00")),
+      Seq(ev("a.com", "1.1.1.1", "00:02:00")),
+      Seq(ev("c.com", "3.3.3.3", "00:03:00"),
+        ev("a.com", "1.1.1.1", "00:04:00")))
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val got = table.get.as[(String, Long, Long)].collect().toSet
+    // /page is 5 chars; recompute over all 5 events
+    assert(got == Set(("a.com", 3L, 15L), ("b.com", 1L, 5L),
+      ("c.com", 1L, 5L)))
+  }
 }
