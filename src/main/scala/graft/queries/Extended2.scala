@@ -351,8 +351,45 @@ object Extended2 {
       .orderBy($"o_orderstatus")
   }
 
+  /** Z-order layout key ([[graft.functions.ZOrder.morton2]]): the
+    * (part, supplier) density grid keyed by interleaved-bit Morton
+    * codes — the clustering key a 100 TB fact would be laid out by so
+    * min/max stats prune filters on either dimension. The oracle
+    * replays the 4-round mask-and-shift spread in integer SQL, so the
+    * bit arithmetic itself is cross-engine-verified.
+    */
+  val q109_zorder: Q = Q(
+    "q109_zorder",
+    """WITH d AS (SELECT CAST(l_partkey % 1024 AS BIGINT) AS x,
+      |    CAST(l_suppkey % 1024 AS BIGINT) AS y, COUNT(*) AS n_lines
+      |  FROM lineitem GROUP BY 1, 2),
+      |s0 AS (SELECT x, y, n_lines,
+      |  (x | (x << 8)) & 16711935 AS xs,
+      |  (y | (y << 8)) & 16711935 AS ys FROM d),
+      |s1 AS (SELECT x, y, n_lines,
+      |  (xs | (xs << 4)) & 252645135 AS xs,
+      |  (ys | (ys << 4)) & 252645135 AS ys FROM s0),
+      |s2 AS (SELECT x, y, n_lines,
+      |  (xs | (xs << 2)) & 858993459 AS xs,
+      |  (ys | (ys << 2)) & 858993459 AS ys FROM s1),
+      |s3 AS (SELECT x, y, n_lines,
+      |  (xs | (xs << 1)) & 1431655765 AS xs,
+      |  (ys | (ys << 1)) & 1431655765 AS ys FROM s2)
+      |SELECT x, y, (xs | (ys << 1)) AS z, n_lines
+      |FROM s3 ORDER BY z, x, y LIMIT 200""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(($"l_partkey" % 1024).as("x"), ($"l_suppkey" % 1024).as("y"))
+      .agg(count(lit(1)).as("n_lines"))
+      .withColumn("z", graft.functions.ZOrder.morton2($"x", $"y"))
+      .select($"x", $"y", $"z", $"n_lines")
+      .orderBy($"z", $"x", $"y")
+      .limit(200)
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
-    q106_array_funcs, q107_null_ordering, q108_percentile_rank)
+    q106_array_funcs, q107_null_ordering, q108_percentile_rank,
+    q109_zorder)
 }

@@ -58,15 +58,28 @@ object Joins {
     val customer = Tables.load(spark, dir, "customer")
     val nation = Tables.load(spark, dir, "nation")
     val region = Tables.load(spark, dir, "region")
-    li.join(orders, $"l_orderkey" === $"o_orderkey")
+    // eager aggregation below the fact-fact join: reduce lineitem to
+    // one partial (revenue, count) row per order BEFORE shuffling —
+    // map-side combine is strong because lineitem arrives clustered by
+    // orderkey, so the join exchange moves ~|orders| narrow rows
+    // instead of ~4× as many wide ones. Catalyst does not push
+    // aggregates through joins; the rewrite is exact because decimal
+    // sum-of-sums ≡ sum (and count-of-counts ≡ count) — the same
+    // mergeable-partials law as IncrementalAgg/q103.
+    val liPerOrder = li
+      .groupBy($"l_orderkey")
+      .agg(
+        sum(money($"l_extendedprice") * (lit(1) - money($"l_discount")))
+          .as("_rev"),
+        count(lit(1)).as("_n"))
+    liPerOrder.join(orders, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(customer), $"o_custkey" === $"c_custkey")
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        dsumRaw(money($"l_extendedprice") * (lit(1) - money($"l_discount")))
-          .as("revenue"),
-        count(lit(1)).as("n_lines"))
+        dsumRaw($"_rev").as("revenue"),
+        sum($"_n").as("n_lines"))
       .orderBy($"r_name", $"n_name")
   }
 
