@@ -73,4 +73,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Union"),
       "the 4-way union must be fused into one explode pass")
   }
+
+  test("q11_join_star aggregates lineitem below the fact-fact join") {
+    val p = plan("q11_join_star")
+    // the eager pre-aggregation must sit UNDER the orders join (in the
+    // plan string, children print after their parent): the join then
+    // consumes per-order partials, not raw line items. Join type is
+    // SF-dependent (SMJ at scale; at spec SF the shrunken agg side
+    // even lets orders broadcast) — the invariant is agg-below-join.
+    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastHashJoin").map(p.indexOf).filter(_ >= 0)
+    assert(joinIdx.nonEmpty, "expected a join in the plan")
+    val aggBelow = p.indexOf("HashAggregate", joinIdx.min)
+    assert(aggBelow >= 0 &&
+      p.substring(aggBelow).contains("l_orderkey"),
+      "lineitem must pre-aggregate per order before the join")
+  }
+
+  test("q103's merge join reuses the partial-aggregation partitioning") {
+    val p = plan("q103_incremental_agg")
+    // base and delta each shuffle once for their aggregation; the
+    // full-outer merge join must NOT add exchanges of its own (the
+    // only other exchange is the final orderBy's range partitioning)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2,
+      s"expected exactly 2 hash exchanges (one per partial agg), saw $hashEx")
+  }
+
+  test("q108's flanking-row joins broadcast the picked rows") {
+    val p = plan("q108_percentile_rank")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "the two flanking-value joins must broadcast, not shuffle")
+  }
 }
