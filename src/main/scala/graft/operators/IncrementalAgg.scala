@@ -47,4 +47,28 @@ object IncrementalAgg {
     base.join(d, keys, "full_outer")
       .select(keys.map(col) ++ merged: _*)
   }
+
+  /** Merge partial-aggregate tables that carry HLL sketch columns
+    * (`hll_sketch_agg` binaries) — the mergeable-state route for
+    * COUNT DISTINCT, which has no algebraic partial. Each batch
+    * sketches only its delta; the union is a few KB per key
+    * regardless of how many distinct values history holds, and
+    * `hll_sketch_estimate` reads the maintained table without ever
+    * rescanning raw data. Same key semantics as [[mergePartials]]
+    * (one-sided keys pass through).
+    */
+  def mergeSketches(base: DataFrame, delta: DataFrame, keys: Seq[String],
+      sketchCols: Seq[String]): DataFrame = {
+    val d = delta.select(
+      (keys.map(col) ++ sketchCols.map(c => col(c).as(s"_d_$c"))): _*)
+    // when-chain, not coalesce(hll_union(...), …): branches evaluate
+    // lazily, so a one-sided key never feeds NULL into hll_union
+    val merged = sketchCols.map(c =>
+      when(col(c).isNull, col(s"_d_$c"))
+        .when(col(s"_d_$c").isNull, col(c))
+        .otherwise(hll_union(col(c), col(s"_d_$c")))
+        .as(c))
+    base.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ merged: _*)
+  }
 }

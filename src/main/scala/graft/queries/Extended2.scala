@@ -387,9 +387,37 @@ object Extended2 {
       .limit(200)
   }
 
+  /** Incremental COUNT DISTINCT via mergeable HLL sketches
+    * ([[IncrementalAgg.mergeSketches]]) — q103's maintenance story
+    * for the aggregate that has NO algebraic partial: each period
+    * sketches only its own events, the union is a few KB per key
+    * forever, and the estimate reads the maintained table. Estimates
+    * are engine-specific (DataSketches HLL here), so this is
+    * rows-only like q9/q66; the exact-equality law is spec-tested at
+    * small cardinalities instead.
+    */
+  val q110_hll_incremental: Q = Q.noOracle("q110_hll_incremental") {
+    (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_type", $"user_id",
+        $"ts".cast("date").as("day"))
+    val cut = lit("2024-02-01").cast("date")
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type")
+        .agg(hll_sketch_agg($"user_id").as("users_sk"))
+    val base = sketch(ev.filter($"day" < cut))
+    val delta = sketch(ev.filter($"day" >= cut))
+    IncrementalAgg.mergeSketches(base, delta, Seq("event_type"),
+        Seq("users_sk"))
+      .select($"event_type",
+        hll_sketch_estimate($"users_sk").as("distinct_users"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
     q106_array_funcs, q107_null_ordering, q108_percentile_rank,
-    q109_zorder)
+    q109_zorder, q110_hll_incremental)
 }

@@ -25,6 +25,26 @@ class IncrementalAggSpec extends SparkSpec {
     assert(merged.map(_._1) == Set("a", "b", "c"))
   }
 
+  test("sketch merge estimates equal the full-data distinct count") {
+    // small cardinalities: HLL stays in exact (list/set) mode, so the
+    // merged estimate must equal both the direct sketch estimate and
+    // the true distinct count
+    val baseRows = Seq(("a", 1L), ("a", 2L), ("b", 10L))
+    val deltaRows = Seq(("a", 2L), ("a", 3L), ("c", 5L))
+    def sk(rows: Seq[(String, Long)]) =
+      rows.toDF("k", "x").groupBy($"k")
+        .agg(hll_sketch_agg($"x").as("users"))
+    val merged = IncrementalAgg.mergeSketches(
+        sk(baseRows), sk(deltaRows), Seq("k"), Seq("users"))
+      .select($"k", hll_sketch_estimate($"users").as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    val direct = sk(baseRows ++ deltaRows)
+      .select($"k", hll_sketch_estimate($"users"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == direct)
+  }
+
   test("empty delta is an identity merge") {
     val base = partials(Seq(("a", 1L), ("b", 2L)))
     val merged = IncrementalAgg.mergePartials(
