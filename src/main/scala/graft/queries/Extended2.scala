@@ -415,9 +415,43 @@ object Extended2 {
       .orderBy($"event_type")
   }
 
+  /** IQR-fence outlier detection per group: quartiles once per
+    * status, broadcast back to the fact, count rows beyond
+    * p75 + 1.5·IQR. The fence arithmetic runs on bit-identical
+    * quantile doubles with the same expression in both engines, so
+    * even the boundary comparisons reproduce. One fact scan per
+    * side + a broadcast join — no per-row window.
+    */
+  val q111_outliers: Q = Q(
+    "q111_outliers",
+    """WITH q AS (SELECT o_orderstatus,
+      |    quantile_cont(o_totalprice, 0.25) AS p25,
+      |    quantile_cont(o_totalprice, 0.75) AS p75
+      |  FROM orders GROUP BY 1)
+      |SELECT o.o_orderstatus, q.p25, q.p75,
+      |  COUNT(CASE WHEN o.o_totalprice > q.p75 + 1.5 * (q.p75 - q.p25)
+      |    THEN 1 END) AS n_outliers,
+      |  COUNT(*) AS n_orders
+      |FROM orders o JOIN q USING (o_orderstatus)
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val q = orders.groupBy($"o_orderstatus")
+      .agg(
+        percentile($"o_totalprice", lit(0.25)).as("p25"),
+        percentile($"o_totalprice", lit(0.75)).as("p75"))
+    orders.join(broadcast(q), "o_orderstatus")
+      .groupBy($"o_orderstatus", $"p25", $"p75")
+      .agg(
+        count(when($"o_totalprice" > $"p75" + lit(1.5) * ($"p75" - $"p25"),
+          1)).as("n_outliers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
     q106_array_funcs, q107_null_ordering, q108_percentile_rank,
-    q109_zorder, q110_hll_incremental)
+    q109_zorder, q110_hll_incremental, q111_outliers)
 }
