@@ -449,9 +449,96 @@ object Extended2 {
       .orderBy($"o_orderstatus")
   }
 
+  /** Vocabulary encoding — the tokenizer-dictionary step of a
+    * training pipeline: build the top-100 vocabulary by document
+    * frequency (deterministic tie-break on the token), broadcast it,
+    * and encode each document's first 10 tokens as dictionary ids
+    * (0 = UNK). The dictionary is dimension-sized by construction, so
+    * the apply side is a broadcast join over any corpus size; the
+    * ordered reassembly is `array_sort(collect_list(struct(pos, id)))`
+    * — the A3 ordered-agg discipline, not a window sort.
+    */
+  val q112_vocab_encode: Q = Q(
+    "q112_vocab_encode",
+    """WITH t AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      |vocab AS (SELECT tok,
+      |    ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS id
+      |  FROM dfq QUALIFY id <= 100),
+      |f AS (SELECT d.doc_id,
+      |    generate_subscripts(d.toks[1:10], 1) AS pos,
+      |    unnest(d.toks[1:10]) AS tok
+      |  FROM (SELECT doc_id,
+      |      string_split_regex(lower(text), '\s+') AS toks
+      |    FROM documents WHERE doc_id < 20) d),
+      |e AS (SELECT f.doc_id, f.pos,
+      |    COALESCE(v.id, 0) AS id
+      |  FROM f LEFT JOIN vocab v ON f.tok = v.tok)
+      |SELECT doc_id,
+      |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val dfq = docs
+      .select($"doc_id", explode(lowerTokens($"text")).as("tok"))
+      .distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val vocab = dfq
+      .withColumn("id",
+        row_number().over(Window.orderBy($"df".desc, $"tok")))
+      .filter($"id" <= 100)
+      .select($"tok", $"id")
+    docs.filter($"doc_id" < 20)
+      .select($"doc_id",
+        posexplode(slice(lowerTokens($"text"), 1, 10))
+          .as(Seq("pos", "tok")))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select($"doc_id", $"pos",
+        coalesce($"id", lit(0)).as("id"))
+      .groupBy($"doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct($"pos", $"id"))),
+          x => x.getField("id").cast("string")),
+        ",").as("ids_csv"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bigram counts: adjacent-token pairs via a zip of the array with
+    * its own 1-shifted slice — NOT `sequence(1, size-1)` indexing,
+    * which silently DESCENDS for 1-token docs (the q76 trap). Top
+    * bigrams by count with total tie-break order.
+    */
+  val q113_bigrams: Q = Q(
+    "q113_bigrams",
+    """WITH t AS (SELECT string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |b AS (SELECT unnest(list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |  FROM t)
+      |SELECT bigram, COUNT(*) AS n
+      |FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val toks = lowerTokens($"text")
+    val w = greatest(size(toks) - 1, lit(0))
+    Tables.loadParallel(spark, dir, "documents")
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), w), slice(toks, lit(2), w))).as("pair"))
+      .select(concat_ws(" ", $"pair.0", $"pair.1").as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
     q106_array_funcs, q107_null_ordering, q108_percentile_rank,
-    q109_zorder, q110_hll_incremental, q111_outliers)
+    q109_zorder, q110_hll_incremental, q111_outliers,
+    q112_vocab_encode, q113_bigrams)
 }
