@@ -535,10 +535,55 @@ object Extended2 {
       .limit(20)
   }
 
+  /** Order-independent table checksums — the migration-validation
+    * tool a user switching engines runs on BOTH systems: every row
+    * hashes to a 60-bit md5-derived integer, XOR-folded per table
+    * (commutative, overflow-free at any row count, partial-merge
+    * friendly). Doubles go through the DECIMAL(18,2) money cast
+    * before stringification so both engines serialize identical
+    * digits; this very query hash-matching IS a demonstration of the
+    * cross-engine checksum protocol on three tables at once.
+    */
+  val q114_table_checksum: Q = Q(
+    "q114_table_checksum",
+    """WITH n AS (SELECT 'nation' AS table_name, COUNT(*) AS n_rows,
+      |  bit_xor(CAST(concat('0x', substr(md5(
+      |    concat_ws('|', n_nationkey, n_name, n_regionkey)), 1, 15))
+      |    AS BIGINT)) AS xor_checksum FROM nation),
+      |r AS (SELECT 'region', COUNT(*),
+      |  bit_xor(CAST(concat('0x', substr(md5(
+      |    concat_ws('|', r_regionkey, r_name)), 1, 15))
+      |    AS BIGINT)) FROM region),
+      |s AS (SELECT 'supplier', COUNT(*),
+      |  bit_xor(CAST(concat('0x', substr(md5(
+      |    concat_ws('|', s_suppkey, s_name, s_nationkey,
+      |      CAST(s_acctbal AS DECIMAL(18,2)))), 1, 15))
+      |    AS BIGINT)) FROM supplier)
+      |SELECT * FROM n UNION ALL SELECT * FROM r
+      |UNION ALL SELECT * FROM s
+      |ORDER BY table_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    def checksum(table: String, rowRepr: org.apache.spark.sql.Column) =
+      Tables.load(spark, dir, table)
+        .select(conv(substring(md5(rowRepr), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_checksum"))
+        .select(lit(table).as("table_name"), $"n_rows", $"xor_checksum")
+    checksum("nation",
+        concat_ws("|", $"n_nationkey", $"n_name", $"n_regionkey"))
+      .unionByName(checksum("region",
+        concat_ws("|", $"r_regionkey", $"r_name")))
+      .unionByName(checksum("supplier",
+        concat_ws("|", $"s_suppkey", $"s_name", $"s_nationkey",
+          money($"s_acctbal"))))
+      .orderBy($"table_name")
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
     q106_array_funcs, q107_null_ordering, q108_percentile_rank,
     q109_zorder, q110_hll_incremental, q111_outliers,
-    q112_vocab_encode, q113_bigrams)
+    q112_vocab_encode, q113_bigrams, q114_table_checksum)
 }
