@@ -104,4 +104,32 @@ object Multimodal {
       .filter(col("frame_idx").isNotNull)
       .withColumn("t_offset_s", col("frame_idx") / fps)
   }
+
+  /** Audio analysis windows: one row per hop-spaced window over each
+    * audio item's duration, trailing partial window included (its
+    * `t_end_s` clamps to the duration). Same plan-arithmetic explode
+    * discipline as [[sampleFrames]], same descending-`sequence` guard.
+    * `energy` is the decode seam's deterministic stand-in for a real
+    * per-window RMS (md5-derived, so the oracle can replay it); a
+    * codec build swaps it for actual sample math inside
+    * [[decodePartitions]].
+    */
+  def sampleWindows(df: DataFrame, windowS: Int, hopS: Int): DataFrame = {
+    require(windowS > 0 && hopS > 0, "window and hop must be positive")
+    val dur = col("meta.duration_s")
+    val n = floor((dur - 1) / hopS).cast("int") + 1
+    df.filter(col("kind") === "audio")
+      .select(col("media_id"), dur.as("_dur"),
+        explode_outer(when(n >= 1, sequence(lit(0), n - 1)))
+          .as("win_idx"))
+      .filter(col("win_idx").isNotNull)
+      .withColumn("t_start_s", col("win_idx") * hopS)
+      .withColumn("t_end_s",
+        least(col("t_start_s") + windowS, col("_dur")))
+      .withColumn("energy",
+        conv(substring(
+          md5(concat_ws(":", col("media_id"), col("win_idx"))), 1, 4),
+          16, 10).cast("long") % 1000)
+      .drop("_dur")
+  }
 }

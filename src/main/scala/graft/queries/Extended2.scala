@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Exact._
 import graft.functions.TextFunctions.lowerTokens
-import graft.operators.{Graph, IncrementalAgg, Intervals, Percentiles}
+import graft.operators.{Graph, IncrementalAgg, Intervals, Multimodal,
+  Percentiles}
 
 /** Round-3 batch 2: fixed-point PageRank over the nation trade graph,
   * interval coalescing, strict-ordered funnel sequences, incremental
@@ -580,10 +581,53 @@ object Extended2 {
       .orderBy($"table_name")
   }
 
+  /** Audio window sampling ([[graft.operators.Multimodal.sampleWindows]]):
+    * 5 s windows at a 2 s hop over every audio item, per-window energy
+    * from the deterministic decode seam, rolled up per id bucket. The
+    * oracle replays the metadata derivation, the window arithmetic
+    * (trailing partials included), and the md5 energy stub — so the
+    * whole audio plumbing short of the codec is cross-engine-checked.
+    */
+  val q115_audio_windows: Q = Q(
+    "q115_audio_windows",
+    """WITH a AS (SELECT doc_id AS media_id,
+      |    (doc_id * 7) % 240 + 1 AS dur
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |w AS (SELECT media_id, dur,
+      |    unnest(generate_series(0,
+      |      CAST(FLOOR((dur - 1) / 2.0) AS INT))) AS win_idx
+      |  FROM a),
+      |e AS (SELECT media_id, win_idx,
+      |    LEAST(win_idx * 2 + 5, dur) - win_idx * 2 AS win_len,
+      |    CAST(concat('0x',
+      |      substr(md5(concat_ws(':', media_id, win_idx)), 1, 4))
+      |      AS BIGINT) % 1000 AS energy
+      |  FROM w)
+      |SELECT media_id % 5 AS bucket,
+      |  COUNT(DISTINCT media_id) AS n_audio,
+      |  COUNT(*) AS n_windows,
+      |  CAST(SUM(win_len) AS BIGINT) AS total_window_s,
+      |  CAST(SUM(energy) AS BIGINT) AS sum_energy
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val media = Multimodal.attachMedia(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.sampleWindows(media, windowS = 5, hopS = 2)
+      .groupBy(($"media_id" % 5).as("bucket"))
+      .agg(
+        countDistinct($"media_id").as("n_audio"),
+        count(lit(1)).as("n_windows"),
+        sum(($"t_end_s" - $"t_start_s").cast("long"))
+          .as("total_window_s"),
+        sum($"energy").as("sum_energy"))
+      .orderBy($"bucket")
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
     q106_array_funcs, q107_null_ordering, q108_percentile_rank,
     q109_zorder, q110_hll_incremental, q111_outliers,
-    q112_vocab_encode, q113_bigrams, q114_table_checksum)
+    q112_vocab_encode, q113_bigrams, q114_table_checksum,
+    q115_audio_windows)
 }

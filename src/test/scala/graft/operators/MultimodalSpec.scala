@@ -72,4 +72,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(media, 2.0)
       .filter($"frame_idx" < 0).count() == 0)
   }
+
+  test("sampleWindows: hop spacing, clamped trailing partial, audio only") {
+    val w = Multimodal.sampleWindows(media, windowS = 5, hopS = 2)
+      .select($"media_id", $"win_idx", $"t_start_s", $"t_end_s")
+      .as[(Long, Int, Int, Int)].collect()
+    // only the audio row (media_id % 3 == 1) emits windows
+    assert(w.map(_._1).distinct.toSeq == Seq(1L))
+    val dur = media.filter($"media_id" === 1L)
+      .select($"meta.duration_s").as[Int].head()
+    // starts at 0,2,4,… while < dur; ends clamp to dur
+    val want = (0 until ((dur - 1) / 2 + 1)).map { i =>
+      (1L, i, i * 2, math.min(i * 2 + 5, dur))
+    }
+    assert(w.sortBy(_._2).toSeq == want)
+    // energies are deterministic and bounded
+    val e = Multimodal.sampleWindows(media, 5, 2)
+      .select($"energy").as[Long].collect()
+    assert(e.forall(x => x >= 0 && x < 1000))
+  }
 }
