@@ -55,8 +55,10 @@ object RangeJoinStrategy extends SparkStrategy {
 class GraftSparkExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
-      e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+      e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
+    e.injectOptimizerRule(_ => LevenshteinBandRule)
+  }
 }
 
 /** Physical operator: collect + sort the interval side on the driver

@@ -80,6 +80,10 @@ object Extended {
       |WHERE a.p_partkey <= 50 AND levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY dist, id_a, id_b LIMIT 100""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // LevenshteinBandRule rewrites the dist<=2 filter to a free
+    // length-difference band + the early-exit threshold DP
+    org.apache.spark.sql.graftbridge.Bridge.addOptimization(
+      spark, graft.plans.LevenshteinBandRule)
     val p = Tables.load(spark, dir, "part").select($"p_partkey", $"p_name")
     val a = p.filter($"p_partkey" <= 50)
       .select($"p_partkey".as("id_a"), $"p_name".as("name_a"))

@@ -55,4 +55,18 @@ object Bridge {
       if (!exp.extraStrategies.contains(s))
         exp.extraStrategies = exp.extraStrategies :+ s
     }
+
+  /** Idempotently add an optimizer rule to a live session (the
+    * runtime counterpart of `injectOptimizerRule`; same concurrency
+    * discipline as [[addStrategy]]).
+    */
+  def addOptimization(spark: org.apache.spark.sql.SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit =
+    synchronized {
+      val exp = spark
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+      if (!exp.extraOptimizations.contains(r))
+        exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
 }
