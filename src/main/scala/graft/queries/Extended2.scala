@@ -623,11 +623,46 @@ object Extended2 {
       .orderBy($"bucket")
   }
 
+  /** Recursive CTE (Spark ≥4.0 `WITH RECURSIVE`): walk a derived
+    * customer hierarchy (parent = id DIV 10 — a deterministic ~4-deep
+    * tree) from the single-digit roots, one UNION ALL step per level,
+    * aggregated per depth. DuckDB replays the same recursion; the
+    * relational alternative for unbounded depth remains the iterative
+    * operator loop (q88/q100), but bounded hierarchy walks are
+    * exactly what the SQL surface should express directly.
+    */
+  val q116_recursive_cte: Q = Q(
+    "q116_recursive_cte",
+    """WITH RECURSIVE h AS (
+      |  SELECT c_custkey AS id, 0 AS depth FROM customer
+      |  WHERE c_custkey BETWEEN 1 AND 9
+      |  UNION ALL
+      |  SELECT c.c_custkey, h.depth + 1
+      |  FROM customer c JOIN h ON c.c_custkey // 10 = h.id)
+      |SELECT depth, COUNT(*) AS n,
+      |  CAST(MIN(id) AS BIGINT) AS min_id,
+      |  CAST(MAX(id) AS BIGINT) AS max_id
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("customer")
+    spark.sql(
+      """WITH RECURSIVE h AS (
+        |  SELECT c_custkey AS id, 0 AS depth FROM customer
+        |  WHERE c_custkey BETWEEN 1 AND 9
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.depth + 1
+        |  FROM customer c JOIN h ON c.c_custkey DIV 10 = h.id)
+        |SELECT depth, COUNT(*) AS n,
+        |  CAST(MIN(id) AS BIGINT) AS min_id,
+        |  CAST(MAX(id) AS BIGINT) AS max_id
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
     q106_array_funcs, q107_null_ordering, q108_percentile_rank,
     q109_zorder, q110_hll_incremental, q111_outliers,
     q112_vocab_encode, q113_bigrams, q114_table_checksum,
-    q115_audio_windows)
+    q115_audio_windows, q116_recursive_cte)
 }
