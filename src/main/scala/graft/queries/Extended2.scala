@@ -658,11 +658,71 @@ object Extended2 {
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Enum validation / dead-letter routing
+    * ([[graft.functions.Validate]]): event_type checked against an
+    * allowed domain in quarantine stance — valid rows keep their
+    * value, violations rank into a dead-letter count per source
+    * value. The CHECK-constraint analog at a pipeline boundary,
+    * behind the oracle gate (strict stance is spec-tested since it
+    * throws by design).
+    */
+  val q117_validate_quarantine: Q = Q(
+    "q117_validate_quarantine",
+    """SELECT CASE WHEN event_type IN ('view', 'click', 'purchase')
+      |    THEN event_type END AS valid_type,
+      |  COUNT(*) AS n,
+      |  COUNT(CASE WHEN event_type NOT IN ('view', 'click', 'purchase')
+      |    THEN 1 END) AS n_quarantined
+      |FROM events
+      |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val allowed = Seq("view", "click", "purchase")
+    Tables.load(spark, dir, "events")
+      .select(
+        graft.functions.Validate.enumOrNull($"event_type", allowed)
+          .as("valid_type"),
+        graft.functions.Validate.enumViolation($"event_type", allowed)
+          .as("_bad"))
+      .groupBy($"valid_type")
+      .agg(count(lit(1)).as("n"),
+        count(when($"_bad", 1)).as("n_quarantined"))
+      .orderBy($"valid_type".asc_nulls_first)
+  }
+
+  /** Inter-event gap distribution: `lead` over each user's ordered
+    * activity days (the only W-family offset not yet exercised —
+    * q21 uses `lag`), histogrammed by gap length. One shuffle on the
+    * user key, then a tiny re-aggregation.
+    */
+  val q118_lead_gaps: Q = Q(
+    "q118_lead_gaps",
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |g AS (SELECT user_id,
+      |    datediff('day', day,
+      |      LEAD(day) OVER (PARTITION BY user_id ORDER BY day)) AS gap
+      |  FROM d)
+      |SELECT CAST(gap AS INT) AS gap_days, COUNT(*) AS n
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts".cast("date").as("day")).distinct()
+      .withColumn("gap", datediff(lead($"day", 1).over(w), $"day"))
+      .filter($"gap".isNotNull)
+      .groupBy($"gap".as("gap_days"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"gap_days")
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
     q106_array_funcs, q107_null_ordering, q108_percentile_rank,
     q109_zorder, q110_hll_incremental, q111_outliers,
     q112_vocab_encode, q113_bigrams, q114_table_checksum,
-    q115_audio_windows, q116_recursive_cte)
+    q115_audio_windows, q116_recursive_cte, q117_validate_quarantine,
+    q118_lead_gaps)
 }

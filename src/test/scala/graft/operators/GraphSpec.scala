@@ -85,6 +85,17 @@ class GraphSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L))
   }
 
+  test("connectedComponents throws rather than returning partial labels") {
+    // a 5-chain needs ~4 propagation rounds; maxIter=2 must fail
+    // loudly, not silently split the component
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("u", "v")
+    val e = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(edges, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("pageRankInt matches hand-computed fixed-point ranks") {
     // 1→2, 1→3, 2→3, 3→1; scale 1000, damp 85, base 150.
     // iter1: in(1)=1000, in(2)=500, in(3)=1500
