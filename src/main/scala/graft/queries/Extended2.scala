@@ -717,6 +717,71 @@ object Extended2 {
       .orderBy($"gap_days")
   }
 
+  /** ANSI-mode-safe expressions: Spark 4 runs with ANSI on, where a
+    * bad cast or division by zero THROWS — `try_cast`/`try_divide`/
+    * `try_element_at` are the null-on-failure escape hatches a
+    * dirty-data pipeline needs. The fixture parses numbers out of the
+    * JSON props bag with a deliberately wrong type mix; DuckDB's
+    * TRY_CAST and NULLIF-guarded division replay the semantics.
+    */
+  val q119_try_funcs: Q = Q(
+    "q119_try_funcs",
+    """WITH e AS (SELECT event_id, event_type,
+      |    TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+      |    TRY_CAST(event_type AS INT) AS ty_int
+      |  FROM events WHERE event_id < 500)
+      |SELECT event_type,
+      |  COUNT(k_int) AS n_parsed,
+      |  COUNT(*) - COUNT(ty_int) AS n_unparseable_type,
+      |  CAST(SUM(k_int // NULLIF(k_int % 7, 0)) AS BIGINT)
+      |    AS sum_guarded_div
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .filter($"event_id" < 500)
+      .select($"event_type",
+        expr("try_cast(get_json_object(props, '$.k') AS INT)")
+          .as("k_int"),
+        expr("try_cast(event_type AS INT)").as("ty_int"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k_int").as("n_parsed"),
+        (count(lit(1)) - count($"ty_int")).as("n_unparseable_type"),
+        sum(expr("k_int DIV nullif(k_int % 7, 0)"))
+          .as("sum_guarded_div"))
+      .orderBy($"event_type")
+  }
+
+  /** Schema-evolution union: `unionByName(allowMissingColumns=true)`
+    * aligns two differently-shaped projections by NAME and
+    * null-fills the gaps — the ETL merge for a source that grew a
+    * column mid-history (DuckDB: `UNION ALL BY NAME`). Positional
+    * `union` would silently misalign; this is the safe form.
+    */
+  val q120_union_evolution: Q = Q(
+    "q120_union_evolution",
+    """WITH old AS (SELECT o_orderkey AS id, o_orderpriority AS prio
+      |  FROM orders WHERE o_orderkey < 100),
+      |new AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+      |    o_orderpriority AS prio
+      |  FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200),
+      |u AS (SELECT * FROM old UNION ALL BY NAME SELECT * FROM new)
+      |SELECT prio, COUNT(*) AS n, COUNT(status) AS n_with_status
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val old = orders.filter($"o_orderkey" < 100)
+      .select($"o_orderkey".as("id"), $"o_orderpriority".as("prio"))
+    val neu = orders
+      .filter($"o_orderkey" >= 100 && $"o_orderkey" < 200)
+      .select($"o_orderkey".as("id"), $"o_orderstatus".as("status"),
+        $"o_orderpriority".as("prio"))
+    old.unionByName(neu, allowMissingColumns = true)
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n"), count($"status").as("n_with_status"))
+      .orderBy($"prio")
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
@@ -724,5 +789,5 @@ object Extended2 {
     q109_zorder, q110_hll_incremental, q111_outliers,
     q112_vocab_encode, q113_bigrams, q114_table_checksum,
     q115_audio_windows, q116_recursive_cte, q117_validate_quarantine,
-    q118_lead_gaps)
+    q118_lead_gaps, q119_try_funcs, q120_union_evolution)
 }
