@@ -487,10 +487,15 @@ object Extended2 {
       .select($"doc_id", explode(lowerTokens($"text")).as("tok"))
       .distinct()
       .groupBy($"tok").agg(count(lit(1)).as("df"))
+    // top-k FIRST via orderBy().limit() (TakeOrderedAndProject — each
+    // partition keeps its own top 100 before one bounded merge), THEN
+    // rank the 100 survivors. Ranking with a global row_number window
+    // and filtering afterwards would funnel the ENTIRE vocabulary
+    // through a single task at corpus scale.
     val vocab = dfq
+      .orderBy($"df".desc, $"tok").limit(100)
       .withColumn("id",
         row_number().over(Window.orderBy($"df".desc, $"tok")))
-      .filter($"id" <= 100)
       .select($"tok", $"id")
     docs.filter($"doc_id" < 20)
       .select($"doc_id",

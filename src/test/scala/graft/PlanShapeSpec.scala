@@ -105,4 +105,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       "the two flanking-value joins must broadcast, not shuffle")
   }
+
+  test("q112's vocabulary top-k is TakeOrdered, not a global window") {
+    val p = plan("q112_vocab_encode")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100-by-df must plan a distributed partial top-k — a global " +
+        "row_number window would funnel the whole vocabulary through " +
+        "one task")
+  }
 }
