@@ -787,6 +787,76 @@ object Extended2 {
       .orderBy($"prio")
   }
 
+  /** The streaming `window()` aggregation executed in BATCH mode
+    * (same function, same plan family — Structured Streaming's
+    * batch/stream unification) with a DuckDB `time_bucket` oracle:
+    * 5-minute tumbling event counts per type. The streaming variant
+    * is `StreamingJobs.tumblingHostAgg`; this puts the window
+    * function itself behind the hash gate.
+    */
+  val q121_tumbling_batch: Q = Q(
+    "q121_tumbling_batch",
+    """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+      |    '%Y-%m-%d %H:%M') AS w_start,
+      |  event_type, COUNT(*) AS n
+      |FROM events WHERE user_id < 20
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .filter($"user_id" < 20)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm").as("w_start"),
+        $"event_type", $"n")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** `session_window()` in batch, cross-checked against the
+    * RELATIONAL sessionization formulation (lag → gap flag → cumsum
+    * islands, the q50 shape) as its oracle — two entirely different
+    * implementations of 10-minute-gap sessions that must agree on
+    * every session boundary, count, and duration.
+    */
+  val q122_session_window_batch: Q = Q(
+    "q122_session_window_batch",
+    """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS us
+      |  FROM events WHERE user_id < 20),
+      |l AS (SELECT user_id, us,
+      |    LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+      |  FROM e),
+      |f AS (SELECT user_id, us,
+      |    CASE WHEN prev IS NULL OR us - prev >= 600000000
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM l),
+      |s AS (SELECT user_id, us,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+      |  COUNT(*) AS n_events,
+      |  CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS span_s
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // session_window emits (start, end] bounds; number the sessions
+    // per user in start order to align with the islands formulation
+    val sessions = Tables.load(spark, dir, "events")
+      .filter($"user_id" < 20)
+      .select($"user_id", $"ts").distinct()
+      .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        // DIV, not `/`: Column./ is double division and the truncated
+        // cast could disagree with the oracle's integer // at the ulp
+        expr("(unix_micros(max(ts)) - unix_micros(min(ts))) DIV 1000000")
+          .as("span_s"))
+    sessions
+      .withColumn("sid", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"session_window.start")))
+      .select($"user_id", $"sid".cast("long"), $"n_events", $"span_s")
+      .orderBy($"user_id", $"sid")
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
@@ -794,5 +864,6 @@ object Extended2 {
     q109_zorder, q110_hll_incremental, q111_outliers,
     q112_vocab_encode, q113_bigrams, q114_table_checksum,
     q115_audio_windows, q116_recursive_cte, q117_validate_quarantine,
-    q118_lead_gaps, q119_try_funcs, q120_union_evolution)
+    q118_lead_gaps, q119_try_funcs, q120_union_evolution,
+    q121_tumbling_batch, q122_session_window_batch)
 }
