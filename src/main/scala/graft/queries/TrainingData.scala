@@ -849,35 +849,45 @@ object TrainingData {
     """WITH e AS (SELECT user_id FROM events),
       |rows_ AS (SELECT unnest(generate_series(0, 3)) AS i),
       |h AS (SELECT user_id, i,
-      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 256 AS b
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 8 * i, 8))::BIGINT % 256 AS b
       |  FROM e CROSS JOIN rows_),
       |cms AS (SELECT i, b, COUNT(*) AS c FROM h GROUP BY 1, 2),
       |probes AS (SELECT user_id, COUNT(*) AS true_n FROM e
       |  WHERE user_id < 5 GROUP BY 1),
       |pb AS (SELECT p.user_id, p.true_n, r.i,
-      |    ('0x' || substr(md5(CAST(p.user_id AS VARCHAR) || '#' || CAST(r.i AS VARCHAR)), 1, 8))::BIGINT % 256 AS b
+      |    ('0x' || substr(md5(CAST(p.user_id AS VARCHAR)), 1 + 8 * r.i, 8))::BIGINT % 256 AS b
       |  FROM probes p CROSS JOIN rows_ r)
       |SELECT pb.user_id, pb.true_n, MIN(cms.c) AS cms_n
       |FROM pb JOIN cms ON pb.i = cms.i AND pb.b = cms.b
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    def bucket(u: org.apache.spark.sql.Column,
-        i: org.apache.spark.sql.Column) =
-      pmod(conv(substring(md5(concat(u.cast("string"), lit("#"),
-        i.cast("string"))), 1, 8), 16, 10).cast("long"), lit(256))
+    // ONE digest per row supplies all 4 sketch rows from disjoint
+    // 32-bit substrings (the MinHashSig one-hash-family trick): 4×
+    // fewer md5 evaluations than hashing (user, i) per row, same
+    // mergeability, and the oracle replays the identical derivation
+    def buckets(u: org.apache.spark.sql.Column) = {
+      val d = md5(u.cast("string"))
+      array((0 to 3).map(i => struct(lit(i).as("i"),
+        pmod(conv(substring(d, 1 + 8 * i, 8), 16, 10).cast("long"),
+          lit(256)).as("b"))): _*)
+    }
     val ev = Tables.loadParallel(spark, dir, "events")
       .select($"user_id")
+    // explode_outer + null filter: a plain explode of a computed array
+    // lets the optimizer infer a size()>0 filter that re-evaluates the
+    // md5 array per row (PLANS.md)
     val cms = ev
-      .select($"user_id", explode(sequence(lit(0), lit(3))).as("i"))
-      .select($"i", bucket($"user_id", $"i").as("b"))
-      .groupBy($"i", $"b")
+      .select(explode_outer(buckets($"user_id")).as("x"))
+      .filter($"x".isNotNull)
+      .groupBy($"x.i".as("i"), $"x.b".as("b"))
       .agg(count(lit(1)).as("c"))
     val probes = ev.filter($"user_id" < 5)
       .groupBy($"user_id").agg(count(lit(1)).as("true_n"))
     probes
       .select($"user_id", $"true_n",
-        explode(sequence(lit(0), lit(3))).as("i"))
-      .withColumn("b", bucket($"user_id", $"i"))
+        explode_outer(buckets($"user_id")).as("x"))
+      .filter($"x".isNotNull)
+      .select($"user_id", $"true_n", $"x.i".as("i"), $"x.b".as("b"))
       .join(cms, Seq("i", "b"))
       .groupBy($"user_id", $"true_n")
       .agg(min($"c").as("cms_n"))
