@@ -7,9 +7,13 @@ import graft.functions.TextFunctions.lowerTokens
 import graft.operators.{Graph, IncrementalAgg, Intervals, Multimodal,
   Percentiles}
 
-/** Round-3 batch 2: fixed-point PageRank over the nation trade graph,
-  * interval coalescing, strict-ordered funnel sequences, incremental
-  * partial-aggregate maintenance, and map-column construction + HOFs.
+/** Round-3 batch 2: fixed-point PageRank, interval coalescing,
+  * ordered funnels, incremental view maintenance (algebraic + HLL),
+  * map/string/array function sweeps, NULL-ordering, distributed exact
+  * percentiles, Z-order keys, outliers, vocabulary encoding, bigrams,
+  * table checksums, audio windows, recursive CTEs, validation
+  * quarantine, lead gaps, ANSI try_*, schema-evolution unions, and
+  * batch-mode tumbling/session windows.
   */
 object Extended2 {
 
