@@ -118,8 +118,8 @@ object Graph {
     * @return (id, comp) — every vertex labeled with its component's
     *         minimum vertex id
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20)
-      : DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      localSolveMaxEdges: Long = 1L << 20): DataFrame = {
     // checkpoint the symmetrized edges FIRST: every iteration joins
     // against them, and an unmaterialized edge list would re-execute
     // its entire upstream (e.g. a near-dup candidate pipeline) once
@@ -127,6 +127,44 @@ object Graph {
     val sym = edges.select(col("u").as("a"), col("v").as("b"))
       .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint()
+    // hybrid solve, the AQE-broadcast discipline: an iterative
+    // distributed loop costs several jobs PER ROUND in fixed overhead,
+    // which dominates utterly when the post-LSH graph is small (a
+    // 512-edge graph was taking ~6 s in pure scheduling). Below an
+    // explicit bounded threshold (~16 MB of edge pairs), collect and
+    // run driver union-find in milliseconds; past it — where that
+    // collect would be the real scale hazard — use the loop. The
+    // threshold bounds driver memory BY CONSTRUCTION; both paths
+    // produce identical min-labels (union-find tracks the component
+    // minimum as the root label).
+    val isLong = sym.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (isLong && sym.count() <= 2 * localSolveMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = sym.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          // keep the smaller id as root — the root IS the min label
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      return parent.keys.toSeq.map(id => (id, find(id)))
+        .toDF("id", "comp")
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("id"))
+    }
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()

@@ -75,14 +75,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
-  test("connectedComponents closes chains to the min label") {
-    // chain 1-2-3 plus pair 5-4 plus triangle 6-7-8 with 8-9 tail
+  test("connectedComponents closes chains to the min label (both paths)") {
+    // chain 1-2-3 plus pair 5-4 plus triangle 6-7-8 with 8-9 tail;
+    // localSolveMaxEdges=0 forces the distributed loop, the default
+    // takes the driver union-find shortcut — identical labels required
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L),
       (6L, 7L), (7L, 8L), (6L, 8L), (8L, 9L)).toDF("u", "v")
-    val got = Graph.connectedComponents(edges)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L)
+    Seq(1L << 20, 0L).foreach { threshold =>
+      val got = Graph
+        .connectedComponents(edges, localSolveMaxEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"threshold=$threshold diverged")
+    }
+  }
+
+  test("local and distributed CC agree on a random graph") {
+    val rng = new scala.util.Random(99)
+    val edges = Seq.fill(300)(
+      (rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("u", "v")
+    val local = Graph.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L))
+    val dist = Graph.connectedComponents(edges, localSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist && local.nonEmpty)
   }
 
   test("connectedComponents throws rather than returning partial labels") {
@@ -91,7 +110,9 @@ class GraphSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("u", "v")
     val e = intercept[IllegalArgumentException] {
-      Graph.connectedComponents(edges, maxIter = 2)
+      // force the distributed loop — the local shortcut has no rounds
+      Graph.connectedComponents(edges, maxIter = 2,
+        localSolveMaxEdges = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
   }
