@@ -231,13 +231,38 @@ object Graph {
     * @return (node, pr) fixed-point ranks
     */
   def pageRankInt(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
+      scale: Long = 1000000000000L, dampPct: Int = 85,
+      localSolveMaxEdges: Long = 1L << 20): DataFrame = {
     require(dampPct > 0 && dampPct < 100, s"dampPct must be 1..99, got $dampPct")
     // checkpoint the (possibly expensive) edge list FIRST: degrees,
     // the degree-annotated join, and the vertex set all derive from
     // it, and without the checkpoint each derivation would re-execute
     // the caller's whole edge-construction pipeline
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // hybrid solve (same discipline as [[connectedComponents]]): a
+    // bounded-size graph runs the identical truncating fixed-point
+    // arithmetic on the driver — Long `/` on non-negative values IS
+    // `DIV` — instead of paying several scheduled jobs per round
+    val isLong = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (isLong && e.count() <= localSolveMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.as[(Long, Long)].collect()
+      val degM = es.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+      val verts = (es.map(_._1) ++ es.map(_._2)).distinct
+      val base = ((100L - dampPct) * scale) / 100L
+      var rank = verts.map(_ -> scale).toMap
+      (0 until iters).foreach { _ =>
+        val in = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (s, d) => in(d) += rank(s) / degM(s) }
+        rank = verts.map(v => v -> (base + (dampPct * in(v)) / 100L)).toMap
+      }
+      return rank.toSeq.toDF("node", "pr")
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("node"))
+    }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
     val withDeg = e.join(deg, "src").localCheckpoint()
     val verts = e.select(col("src").as("node"))

@@ -125,9 +125,15 @@ class GraphSpec extends SparkSpec {
     //   → r2 = (150+1211, 575, 150+913) = (1361, 575, 1063)
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
       .toDF("src", "dst")
-    val got = Graph.pageRankInt(edges, iters = 2, scale = 1000L)
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1361L, 2L -> 575L, 3L -> 1063L))
+    val want = Map(1L -> 1361L, 2L -> 575L, 3L -> 1063L)
+    // both the driver fast path and the distributed loop must produce
+    // the identical fixed-point ranks
+    Seq(1L << 20, 0L).foreach { threshold =>
+      val got = Graph.pageRankInt(edges, iters = 2, scale = 1000L,
+          localSolveMaxEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"threshold=$threshold diverged")
+    }
   }
 
   test("pageRankInt: dangling sink keeps receiving, contributes nothing") {
