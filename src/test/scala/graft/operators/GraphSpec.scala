@@ -91,6 +91,19 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("empty edge lists yield empty labelings on both CC paths") {
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    Seq(1L << 20, 0L).foreach { threshold =>
+      assert(Graph.connectedComponents(empty,
+        localSolveMaxEdges = threshold).count() == 0)
+    }
+    val emptyPr = Seq.empty[(Long, Long)].toDF("src", "dst")
+    Seq(1L << 20, 0L).foreach { threshold =>
+      assert(Graph.pageRankInt(emptyPr, iters = 2,
+        localSolveMaxEdges = threshold).count() == 0)
+    }
+  }
+
   test("local and distributed CC agree on a random graph") {
     val rng = new scala.util.Random(99)
     val edges = Seq.fill(300)(

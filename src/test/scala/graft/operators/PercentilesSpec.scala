@@ -42,6 +42,13 @@ class PercentilesSpec extends SparkSpec {
     assert(got == Map("a" -> 10.0, "b" -> 2.0))
   }
 
+  test("empty input yields an empty result with the right schema") {
+    val df = Seq.empty[(String, Double)].toDF("grp", "x")
+    val got = Percentiles.exactCont(df, "grp", "x", Seq(0.5))
+    assert(got.columns.toSeq == Seq("grp", "p", "value", "n_rows"))
+    assert(got.count() == 0)
+  }
+
   test("nulls are excluded, population counts reflect it") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(5.0)))
       .toDF("grp", "x")
