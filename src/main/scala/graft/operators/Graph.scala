@@ -178,20 +178,23 @@ object Graph {
       // the label — the convergence check is then a near-free scan of
       // the checkpointed result instead of an extra shuffle join of
       // next against labels every round
+      // aliases in one select don't shadow input attributes, so both
+      // expressions read the INPUT comp
       val next = labels.join(prop, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
-            .as("ncomp2"),
+            .as("comp"),
           (coalesce(col("ncomp"), col("comp")) < col("comp"))
             .as("_chg"))
-        .withColumnRenamed("ncomp2", "comp")
         .localCheckpoint()
-      // the first round always changes labels (every vertex starts
-      // self-labeled and has at least one edge) — skip its count job
+      // the first round always changes labels on a non-empty graph
+      // (every vertex starts self-labeled with ≥1 edge), so its count
+      // job is skipped — but ONLY when another round will run the real
+      // check; at maxIter=1 the forced 1 would turn into a spurious
+      // non-convergence error
       changed =
-        if (i == 0) 1L
+        if (i == 0 && maxIter > 1) 1L
         else next.filter(col("_chg")).count()
-      labels.unpersist()
       labels = next.select(col("id"), col("comp"))
       i += 1
     }
@@ -281,7 +284,9 @@ object Graph {
           (lit(base) + expr(s"($dampPct * coalesce(_in, 0L)) DIV 100"))
             .as("pr"))
         .localCheckpoint()
-      ranks.unpersist()
+      // no unpersist: it routes through the CacheManager, which has no
+      // entry for localCheckpoint'd plans — superseded rounds' blocks
+      // are freed by the ContextCleaner once their RDDs are GC'd
       ranks = next
       i += 1
     }

@@ -118,11 +118,14 @@ object Percentiles {
       col("v").as("vlo"))
     val hiSide = picked.select(col("g").as("_gh"), col("r").as("_rh"),
       col("v").as("vhi"))
+    // <=> not ===: a NULL group key is a legitimate GROUP BY group
+    // (Spark's percentile and DuckDB both emit it) and null-rejecting
+    // equality would silently drop it here
     tdf
       .join(broadcast(loSide),
-        col("g") === col("_gl") && col("lo") === col("_rl"))
+        col("g") <=> col("_gl") && col("lo") === col("_rl"))
       .join(broadcast(hiSide),
-        col("g") === col("_gh") && col("hi") === col("_rh"))
+        col("g") <=> col("_gh") && col("hi") === col("_rh"))
       // (1−g)·lo + g·hi, NOT lo + (hi−lo)·g: algebraically equal but a
       // different rounding path — Spark's Percentile (and DuckDB's
       // quantile_cont) use the two-product form, and the single-ulp

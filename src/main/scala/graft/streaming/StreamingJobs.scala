@@ -163,29 +163,38 @@ object StreamingJobs {
     * ([[graft.operators.IncrementalAgg.mergePartials]] — the same
     * merge ≡ recompute law q103 proves in batch). This is the
     * append-stream alternative to an output-mode=update stateful agg:
-    * the stream side carries NO Spark state (restart-safe without a
-    * state store), the running table lives wherever `load`/`save`
-    * point (a table, a path), and each epoch costs one delta
-    * aggregation + one key-wise merge regardless of history size.
-    * Per-epoch idempotence comes from the same epoch-dedup discipline
-    * as [[IdempotentBatchSink]]; `save` must swap atomically (e.g.
-    * overwrite a staging table then rename) for crash consistency.
+    * each epoch costs one delta aggregation + one key-wise merge
+    * regardless of history size.
+    *
+    * Exactly-once across RESTARTS needs more than in-memory dedup —
+    * a merge is not idempotent the way a batch overwrite is, so a
+    * replayed epoch would double-merge its delta. The contract: the
+    * caller persists the epoch id ATOMICALLY with the merged table
+    * (`save(df, epochId)` — e.g. write table + id to a staging
+    * location and rename) and reports it back via `loadLastEpoch`; on
+    * restart the sink skips every replayed epoch ≤ that watermark.
+    * Within a run, epoch ids are monotonic, so a single watermark
+    * (not an ever-growing set) also bounds memory.
     */
   class IncrementalAggSink(
       aggregate: DataFrame => DataFrame,
       keys: Seq[String], sumCols: Seq[String],
       maxCols: Seq[String] = Nil, minCols: Seq[String] = Nil,
-      load: () => Option[DataFrame], save: DataFrame => Unit) {
-    private val seen = scala.collection.mutable.Set.empty[Long]
+      load: () => Option[DataFrame],
+      save: (DataFrame, Long) => Unit,
+      loadLastEpoch: () => Option[Long] = () => None) {
+    private var lastMerged: Long = -1L
     def apply(batch: DataFrame, epochId: Long): Unit = synchronized {
-      if (seen.add(epochId)) {
+      if (lastMerged < 0) lastMerged = loadLastEpoch().getOrElse(-1L)
+      if (epochId > lastMerged) {
         val delta = aggregate(batch)
         val merged = load() match {
           case Some(base) => graft.operators.IncrementalAgg
             .mergePartials(base, delta, keys, sumCols, maxCols, minCols)
           case None => delta
         }
-        save(merged)
+        save(merged, epochId)
+        lastMerged = epochId
       }
     }
   }

@@ -42,6 +42,15 @@ class PercentilesSpec extends SparkSpec {
     assert(got == Map("a" -> 10.0, "b" -> 2.0))
   }
 
+  test("a NULL group key is a real group, like GROUP BY treats it") {
+    val df = Seq((Option.empty[String], 1.0), (None, 3.0),
+      (Some("a"), 2.0)).toDF("grp", "x")
+    val got = Percentiles.exactCont(df, "grp", "x", Seq(0.5))
+      .select($"grp", $"value").as[(Option[String], Double)]
+      .collect().toMap
+    assert(got == Map(Option.empty[String] -> 2.0, Some("a") -> 2.0))
+  }
+
   test("empty input yields an empty result with the right schema") {
     val df = Seq.empty[(String, Double)].toDF("grp", "x")
     val got = Percentiles.exactCont(df, "grp", "x", Seq(0.5))

@@ -152,12 +152,15 @@ class StreamingJobsSpec extends SparkSpec {
   test("incremental-agg sink maintains merge ≡ recompute across epochs") {
     implicit val ctx = spark.sqlContext
     var table: Option[DataFrame] = None
-    val sink = new StreamingJobs.IncrementalAggSink(
+    var epoch: Option[Long] = None
+    def mkSink() = new StreamingJobs.IncrementalAggSink(
       aggregate = b => b.groupBy($"host")
         .agg(count(lit(1)).as("n"), sum(length($"url")).as("chars")),
       keys = Seq("host"), sumCols = Seq("n", "chars"),
       load = () => table,
-      save = df => table = Some(df.localCheckpoint()))
+      save = (df, id) => { table = Some(df.localCheckpoint()); epoch = Some(id) },
+      loadLastEpoch = () => epoch)
+    val sink = mkSink()
     val input = MemoryStream[WebEvent]
     val q = input.toDF().writeStream
       .foreachBatch((b: DataFrame, id: Long) => sink(b, id))
@@ -170,9 +173,14 @@ class StreamingJobsSpec extends SparkSpec {
         ev("a.com", "1.1.1.1", "00:04:00")))
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
     finally q.stop()
-    val got = table.get.as[(String, Long, Long)].collect().toSet
+    val want = Set(("a.com", 3L, 15L), ("b.com", 1L, 5L),
+      ("c.com", 1L, 5L))
     // /page is 5 chars; recompute over all 5 events
-    assert(got == Set(("a.com", 3L, 15L), ("b.com", 1L, 5L),
-      ("c.com", 1L, 5L)))
+    assert(table.get.as[(String, Long, Long)].collect().toSet == want)
+    // restart double-delivery: a FRESH sink (simulated crash) replays
+    // the last committed epoch — the persisted watermark must reject
+    // it, leaving the table unchanged
+    mkSink()(Seq(ev("a.com", "1.1.1.1", "00:04:00")).toDF(), epoch.get)
+    assert(table.get.as[(String, Long, Long)].collect().toSet == want)
   }
 }
