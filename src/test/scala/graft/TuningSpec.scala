@@ -98,6 +98,35 @@ class TuningSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the runtime complement of Salt.saltedJoin (q98): one hot key
+    // carries ~1000× the rows; with skew thresholds scaled to the
+    // test data, AQE must mark and split the join after execution.
+    // The final plan lives on the SAME QueryExecution that ran — a
+    // fresh action (write/count) would re-plan and show no marker.
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(50050).select(
+        when($"id" < 50000, "hot")
+          .otherwise(concat(lit("k"), $"id")).as("k"),
+        $"id".as("v"))
+      val right = Seq.tabulate(60)(i =>
+        (if (i == 0) "hot" else s"k$i", i)).toDF("k", "w")
+      val j = left.join(right.hint("shuffle_hash"), "k")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE skew split expected in the final adaptive plan:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("X2: shuffle.partitions drives post-shuffle parallelism") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
