@@ -861,6 +861,106 @@ object Extended2 {
       .orderBy($"user_id", $"sid")
   }
 
+  /** Intra-document repetition — the boilerplate/spam quality signal
+    * the inter-document dedup family (q43-q46) cannot see: the
+    * fraction of each document's 3-gram shingles that are repeats of
+    * an earlier shingle in the SAME document. Exact-integer basis
+    * points keep the ranking engine-independent. Pure per-row array
+    * algebra — zero shuffles before the final sort.
+    */
+  val q123_intra_doc_repetition: Q = Q(
+    "q123_intra_doc_repetition",
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+      |      AS sh
+      |  FROM t WHERE len(toks) >= 3),
+      |r AS (SELECT doc_id, len(sh) AS n_shingles,
+      |    len(list_distinct(sh)) AS n_distinct
+      |  FROM s)
+      |SELECT doc_id, n_shingles, n_distinct,
+      |  ((n_shingles - n_distinct) * 10000) // n_shingles AS rep_bp
+      |FROM r WHERE doc_id < 30
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val toks = lowerTokens($"text")
+    val w = greatest(size(toks) - 2, lit(0))
+    Tables.load(spark, dir, "documents")
+      .filter($"doc_id" < 30)
+      .select($"doc_id", explode(arrays_zip(
+        slice(toks, lit(1), w), slice(toks, lit(2), w),
+        slice(toks, lit(3), w))).as("z"))
+      .select($"doc_id",
+        concat_ws(" ", $"z.0", $"z.1", $"z.2").as("sh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct($"sh").as("n_distinct"))
+      .select($"doc_id", $"n_shingles", $"n_distinct",
+        expr("((n_shingles - n_distinct) * 10000) DIV n_shingles")
+          .as("rep_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Gopher-style multi-rule document filter: token count bounds,
+    * mean word length band, stopword floor, and symbol-ratio cap —
+    * each rule's pass/fail counted per source plus the all-rules keep
+    * rate. Ratio thresholds compare scaled integers (`n·100 < m·k`
+    * forms), so every verdict is exact in any engine; one scan, one
+    * aggregation.
+    */
+  val q124_quality_rules: Q = Q(
+    "q124_quality_rules",
+    """WITH f AS (SELECT source,
+      |    len(string_split_regex(lower(text), '\s+')) AS n_tok,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      w -> list_contains(['the','a','of','and','to','in','is','for','on','with'], w))) AS n_stop,
+      |    len(replace(text, ' ', '')) AS n_chars,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_sym
+      |  FROM documents),
+      |r AS (SELECT source,
+      |    CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS ok_len,
+      |    CASE WHEN n_chars * 10 BETWEEN n_tok * 20 AND n_tok * 120
+      |      THEN 1 ELSE 0 END AS ok_wordlen,
+      |    CASE WHEN n_stop * 100 >= n_tok * 2 THEN 1 ELSE 0 END AS ok_stop,
+      |    CASE WHEN n_sym * 10 <= n_chars THEN 1 ELSE 0 END AS ok_sym
+      |  FROM f)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(ok_len) AS BIGINT) AS pass_len,
+      |  CAST(SUM(ok_wordlen) AS BIGINT) AS pass_wordlen,
+      |  CAST(SUM(ok_stop) AS BIGINT) AS pass_stop,
+      |  CAST(SUM(ok_sym) AS BIGINT) AS pass_sym,
+      |  CAST(SUM(ok_len * ok_wordlen * ok_stop * ok_sym) AS BIGINT)
+      |    AS n_keep
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions.{punctCount, EnStopwords}
+    val toks = lowerTokens($"text")
+    Tables.loadParallel(spark, dir, "documents")
+      .select($"source",
+        size(toks).as("n_tok"),
+        size(filter(toks, w => w.isin(EnStopwords: _*))).as("n_stop"),
+        length(translate($"text", " ", "")).as("n_chars"),
+        punctCount($"text").as("n_sym"))
+      .select($"source",
+        ($"n_tok".between(5, 100000)).cast("int").as("ok_len"),
+        ($"n_chars" * 10).between($"n_tok" * 20, $"n_tok" * 120)
+          .cast("int").as("ok_wordlen"),
+        ($"n_stop" * 100 >= $"n_tok" * 2).cast("int").as("ok_stop"),
+        ($"n_sym" * 10 <= $"n_chars").cast("int").as("ok_sym"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ok_len".cast("long")).as("pass_len"),
+        sum($"ok_wordlen".cast("long")).as("pass_wordlen"),
+        sum($"ok_stop".cast("long")).as("pass_stop"),
+        sum($"ok_sym".cast("long")).as("pass_sym"),
+        sum(($"ok_len" * $"ok_wordlen" * $"ok_stop" * $"ok_sym")
+          .cast("long")).as("n_keep"))
+      .orderBy($"source")
+  }
+
   val all: Seq[Q] = Seq(
     q100_pagerank, q101_interval_merge, q102_funnel_sequence,
     q103_incremental_agg, q104_map_funcs, q105_string_funcs,
@@ -869,5 +969,6 @@ object Extended2 {
     q112_vocab_encode, q113_bigrams, q114_table_checksum,
     q115_audio_windows, q116_recursive_cte, q117_validate_quarantine,
     q118_lead_gaps, q119_try_funcs, q120_union_evolution,
-    q121_tumbling_batch, q122_session_window_batch)
+    q121_tumbling_batch, q122_session_window_batch,
+    q123_intra_doc_repetition, q124_quality_rules)
 }
