@@ -105,6 +105,22 @@ object StreamingJobs {
         (sum(col("n_events")).cast("double") / count(lit(1)))
           .as("avg_events_per_session"))
 
+  /** Stream-static enrichment join: each event looks up its host in a
+    * STATIC dimension table. Spark re-plans the static side every
+    * micro-batch, so this runs as a broadcast hash join inside each
+    * epoch with ZERO streaming state — the cluster-scale form of
+    * per-record lookup enrichment (the reference enriches with an
+    * HTTP UDF per row, `4-apache-flink-training/src/job/start_job.py:
+    * 58-79`; a broadcast dim table is the same lookup without a
+    * network call per record). Left join: events with unknown hosts
+    * pass through with NULL metadata — an enrichment miss must never
+    * drop a revenue event.
+    */
+  def enrichWithHostDim(stream: DataFrame, hostDim: DataFrame)
+      : DataFrame =
+    withEventTime(stream)
+      .join(broadcast(hostDim), Seq("host"), "left")
+
   /** Streaming exact dedup (the training-pipeline front door): drop
     * re-delivered events by key, with the watermark bounding the
     * dedup state — keys older than the watermark are evicted, so

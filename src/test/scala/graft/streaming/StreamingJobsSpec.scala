@@ -129,6 +129,22 @@ class StreamingJobsSpec extends SparkSpec {
       s"only the in-window same-ip click may join, got $rows")
   }
 
+  test("stream-static join enriches per batch, misses pass through") {
+    val dim = Seq(("a.com", "news", 1), ("b.com", "shop", 2))
+      .toDF("host", "category", "site_id")
+    val out = runAppend(StreamingJobs.enrichWithHostDim(_, dim))(Seq(
+      Seq(ev("a.com", "1.1.1.1", "00:00:10"),
+        ev("b.com", "2.2.2.2", "00:01:00")),
+      Seq(ev("zz.org", "3.3.3.3", "00:02:00")))) // not in the dim
+    val rows = out.select($"host", $"category", $"ip")
+      .as[(String, String, String)].collect().toSet
+    assert(rows == Set(
+      ("a.com", "news", "1.1.1.1"),
+      ("b.com", "shop", "2.2.2.2"),
+      ("zz.org", null, "3.3.3.3")),
+      s"left stream-static join must keep unknown hosts: $rows")
+  }
+
   test("passthrough ETL enriches with deterministic geodata") {
     val batch = Seq(
       ev("a.com", "1.2.3.4", "00:00:00"),
