@@ -373,9 +373,192 @@ object Extended3 {
       .orderBy($"source", $"rn")
   }
 
+  /** Correlated LATERAL subquery — top-2 orders per customer via an
+    * ORDER BY … LIMIT inside the lateral (the SQL-surface twin of
+    * q25's aggregator top-k). Catalyst decorrelates it into a ranked
+    * join rather than re-executing the subquery per outer row — the
+    * shape that survives a fact-scale outer side.
+    */
+  val q135_lateral_topk: Q = Q(
+    "q135_lateral_topk",
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c_custkey <= 100
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin) {
+    (spark, dir) =>
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey <= 100
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  /** Scalar subqueries in the predicate: parts priced above the
+    * corpus mean, compared in exact cross-multiplied decimals
+    * (`price · n > Σprice` — never a decimal AVG, whose result scale
+    * and rounding are engine-specific). Both scalars broadcast as
+    * one-row subquery results.
+    */
+  val q136_scalar_subquery: Q = Q(
+    "q136_scalar_subquery",
+    """SELECT p_brand, COUNT(*) AS n,
+      |  CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS min_price
+      |FROM part
+      |WHERE CAST(p_retailprice AS DECIMAL(18,2))
+      |    * (SELECT COUNT(*) FROM part)
+      |  > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2))) FROM part)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS min_price
+        |FROM part
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2))
+        |    * (SELECT COUNT(*) FROM part)
+        |  > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2))) FROM part)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  /** PERCENTILE_DISC quartiles per return flag — the discrete cousin
+    * of q62/q108's continuous quantiles: the result is an ACTUAL data
+    * element (smallest value whose cume_dist ≥ p), so no
+    * interpolation arithmetic exists to drift; staged as DECIMAL(18,2)
+    * and cast once at the end (values ≪ 2⁵³, one correct rounding in
+    * either engine).
+    */
+  val q137_percentile_disc: Q = Q(
+    "q137_percentile_disc",
+    """SELECT l_returnflag,
+      |  CAST(quantile_disc(CAST(l_extendedprice AS DECIMAL(18,2)), 0.25)
+      |    AS DOUBLE) AS p25,
+      |  CAST(quantile_disc(CAST(l_extendedprice AS DECIMAL(18,2)), 0.50)
+      |    AS DOUBLE) AS p50,
+      |  CAST(quantile_disc(CAST(l_extendedprice AS DECIMAL(18,2)), 0.75)
+      |    AS DOUBLE) AS p75
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP
+        |    (ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS p25,
+        |  CAST(percentile_disc(0.50) WITHIN GROUP
+        |    (ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS p50,
+        |  CAST(percentile_disc(0.75) WITHIN GROUP
+        |    (ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** FIRST_VALUE / NTH_VALUE / LAST_VALUE over the full partition
+    * frame — per-customer first, second, and latest order in one
+    * windowed pass (completes the W-family offset functions beside
+    * q21's LAG and q118's LEAD). The frame must be explicit: the
+    * default RANGE … CURRENT ROW would silently make LAST_VALUE mean
+    * "current row".
+    */
+  val q138_nth_value: Q = Q(
+    "q138_nth_value",
+    """WITH w AS (SELECT o_custkey,
+      |    first_value(o_orderkey) OVER win AS first_ok,
+      |    nth_value(o_orderkey, 2) OVER win AS second_ok,
+      |    last_value(o_orderkey) OVER win AS last_ok,
+      |    COUNT(*) OVER win AS n_orders
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT DISTINCT o_custkey, first_ok, second_ok, last_ok, n_orders
+      |FROM w ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val win = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "orders")
+      .select($"o_custkey",
+        first($"o_orderkey").over(win).as("first_ok"),
+        nth_value($"o_orderkey", 2).over(win).as("second_ok"),
+        last($"o_orderkey").over(win).as("last_ok"),
+        count(lit(1)).over(win).as("n_orders"))
+      .distinct()
+      .orderBy($"o_custkey")
+  }
+
+  /** One Lloyd iteration of k-means, exactly: cosine assignment to
+    * the 8 seed centroids (q48's operator), then the centroid UPDATE
+    * step with per-dimension means in fixed-point (floor(v·10⁶)
+    * micro-units summed as longs, one truncating DIV) — so the new
+    * centroids are bit-identical in any engine and across retries,
+    * which float means cannot guarantee (summation order). The
+    * training-clustering step data-curation pipelines run on
+    * embeddings. The oracle replays assignment AND update in SQL.
+    */
+  val q139_kmeans_update: Q = Q(
+    "q139_kmeans_update",
+    """WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
+      |  FROM embeddings WHERE vec_id < 8),
+      |scored AS (SELECT vec_id, centroid_id,
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(range(1, 65),
+      |        i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (x, y) -> x + y)))
+      |    AS cos
+      |  FROM embeddings, c),
+      |a AS (SELECT vec_id, centroid_id FROM (
+      |  SELECT vec_id, centroid_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, centroid_id) AS rn
+      |  FROM scored) t WHERE rn = 1),
+      |m AS (SELECT a.centroid_id, j.dim,
+      |    CAST(FLOOR(CAST(e.embedding[j.dim + 1] AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS q
+      |  FROM a JOIN embeddings e USING (vec_id)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) j)
+      |SELECT centroid_id, dim,
+      |  CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |    AS comp_fp,
+      |  COUNT(*) AS n_members
+      |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.loadParallel(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val centroids = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    graft.operators.Similarity.ivfAssign(emb, centroids)
+      .select($"vec_id", $"centroid_id")
+      .join(emb, "vec_id")
+      .select($"centroid_id",
+        posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"centroid_id", $"dim")
+      .agg(sum(floor($"v".cast("double") * 1000000)).as("s"),
+        count(lit(1)).as("n_members"))
+      // FLOOR of the IEEE double quotient, NOT integer DIV: sums go
+      // negative and DuckDB's // floors while Spark's DIV truncates —
+      // the double path is the one both engines compute identically
+      // (|s| ≪ 2⁵³ so the division is exact-rationally rounded once)
+      .select($"centroid_id", $"dim",
+        floor($"s".cast("double") / $"n_members").as("comp_fp"),
+        $"n_members")
+      .orderBy($"centroid_id", $"dim")
+  }
+
   val all: Seq[Q] = Seq(
     q125_ntile_deciles, q126_dist_ranks, q127_heavy_hitters,
     q128_chunk_boilerplate, q129_sliding_window, q130_containment,
     q131_regr_slope, q132_ewma, q133_quantize_int8,
-    q134_weighted_sample)
+    q134_weighted_sample, q135_lateral_topk, q136_scalar_subquery,
+    q137_percentile_disc, q138_nth_value, q139_kmeans_update)
 }

@@ -113,4 +113,32 @@ class PlanShapeSpec extends SparkSpec {
         "row_number window would funnel the whole vocabulary through " +
         "one task")
   }
+
+  test("q135's LATERAL decorrelates: one join + rank-limit pushdown") {
+    val p = plan("q135_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "the per-customer LIMIT 2 must push into the window as a " +
+        "group-limit — a re-executed correlated subquery per outer " +
+        "row would be quadratic at fact scale")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "the lateral must plan as ONE equi-join after decorrelation")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q130's probe side broadcasts; the corpus never shuffles") {
+    val p = plan("q130_containment")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the bounded probe set must broadcast against the corpus")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge pair join would shuffle the whole corpus")
+  }
+
+  test("q134's per-source sample keeps the rank-limit pushdown") {
+    assert(plan("q134_weighted_sample").contains("WindowGroupLimit"),
+      "rn <= 10 must become a per-partition group limit")
+  }
 }
