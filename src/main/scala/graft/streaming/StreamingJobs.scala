@@ -105,6 +105,33 @@ object StreamingJobs {
         (sum(col("n_events")).cast("double") / count(lit(1)))
           .as("avg_events_per_session"))
 
+  /** Incremental batch drain (Trigger.AvailableNow): process exactly
+    * the files that arrived since the last run, then stop — the
+    * modern replacement for hand-rolled "WHERE date_partition = {ds}"
+    * daily incrementals (reference `monthly_user_site_hits_job.py`):
+    * the checkpoint tracks consumed files, so re-runs are exactly-once
+    * per file with NO bookkeeping table, and a backlog drains with
+    * full watermark/state semantics rather than one giant batch.
+    * Returns after the drain completes.
+    *
+    * @param transform the same source-agnostic transforms the live
+    *                  streams use (they don't know their trigger)
+    */
+  def incrementalDrain(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, checkpointDir: String, outDir: String,
+      transform: DataFrame => DataFrame): Unit = {
+    val q = transform(
+        spark.readStream.schema(webEventSchema).parquet(sourceDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static enrichment join: each event looks up its host in a
     * STATIC dimension table. Spark re-plans the static side every
     * micro-batch, so this runs as a broadcast hash join inside each

@@ -66,4 +66,35 @@ class PercentilesSpec extends SparkSpec {
       .as[(String, Double, Long)].collect()
     assert(got.toSeq == Seq(("a", 3.0, 2L)))
   }
+
+  test("exactDisc equals the percentile_disc aggregate (q137's oracle)") {
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(3000)(
+      (s"g${rng.nextInt(3)}", rng.nextInt(5000) / 3.0))
+    val df = rows.toDF("grp", "x").repartition(9)
+    df.createOrReplaceTempView("disc_in")
+    val ps = Seq(0.01, 0.25, 0.5, 0.75, 1.0)
+    val got = Percentiles.exactDisc(df, "grp", "x", ps)
+      .select($"grp", $"p", $"value")
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p, v) => (g, p) -> v }.toMap
+    val expected = spark.sql(
+      s"""SELECT grp, ${ps.zipWithIndex.map { case (p, i) =>
+          s"percentile_disc($p) WITHIN GROUP (ORDER BY x) AS v$i"
+        }.mkString(", ")}
+         |FROM disc_in GROUP BY grp""".stripMargin)
+      .collect()
+      .flatMap { r =>
+        ps.zipWithIndex.map { case (p, i) =>
+          (r.getString(0), p) -> r.getDouble(i + 1)
+        }
+      }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) =>
+      assert(v == expected(k), s"mismatch at $k: $v vs ${expected(k)}")
+    }
+    // disc results must be actual elements of the data
+    val vals = rows.map(_._2).toSet
+    got.values.foreach(v => assert(vals.contains(v)))
+  }
 }

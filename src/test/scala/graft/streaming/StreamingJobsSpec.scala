@@ -129,6 +129,33 @@ class StreamingJobsSpec extends SparkSpec {
       s"only the in-window same-ip click may join, got $rows")
   }
 
+  test("incrementalDrain processes only files new since the checkpoint") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_drain").toString
+    val (src, ckpt, out) =
+      (s"$base/src", s"$base/ckpt", s"$base/out")
+    def land(evs: Seq[WebEvent]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(src)
+    land(Seq(ev("a.com", "1.1.1.1", "00:00:10"),
+      ev("b.com", "2.2.2.2", "00:01:00")))
+    StreamingJobs.incrementalDrain(spark, src, ckpt, out,
+      StreamingJobs.processedEvents)
+    assert(spark.read.parquet(out).count() == 2)
+    // second landing: only the 1 new file's rows drain — the 2
+    // already-consumed rows must not reprocess (exactly-once per file)
+    land(Seq(ev("c.com", "3.3.3.3", "00:02:00")))
+    StreamingJobs.incrementalDrain(spark, src, ckpt, out,
+      StreamingJobs.processedEvents)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3, "one new row, no reprocessing")
+    assert(rows.select($"host").as[String].collect().sorted.toSeq ==
+      Seq("a.com", "b.com", "c.com"))
+    // a third drain with nothing new is a no-op
+    StreamingJobs.incrementalDrain(spark, src, ckpt, out,
+      StreamingJobs.processedEvents)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("stream-static join enriches per batch, misses pass through") {
     val dim = Seq(("a.com", "news", 1), ("b.com", "shop", 2))
       .toDF("host", "category", "site_id")
