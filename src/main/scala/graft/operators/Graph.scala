@@ -293,6 +293,74 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS: minimum hop distance from any seed, bounded at
+    * `maxHops`. Frontier-propagation — each round expands only the
+    * vertices REACHED LAST round (a left-anti join against the settled
+    * set), so a vertex is expanded exactly once no matter how many
+    * paths reach it; with min-label BFS the first arrival IS the
+    * minimum distance. Per round: one join + one anti join + a
+    * `localCheckpoint` (same flat-lineage discipline as
+    * [[connectedComponents]]). The round count is bounded by
+    * construction, so no convergence guard is needed — but an empty
+    * frontier short-circuits the loop.
+    *
+    * At scale each round shuffles `frontier ⋈ edges` on the vertex id
+    * — frontier size is the working set, never the whole graph; the
+    * settled set grows monotonically and only ever anti-joins (no
+    * wide rewrite per round).
+    *
+    * @param edges directed edge list (`src`, `dst`); symmetrize
+    *              before calling for undirected semantics
+    * @param seeds one column `id` — distance-0 vertices
+    * @return (id, hops) for every vertex within `maxHops` of a seed
+    */
+  def boundedHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      localSolveMaxEdges: Long = 1L << 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // hybrid solve (same discipline as [[connectedComponents]] /
+    // [[pageRankInt]]): below the bounded edge threshold, a driver
+    // BFS replaces maxHops × (join + anti join + checkpoint) rounds
+    // of scheduling; identical frontier semantics, identical labels
+    val isLong = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (isLong && e.count() <= localSolveMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val adj = e.as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val dist = scala.collection.mutable.Map.empty[Long, Int]
+      seeds.select(col("id").cast("long")).distinct()
+        .as[Long].collect().foreach(dist(_) = 0)
+      var frontier = dist.keys.toSeq
+      var h = 1
+      while (h <= maxHops && frontier.nonEmpty) {
+        frontier = frontier
+          .flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(dist(_) = h)
+        h += 1
+      }
+      return dist.toSeq.toDF("id", "hops")
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("id"))
+    }
+    var settled = seeds.select(col("id")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = settled.select(col("id"))
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(e, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(settled.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      settled = settled.unionByName(next).localCheckpoint()
+      frontier = next.select(col("id"))
+      h += 1
+    }
+    settled
+  }
+
   /** Build an edge table between two identified endpoints. */
   def edges(df: DataFrame, subjectId: Column, subjectType: String,
       objectId: Column, objectType: String, edgeType: String,

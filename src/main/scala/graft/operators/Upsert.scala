@@ -26,6 +26,33 @@ object Upsert {
         Cumulate.MergeCol(c, coalesce(col(s"t_$c"), col(s"y_$c")))))
   }
 
+  /** Apply a CDC changelog to a snapshot: `changes` carries the key
+    * columns, the new attribute values, and an `op` column with
+    * `'I'` (insert), `'U'` (update — new values), or `'D'` (delete).
+    * One anti join removes every touched key (updates and deletes
+    * alike), one union adds the surviving new images — the
+    * merge-then-replace form of `MERGE INTO`, and the inverse of
+    * [[Diff.snapshotDiff]] (see the round-trip property in
+    * `DiffSpec`: applying a diff's changelog to `before` reproduces
+    * `after` exactly).
+    *
+    * At scale both sides shuffle-partition once on the key; the
+    * changelog (a day's changes) is typically broadcastable against
+    * the snapshot. Idempotent: re-applying the same changelog is a
+    * no-op (inserts re-delete-then-re-insert their own keys).
+    *
+    * @param changes same schema as `snapshot` plus the `op` column
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String], opCol: String = "op"): DataFrame = {
+    val touched = changes.select(keys.map(col): _*).distinct()
+    snapshot.join(touched, keys, "left_anti")
+      .unionByName(changes
+        .filter(col(opCol).isin("I", "U"))
+        .drop(opCol)
+        .select(snapshot.columns.map(col).toSeq: _*))
+  }
+
   /** Idempotent partition replacement: writes `delta` into `table`,
     * replacing only the partitions the delta contains (requires the
     * table to be partitioned; uses dynamic partitionOverwriteMode).

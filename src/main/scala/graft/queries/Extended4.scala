@@ -1,0 +1,536 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Exact._
+import graft.operators.{BloomJoin, Graph, Scd}
+
+/** Round-5 batch: bloom-pruned semi joins, bounded-hop BFS, SCD
+  * point-in-time lookup, NOT IN null semantics (null-aware anti
+  * join), exact linear interpolation of gaps, generator outer
+  * semantics, JSON build/parse round-trip, multi-aggregate pivot,
+  * time-weighted averages, and median absolute deviation.
+  */
+object Extended4 {
+
+  /** Bloom-pruned semi join ([[graft.operators.BloomJoin]]): orders of
+    * BUILDING-segment customers, revenue by year. The bloom pass
+    * discards non-member fact rows inside the scan's codegen stage
+    * BEFORE any exchange (the dim's key set rides along as ~10 bits
+    * per key); the exact semi join then removes the ≤1% false
+    * positives, so the result — and the oracle — is exactly the plain
+    * semi join. At 100 TB the pruned shuffle is the win; here the
+    * oracle proves the pruning is invisible to correctness.
+    */
+  val q140_bloom_semi: Q = Q(
+    "q140_bloom_semi",
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |  WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val dim = Tables.load(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+    // sizing: an overestimate only costs bits (~1.2 KB per 1k keys),
+    // so a cheap count on the already-filtered dim is exact and safe
+    val expected = math.max(dim.count(), 1L)
+    BloomJoin.semiJoin(Tables.load(spark, dir, "orders"), dim,
+        "o_custkey", "c_custkey", expected)
+      .groupBy(year($"o_orderdate").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("revenue"))
+      .orderBy($"yr")
+  }
+
+  /** Bounded-hop multi-source BFS ([[graft.operators.Graph.boundedHops]])
+    * over the bipartite part↔supplier co-supply graph (part ids even,
+    * supplier ids odd): minimum hop count from the 3 seed suppliers,
+    * capped at 3 hops. Frontier propagation visits each vertex once —
+    * first arrival is the minimum distance — while the recursive-CTE
+    * oracle re-derives every (vertex, depth) pair and takes MIN(d):
+    * two independent formulations of shortest hops.
+    */
+  val q141_bounded_hops: Q = Q(
+    "q141_bounded_hops",
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+      |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem
+      |  UNION ALL
+      |  SELECT DISTINCT CAST(l_suppkey * 2 + 1 AS BIGINT),
+      |    CAST(l_partkey * 2 AS BIGINT) FROM lineitem),
+      |r(id, d) AS (
+      |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT), 0 FROM supplier
+      |  WHERE s_suppkey <= 3
+      |  UNION
+      |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+      |  WHERE r.d < 3)
+      |SELECT id, CAST(MIN(d) AS INT) AS hops FROM r
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val pairs = Tables.load(spark, dir, "lineitem")
+      .select(($"l_partkey" * 2).cast("long").as("p"),
+        ($"l_suppkey" * 2 + 1).cast("long").as("s"))
+      .distinct()
+    val edges = pairs.select($"p".as("src"), $"s".as("dst"))
+      .unionByName(pairs.select($"s".as("src"), $"p".as("dst")))
+    val seeds = Tables.load(spark, dir, "supplier")
+      .filter($"s_suppkey" <= 3)
+      .select(($"s_suppkey" * 2 + 1).cast("long").as("id"))
+    Graph.boundedHops(edges, seeds, maxHops = 3)
+      .select($"id", $"hops".cast("int").as("hops"))
+      .orderBy($"id")
+  }
+
+  /** SCD point-in-time (AS OF) lookup: the q30 backfilled type-2 table
+    * filtered to the rows whose [start_day, end_day] interval covers
+    * the as-of date — "what was every user's activity class on
+    * Jan 15". The standard dimensional-join access path of an SCD
+    * table (reference `players_scd` labs): at scale the interval
+    * filter prunes before any join, and an equality-partitioned fact
+    * join on user_id follows unchanged.
+    */
+  val q142_scd_pit: Q = Q(
+    "q142_scd_pit",
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CASE WHEN COUNT(*) >= 3 THEN 'active' ELSE 'light' END
+      |      AS activity_class
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT *, CASE WHEN activity_class =
+      |      LAG(activity_class) OVER (PARTITION BY user_id ORDER BY day)
+      |    THEN 0 ELSE 1 END AS changed
+      |  FROM d),
+      |s AS (
+      |  SELECT *, SUM(changed) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS streak
+      |  FROM c),
+      |scd AS (
+      |  SELECT user_id, activity_class,
+      |    MIN(day) AS start_day, MAX(day) AS end_day
+      |  FROM s GROUP BY user_id, activity_class, streak)
+      |SELECT user_id, activity_class, start_day, end_day FROM scd
+      |WHERE start_day <= DATE '2024-01-15' AND end_day >= DATE '2024-01-15'
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"user_id", $"ts".cast("date").as("day"))
+      .agg(when(count(lit(1)) >= 3, "active").otherwise("light")
+        .as("activity_class"))
+    Scd.backfill(daily, "user_id", "day", "activity_class")
+      .filter($"start_day" <= lit("2024-01-15").cast("date") &&
+        $"end_day" >= lit("2024-01-15").cast("date"))
+      .select($"user_id", $"activity_class", $"start_day", $"end_day")
+      .orderBy($"user_id")
+  }
+
+  /** NOT IN versus NOT EXISTS under NULLs — the three-valued-logic
+    * trap, pinned by both engines: a NULL anywhere in a NOT IN
+    * subquery makes EVERY row's membership test UNKNOWN (count 0),
+    * while NOT EXISTS is unaffected. Spark plans the NOT IN as a
+    * null-aware anti join (BroadcastHashJoin … NAAJ) — the dedicated
+    * physical shape this semantics needs; the clean-subquery NOT IN
+    * and the NOT EXISTS agree, and the NULL-laced NOT IN returns 0.
+    */
+  val q143_not_in_nulls: Q = {
+    val sql =
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+        |    AS n_not_in,
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT CASE WHEN o_orderstatus = 'F' THEN o_custkey END
+        |     FROM orders)) AS n_not_in_null,
+        |  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderstatus = 'F')) AS n_not_exists""".stripMargin
+    Q("q143_not_in_nulls", sql) { (spark, dir) =>
+      Tables.load(spark, dir, "customer")
+        .createOrReplaceTempView("customer")
+      Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+      spark.sql(sql)
+    }
+  }
+
+  /** Linear interpolation of gaps in a daily per-user series, in
+    * exact integer arithmetic: missing days get
+    * `(prev·(next_day−d) + next·(d−prev_day)) DIV (next_day−prev_day)`
+    * cents — time-weighted between the flanking observations (the
+    * numeric cousin of q80's forward fill). Both neighbors come from
+    * one windowed pass (IGNORE NULLS running frames in both
+    * directions); all operands are non-negative integers, so
+    * truncating division is engine-identical.
+    */
+  val q144_interpolate: Q = Q(
+    "q144_interpolate",
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |  FROM d GROUP BY 1),
+      |cal AS (SELECT user_id,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |      AS day
+      |  FROM span),
+      |j AS (SELECT cal.user_id, cal.day, d.cents
+      |  FROM cal LEFT JOIN d USING (user_id, day)),
+      |w AS (SELECT user_id, day, cents,
+      |    last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS pc,
+      |    last_value(CASE WHEN cents IS NOT NULL THEN day END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd,
+      |    first_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY day ROWS BETWEEN CURRENT ROW AND
+      |      UNBOUNDED FOLLOWING) AS nc,
+      |    first_value(CASE WHEN cents IS NOT NULL THEN day END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY day ROWS BETWEEN CURRENT ROW AND
+      |      UNBOUNDED FOLLOWING) AS nd
+      |  FROM j)
+      |SELECT user_id, day, cents IS NOT NULL AS observed,
+      |  CASE WHEN cents IS NOT NULL THEN cents
+      |    ELSE (pc * (nd - day) + nc * (day - pd)) // (nd - pd) END
+      |    AS interp_cents
+      |FROM w ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts".cast("date").as("day"))
+      .agg(sum((money($"value") * 100).cast("long")).as("cents"))
+    val cal = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day")))
+          .as("day"))
+    val wPrev = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day", $"cents",
+        last($"cents", ignoreNulls = true).over(wPrev).as("pc"),
+        last(when($"cents".isNotNull, $"day"), ignoreNulls = true)
+          .over(wPrev).as("pd"),
+        first($"cents", ignoreNulls = true).over(wNext).as("nc"),
+        first(when($"cents".isNotNull, $"day"), ignoreNulls = true)
+          .over(wNext).as("nd"))
+      .withColumn("_num", $"pc" * datediff($"nd", $"day") +
+        $"nc" * datediff($"day", $"pd"))
+      .withColumn("_den", datediff($"nd", $"pd").cast("long"))
+      .select($"user_id", $"day", $"cents".isNotNull.as("observed"),
+        when($"cents".isNotNull, $"cents")
+          .otherwise(expr("_num DIV _den")).as("interp_cents"))
+      .orderBy($"user_id", $"day")
+  }
+
+  /** Generator OUTER semantics: `posexplode_outer` keeps a parent row
+    * with NULL position/element when its array is empty — the LEFT
+    * JOIN LATERAL of generators (a plain explode silently DROPS those
+    * documents, the classic row-loss bug in token pipelines). The
+    * 'qu'-prefixed token filter makes ~20% of the arrays empty, so
+    * both branches are exercised.
+    */
+  val q145_explode_outer: Q = Q(
+    "q145_explode_outer",
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x LIKE 'qu%') AS qs
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT t.doc_id, u.pos, u.tok
+      |FROM t LEFT JOIN LATERAL (
+      |  SELECT CAST(generate_subscripts(qs, 1) - 1 AS INT) AS pos,
+      |    unnest(qs) AS tok) u ON true
+      |ORDER BY doc_id, pos""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter($"doc_id" < 200)
+      .select($"doc_id",
+        filter(graft.functions.TextFunctions.lowerTokens($"text"),
+          t => t.like("qu%")).as("qs"))
+      .select($"doc_id", posexplode_outer($"qs").as(Seq("pos", "tok")))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** JSON build + parse round-trip: `to_json(struct(…))` serializes
+    * (key order = struct order, no whitespace — reproduced
+    * byte-identically by the oracle's string concat), `from_json`
+    * parses the props bag through an explicit schema (the structured
+    * cousin of q8's path extraction). NULL-keyed rows are filtered
+    * first: `to_json` omits null fields, which no concat can mimic.
+    */
+  val q146_json_roundtrip: Q = Q(
+    "q146_json_roundtrip",
+    """WITH j AS (SELECT event_type,
+      |    '{"u":' || user_id || ',"t":"' || event_type || '"}' AS jdoc,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n, MIN(jdoc) AS sample_doc,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.loadParallel(spark, dir, "events")
+      .filter($"user_id".isNotNull && $"event_type".isNotNull)
+      .select($"event_type",
+        to_json(struct($"user_id".as("u"), $"event_type".as("t")))
+          .as("jdoc"),
+        from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"jdoc").as("sample_doc"),
+        sum($"k").as("sum_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Multi-aggregate pivot: order count AND exact revenue per
+    * priority × year, pivoted to one row per priority (two measures
+    * per pivot value — Spark names the columns `{value}_{agg alias}`,
+    * renamed here to match the oracle's conditional aggregates).
+    * Empty count cells are NULL from a pivot but 0 from SUM(CASE) —
+    * coalesced explicitly.
+    */
+  val q147_pivot_multi: Q = {
+    val years = 1995 to 1998
+    val aggSqls = years.map { y =>
+      s"""  CAST(COALESCE(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = $y
+         |    THEN 1 END), 0) AS BIGINT) AS n_$y,
+         |  CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = $y
+         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    AS rev_$y""".stripMargin
+    }.mkString(",\n")
+    Q("q147_pivot_multi",
+      s"""SELECT o_orderpriority,\n$aggSqls
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val pivoted = Tables.load(spark, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot(year($"o_orderdate"), years.map(Integer.valueOf))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("rev"))
+      years.foldLeft(pivoted) { (df, y) =>
+        df.withColumn(s"n_$y", coalesce(col(s"${y}_n"), lit(0L)))
+          .withColumn(s"rev_$y", col(s"${y}_rev"))
+          .drop(s"${y}_n", s"${y}_rev")
+      }.orderBy($"o_orderpriority")
+    }
+  }
+
+  /** Time-weighted average event value per user: each observation
+    * holds until the next one (LEAD over a TOTAL order — event time
+    * µs then event_id, so tie handling is engine-identical), weighted
+    * by its holding duration in µs. All-integer: cents × µs products
+    * summed as longs, one truncating division on non-negative
+    * operands. The irregular-sampling average a last-observation-
+    * carried-forward series needs (plain AVG over-weights bursts).
+    */
+  val q148_time_weighted: Q = Q(
+    "q148_time_weighted",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+      |    event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |w AS (SELECT user_id, cents, tus,
+      |    lead(tus) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS ntus
+      |  FROM e)
+      |SELECT user_id,
+      |  CAST(SUM(cents * (ntus - tus)) AS BIGINT) AS weighted_sum,
+      |  CAST(SUM(ntus - tus) AS BIGINT) AS span_us,
+      |  CAST(SUM(cents * (ntus - tus)) // SUM(ntus - tus) AS BIGINT)
+      |    AS twa_cents
+      |FROM w WHERE ntus IS NOT NULL GROUP BY 1
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    Tables.load(spark, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        (money($"value") * 100).cast("long").as("cents"))
+      .withColumn("ntus", lead($"tus", 1).over(w))
+      .filter($"ntus".isNotNull)
+      .groupBy($"user_id")
+      .agg(sum($"cents" * ($"ntus" - $"tus")).as("weighted_sum"),
+        sum($"ntus" - $"tus").as("span_us"))
+      .select($"user_id", $"weighted_sum", $"span_us",
+        expr("weighted_sum DIV span_us").as("twa_cents"))
+      .orderBy($"user_id")
+  }
+
+  /** Median absolute deviation (the robust dispersion measure quality
+    * filters prefer over stddev — one wild outlier moves MAD by at
+    * most one rank step). Doubled-integer staging keeps BOTH
+    * percentile interpolations on exact integers: the median of cents
+    * can land on .5, so deviations are computed against 2·median
+    * (always integral) and halved only at the very end (an exact
+    * binary operation). Group-size caveat: `percentile` buffers each
+    * group in one task — bounded here by event_type cardinality; the
+    * fact-scale path is [[graft.operators.Percentiles.exactCont]].
+    */
+  val q149_mad: Q = Q(
+    "q149_mad",
+    """WITH e AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT event_type,
+      |    CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+      |  FROM e GROUP BY 1),
+      |d AS (SELECT e.event_type, m.med2,
+      |    ABS(2 * e.cents - m.med2) AS dev2
+      |  FROM e JOIN m USING (event_type))
+      |SELECT event_type,
+      |  CAST(MIN(med2) AS DOUBLE) / 2 AS median_cents,
+      |  quantile_cont(dev2, 0.5) / 2 AS mad_cents
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+      .select($"event_type", (money($"value") * 100).cast("long")
+        .as("cents"))
+    val m = e.groupBy($"event_type")
+      .agg((expr("percentile(cents, 0.5)") * 2).cast("long").as("med2"))
+    e.join(m, "event_type")
+      .select($"event_type", $"med2",
+        abs($"cents" * 2 - $"med2").as("dev2"))
+      .groupBy($"event_type")
+      .agg((min($"med2").cast("double") / 2).as("median_cents"),
+        (expr("percentile(dev2, 0.5)") / 2).as("mad_cents"))
+      .orderBy($"event_type")
+  }
+
+  /** CDC changelog apply ([[graft.operators.Upsert.applyChangelog]]):
+    * a deterministic I/U/D changelog derived from the customer table
+    * (deletes for key%17=0, updates for 1–3, inserts for 4) applied
+    * as one anti join + one union — the MERGE INTO shape, and the
+    * inverse of q81's snapshotDiff (round-trip property in
+    * `DiffSpec`). The oracle replays the same relational algebra.
+    */
+  val q150_cdc_apply: Q = Q(
+    "q150_cdc_apply",
+    """WITH ch AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+      |    c_mktsegment, 'D' AS op
+      |  FROM customer WHERE c_custkey % 17 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100,
+      |    'MOVED', 'U'
+      |  FROM customer WHERE c_custkey % 17 IN (1, 2, 3)
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEW ' || c_name, c_nationkey,
+      |    CAST(0.0 AS DOUBLE), 'FRESH', 'I'
+      |  FROM customer WHERE c_custkey % 17 = 4)
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM (
+      |  SELECT c.* FROM customer c
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM ch)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM ch WHERE op IN ('I', 'U'))
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+    val mod = $"c_custkey" % 17
+    val changes = cust.filter(mod === 0)
+      .withColumn("op", lit("D"))
+      .unionByName(cust.filter(mod.isin(1, 2, 3))
+        .withColumn("c_acctbal", $"c_acctbal" + 100)
+        .withColumn("c_mktsegment", lit("MOVED"))
+        .withColumn("op", lit("U")))
+      .unionByName(cust.filter(mod === 4)
+        .withColumn("c_custkey", $"c_custkey" + 1000000L)
+        .withColumn("c_name", concat(lit("NEW "), $"c_name"))
+        .withColumn("c_acctbal", lit(0.0))
+        .withColumn("c_mktsegment", lit("FRESH"))
+        .withColumn("op", lit("I")))
+    graft.operators.Upsert.applyChangelog(cust, changes,
+        Seq("c_custkey"))
+      .orderBy($"c_custkey")
+  }
+
+  /** 2D skyline (Pareto frontier) per brand: parts not dominated on
+    * (price ↓ better, size ↑ better). The engine computes it with ONE
+    * windowed pass — sorted by (price asc, size desc), a point is
+    * dominated iff the running max size over strictly-preceding rows
+    * reaches it (exact-tie duplicates removed first, so "reaches"
+    * implies a strict improvement somewhere) — O(n log n) against the
+    * oracle's independent O(n²) NOT-EXISTS definition. The window is
+    * partitioned by brand: fully parallel at scale.
+    */
+  val q151_skyline: Q = Q(
+    "q151_skyline",
+    """WITH pts AS (SELECT DISTINCT p_brand,
+      |    CAST(p_retailprice AS DECIMAL(18,2)) AS price, p_size
+      |  FROM part)
+      |SELECT p_brand, CAST(price AS DOUBLE) AS price, p_size
+      |FROM pts a
+      |WHERE NOT EXISTS (SELECT 1 FROM pts b
+      |  WHERE b.p_brand = a.p_brand AND b.price <= a.price
+      |  AND b.p_size >= a.p_size
+      |  AND (b.price < a.price OR b.p_size > a.p_size))
+      |ORDER BY p_brand, price""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val pts = Tables.load(spark, dir, "part")
+      .select($"p_brand", money($"p_retailprice").as("price"),
+        $"p_size")
+      .distinct()
+    val w = Window.partitionBy($"p_brand")
+      .orderBy($"price".asc, $"p_size".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("_m", max($"p_size").over(w))
+      .filter($"_m".isNull || $"_m" < $"p_size")
+      .select($"p_brand", $"price".cast("double").as("price"),
+        $"p_size")
+      .orderBy($"p_brand", $"price")
+  }
+
+  /** Weighted median: smallest quantity whose cumulative
+    * extended-price weight reaches half the total, per return flag.
+    * Weights pre-aggregate per (flag, value) BEFORE the window — the
+    * cumulative pass runs over value cardinality, not row count (the
+    * scale form of weighted quantiles); `2·cum ≥ total` in exact
+    * cents avoids any division.
+    */
+  val q152_weighted_median: Q = Q(
+    "q152_weighted_median",
+    """WITH t AS (SELECT l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS w
+      |  FROM lineitem),
+      |g AS (SELECT l_returnflag, qty, SUM(w) AS w FROM t GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, qty, w,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty) AS cw,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM g)
+      |SELECT l_returnflag,
+      |  CAST(MIN(CASE WHEN 2 * cw >= tw THEN qty END) AS BIGINT)
+      |    AS wmedian_qty,
+      |  CAST(MIN(tw) AS BIGINT) AS total_weight_cents
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val g = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity".cast("long").as("qty"),
+        (money($"l_extendedprice") * 100).cast("long").as("w"))
+      .groupBy($"l_returnflag", $"qty")
+      .agg(sum($"w").as("w"))
+    val wc = Window.partitionBy($"l_returnflag").orderBy($"qty")
+    val wt = Window.partitionBy($"l_returnflag")
+    g.select($"l_returnflag", $"qty",
+        sum($"w").over(wc).as("cw"), sum($"w").over(wt).as("tw"))
+      .groupBy($"l_returnflag")
+      .agg(min(when($"cw" * 2 >= $"tw", $"qty")).as("wmedian_qty"),
+        min($"tw").as("total_weight_cents"))
+      .orderBy($"l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(
+    q140_bloom_semi, q141_bounded_hops, q142_scd_pit, q143_not_in_nulls,
+    q144_interpolate, q145_explode_outer, q146_json_roundtrip,
+    q147_pivot_multi, q148_time_weighted, q149_mad, q150_cdc_apply,
+    q151_skyline, q152_weighted_median)
+}

@@ -141,4 +141,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q134_weighted_sample").contains("WindowGroupLimit"),
       "rn <= 10 must become a per-partition group limit")
   }
+
+  test("q140's bloom probe filters the fact BELOW the semi join") {
+    val p = plan("q140_bloom_semi")
+    assert(p.contains("bloom_might_contain"),
+      "the bloom predicate must survive into the physical plan")
+    // the probe must sit under the join, fused with the scan stage —
+    // i.e. appear AFTER (deeper than) the semi join in the plan text
+    val probeAt = p.indexOf("bloom_might_contain")
+    val joinAt = p.indexOf("LeftSemi")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "bloom probe must prune before the exact semi join")
+  }
+
+  test("q143's NOT IN plans as a null-aware anti join") {
+    val p = plan("q143_not_in_nulls")
+    // the BHJ's trailing flag is isNullAwareAntiJoin — both NOT INs
+    // must carry it; the NOT EXISTS stays a plain anti (flag false)
+    val naaj = "LeftAnti, BuildRight, true".r.findAllIn(p).length
+    assert(naaj >= 2,
+      "NOT IN over a nullable subquery needs the null-aware anti " +
+        s"join, not a plain LeftAnti — 3VL semantics live there ($naaj)")
+    assert(p.contains("LeftAnti, BuildRight, false"),
+      "NOT EXISTS must stay a plain anti join")
+  }
 }

@@ -32,4 +32,24 @@ class DiffSpec extends SparkSpec {
       .select($"change_type").as[String].head()
     assert(got == "unchanged")
   }
+
+  test("round trip: applyChangelog(before, diff) reproduces after") {
+    import org.apache.spark.sql.functions._
+    val before = Seq(
+      (1L, "a", 10), (2L, "b", 20), (3L, "c", 30),
+      (5L, null.asInstanceOf[String], 50))
+      .toDF("id", "s", "n")
+    val after = Seq(
+      (1L, "a", 10), (2L, "b", 99), (4L, "d", 40), (5L, "now", 50))
+      .toDF("id", "s", "n")
+    // a diff IS a changelog: added→I, changed→U (after image), removed→D
+    val changelog = Diff.snapshotDiff(before, after, Seq("id"))
+      .filter($"change_type" =!= "unchanged")
+      .select($"id", $"s_after".as("s"), $"n_after".as("n"),
+        when($"change_type" === "added", "I")
+          .when($"change_type" === "changed", "U")
+          .otherwise("D").as("op"))
+    val got = Upsert.applyChangelog(before, changelog, Seq("id"))
+    assertDfEquality(got, after)
+  }
 }

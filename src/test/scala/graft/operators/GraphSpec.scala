@@ -158,6 +158,50 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 150L, 2L -> 277L))
   }
 
+  test("boundedHops: min distance wins, cap respected, unreachable absent") {
+    // 1→2→3→4→5 plus shortcut 1→4: vertex 4 is 1 hop (shortcut), not 3;
+    // vertex 5 is 2; isolated 9→10 unreachable; cap 2 excludes nothing
+    // reachable here, cap 1 would
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    // threshold 1<<20 takes the driver BFS, 0 the distributed loop —
+    // both must produce identical frontier labels
+    Seq(1L << 20, 0L).foreach { threshold =>
+      val got = Graph.boundedHops(edges, seeds, maxHops = 2,
+          localSolveMaxEdges = threshold)
+        .as[(Long, Int)].collect().toMap
+      assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2),
+        s"threshold=$threshold diverged")
+      val capped = Graph.boundedHops(edges, seeds, maxHops = 1,
+          localSolveMaxEdges = threshold)
+        .as[(Long, Int)].collect().toMap
+      assert(capped == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    }
+  }
+
+  test("boundedHops: multiple seeds take the per-vertex minimum") {
+    // seeds 1 and 5 on a path 1→2→3→4→5→6: 4 is hops 2 via 3... but
+    // also NOT reached backward from 5 (directed); 6 is 1 from seed 5
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    Seq(1L << 20, 0L).foreach { threshold =>
+      val got = Graph.boundedHops(edges, Seq(1L, 5L).toDF("id"), 2,
+          localSolveMaxEdges = threshold)
+        .as[(Long, Int)].collect().toMap
+      assert(got == Map(1L -> 0, 5L -> 0, 2L -> 1, 6L -> 1, 3L -> 2))
+    }
+  }
+
+  test("boundedHops: empty frontier stops early, seeds-only graph") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    Seq(1L << 20, 0L).foreach { threshold =>
+      val got = Graph.boundedHops(edges, Seq(7L).toDF("id"), 5,
+          localSolveMaxEdges = threshold)
+        .as[(Long, Int)].collect().toMap
+      assert(got == Map(7L -> 0))
+    }
+  }
+
   test("edges carry endpoint types and JSON properties") {
     val df = Seq((10, 20, "AUTomobile")).toDF("c", "n", "seg")
     val got = Graph.edges(df, $"c", "customer", $"n", "nation",
