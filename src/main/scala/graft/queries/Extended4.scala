@@ -528,9 +528,94 @@ object Extended4 {
       .orderBy($"l_returnflag")
   }
 
+  /** Correlated scalar aggregate subqueries, three at once: customers
+    * with more orders than their nation's per-customer average —
+    * compared cross-multiplied in exact integers (`my_orders ·
+    * nation_customers > nation_orders`), never an AVG of doubles.
+    * Catalyst decorrelates each scalar into an aggregate + join
+    * (`RewriteCorrelatedScalarSubquery`) — the shape that survives a
+    * fact-scale outer side, vs naive per-row re-execution.
+    */
+  val q153_correlated_avg: Q = {
+    val sql =
+      """SELECT c.c_nationkey, COUNT(*) AS n_above
+        |FROM customer c
+        |WHERE (SELECT COUNT(*) FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey)
+        |  * (SELECT COUNT(*) FROM customer c2
+        |    WHERE c2.c_nationkey = c.c_nationkey)
+        |  > (SELECT COUNT(*) FROM orders o JOIN customer c3
+        |    ON o.o_custkey = c3.c_custkey
+        |    WHERE c3.c_nationkey = c.c_nationkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    Q("q153_correlated_avg", sql) { (spark, dir) =>
+      Tables.load(spark, dir, "customer")
+        .createOrReplaceTempView("customer")
+      Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+      spark.sql(sql)
+    }
+  }
+
+  /** Ordered string aggregation: `LISTAGG … WITHIN GROUP (ORDER BY)`
+    * (Spark ≥4.0) ≡ DuckDB's ordered `string_agg` — the report-surface
+    * concat whose determinism REQUIRES the explicit order clause (an
+    * unordered listagg is partitioning-dependent and would never
+    * hash-match, the same nondeterminism lesson as the reference's
+    * unordered ROW_NUMBER, SURVEY §7.3).
+    */
+  val q154_string_agg: Q = Q(
+    "q154_string_agg",
+    """SELECT r_name,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("nation")
+    Tables.load(spark, dir, "region").createOrReplaceTempView("region")
+    spark.sql(
+      """SELECT r_name,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+        |    AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Sample variance and stddev from exact integer moments:
+    * `(n·Σx² − (Σx)²) / (n·(n−1))` with the numerator and denominator
+    * exact BIGINTs (bounded ≪ 2⁵³ here) and ONE IEEE division, then
+    * one correctly-rounded sqrt — engine-identical where a running
+    * float `var_samp` is summation-order-dependent and would never
+    * hash-match (same discipline as q131's regression moments).
+    */
+  val q155_exact_variance: Q = Q(
+    "q155_exact_variance",
+    """WITH t AS (SELECT l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+      |m AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx,
+      |    SUM(x * x) AS sxx
+      |  FROM t GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  CAST(n * sxx - sx * sx AS DOUBLE)
+      |    / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+      |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |    / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty
+      |FROM m ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val m = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity".cast("long").as("x"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+    val v = ($"n" * $"sxx" - $"sx" * $"sx").cast("double") /
+      ($"n" * ($"n" - 1)).cast("double")
+    m.select($"l_returnflag", $"n", v.as("var_qty"),
+        sqrt(v).as("stddev_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     q140_bloom_semi, q141_bounded_hops, q142_scd_pit, q143_not_in_nulls,
     q144_interpolate, q145_explode_outer, q146_json_roundtrip,
     q147_pivot_multi, q148_time_weighted, q149_mad, q150_cdc_apply,
-    q151_skyline, q152_weighted_median)
+    q151_skyline, q152_weighted_median, q153_correlated_avg,
+    q154_string_agg, q155_exact_variance)
 }
