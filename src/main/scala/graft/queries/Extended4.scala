@@ -612,10 +612,48 @@ object Extended4 {
       .orderBy($"l_returnflag")
   }
 
+  /** Calendar-function sweep with pinned cross-engine semantics:
+    * last_day, ISO week starts (both engines truncate weeks to
+    * Monday), ISO day-of-week (Spark's `weekday+1` ≡ DuckDB's
+    * `isodow` — never `dayofweek`, whose week start is
+    * engine-configurable), month indexes by `y·12+m` arithmetic
+    * (NOT months_between/datediff('month'), which count differently
+    * around month ends), and end-of-month-clamped add_months.
+    */
+  val q156_date_funcs: Q = Q(
+    "q156_date_funcs",
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+      |    AS week_start,
+      |  CAST(isodow(o_orderdate) AS INT) AS dow_iso,
+      |  CAST(week(o_orderdate) AS INT) AS iso_week,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+      |    + EXTRACT(MONTH FROM o_orderdate)
+      |    - (1995 * 12 + 1) AS INT) AS month_idx,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+      |    AS plus_2m
+      |FROM orders WHERE o_orderkey < 500
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val d = $"o_orderdate".cast("date")
+    Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" < 500)
+      .select($"o_orderkey", d.as("d"),
+        last_day(d).as("month_end"),
+        date_trunc("week", d).cast("date").as("week_start"),
+        (weekday(d) + 1).cast("int").as("dow_iso"),
+        weekofyear(d).cast("int").as("iso_week"),
+        (year(d) * 12 + month(d) - lit(1995 * 12 + 1)).cast("int")
+          .as("month_idx"),
+        add_months(d, 2).as("plus_2m"))
+      .orderBy($"o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     q140_bloom_semi, q141_bounded_hops, q142_scd_pit, q143_not_in_nulls,
     q144_interpolate, q145_explode_outer, q146_json_roundtrip,
     q147_pivot_multi, q148_time_weighted, q149_mad, q150_cdc_apply,
     q151_skyline, q152_weighted_median, q153_correlated_avg,
-    q154_string_agg, q155_exact_variance)
+    q154_string_agg, q155_exact_variance, q156_date_funcs)
 }
