@@ -152,6 +152,76 @@ object Dedup {
       .otherwise(inter.cast("double") / union.cast("double"))
   }
 
+  /** EXACT threshold Jaccard join (set-similarity join) by PREFIX
+    * FILTERING — the PPJoin-family alternative to MinHash-LSH
+    * ([[lshCandidatePairs]]): no false negatives by THEOREM rather
+    * than by probability, at the cost of a frequency-ordered prefix
+    * index instead of signature bands.
+    *
+    * Why it works: sort every document's shingles by one global total
+    * order (document frequency ascending, then shingle — any total
+    * order is correct; rare-first makes prefixes selective). If
+    * J(A,B) ≥ t then |A∩B| ≥ t·|A| (union ≥ |A|), so fewer than
+    * ceil(t·|A|) common shingles cannot all hide in A's suffix of
+    * length ceil(t·|A|)−1 — the order-smallest common shingle lies in
+    * BOTH prefixes of length n − ceil(t·n) + 1. Joining on prefix
+    * shingles therefore yields a candidate superset; an exact
+    * [[jaccardSorted]]-style verify (codegen'd merge walk, basis
+    * points — no float compare) filters it.
+    *
+    * Scale shape: the only wide operations are the shingle-frequency
+    * aggregate, the prefix equi-join (shuffle key = shingle, bounded
+    * by prefix occupancy — the rare-first order keeps hot shingles
+    * OUT of prefixes), and the two verify joins on doc id. Nothing is
+    * quadratic in the corpus.
+    *
+    * @param thresholdBp Jaccard threshold in basis points (7000 = 0.7)
+    * @return (id_a, id_b, j_bp) — id_a < id_b, exact basis points
+    */
+  def thresholdJoin(df: DataFrame, textCol: String, idCol: String,
+      thresholdBp: Int = 7000): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"thresholdBp must be 1..10000, got $thresholdBp")
+    val s = df
+      .withColumn("_toks", TextFunctions.lowerTokens(col(textCol)))
+      .select(col(idCol).as("_id"),
+        array_sort(TextFunctions.shinglesOfTokens(col("_toks")))
+          .as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .localCheckpoint() // read by the frequency agg AND both verify joins
+    val ex = s.select(col("_id"), explode(col("_sh")).as("_t"))
+    // shingles are distinct per doc, so count == document frequency
+    val dfreq = ex.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val ranked = ex.join(dfreq, "_t")
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_t"))))
+        .as("_r"))
+      .select(col("_id"),
+        transform(col("_r"), x => x.getField("_t")).as("_rt"))
+    val pref = ranked.select(col("_id"),
+        explode(expr(s"slice(_rt, 1, size(_rt) " +
+          s"- ((size(_rt) * $thresholdBp + 9999) DIV 10000) + 1)"))
+          .as("_t"))
+      .localCheckpoint() // self-joined: avoid re-running the ranking twice
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a._t") === col("b._t") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    cand
+      .join(s.select(col("_id").as("id_a"), col("_sh").as("_sh_a")),
+        "id_a")
+      .join(s.select(col("_id").as("id_b"), col("_sh").as("_sh_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.plans.SortedIntersectCount(col("_sh_a"), col("_sh_b"))
+          .as("_i"),
+        (size(col("_sh_a")) + size(col("_sh_b"))).as("_s"))
+      .select(col("id_a"), col("id_b"),
+        expr("(_i * 10000) DIV (_s - _i)").as("j_bp"))
+      .filter(col("j_bp") >= thresholdBp)
+  }
+
   /** 60-bit SimHash over the token multiset: per-token md5-derived
     * 60-bit hash, per-bit ±1 majority vote — computed by the
     * single-pass [[graft.plans.SimHashSig]] kernel (no shuffle, no

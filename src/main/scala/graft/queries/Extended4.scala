@@ -650,10 +650,42 @@ object Extended4 {
       .orderBy($"o_orderkey")
   }
 
+  // q44's sorted distinct 3-gram shingle array, DuckDB form
+  private val SortedShingleSql =
+    """list_sort(list_distinct(list_transform(
+      |  range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1) + 1),
+      |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' '))))""".stripMargin
+
+  /** Exact set-similarity join ([[graft.operators.Dedup.thresholdJoin]]):
+    * ALL document pairs with shingle Jaccard ≥ 0.7, found by prefix
+    * filtering (rare-first global order; no false negatives by the
+    * prefix theorem) — the exact counterpart of q45's probabilistic
+    * MinHash-LSH candidates. The oracle is the O(n²) brute force over
+    * every pair: the prefix index must reproduce it EXACTLY.
+    */
+  val q157_similarity_join: Q = Q(
+    "q157_similarity_join",
+    s"""WITH s AS (SELECT doc_id, $SortedShingleSql AS sh FROM documents),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.sh, b.sh)) AS i,
+      |    len(a.sh) + len(b.sh) AS s
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+      |SELECT id_a, id_b, (i * 10000) // (s - i) AS j_bp
+      |FROM p WHERE (i * 10000) // (s - i) >= 7000
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Dedup.thresholdJoin(
+        Tables.loadParallel(spark, dir, "documents"), "text", "doc_id",
+        thresholdBp = 7000)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val all: Seq[Q] = Seq(
     q140_bloom_semi, q141_bounded_hops, q142_scd_pit, q143_not_in_nulls,
     q144_interpolate, q145_explode_outer, q146_json_roundtrip,
     q147_pivot_multi, q148_time_weighted, q149_mad, q150_cdc_apply,
     q151_skyline, q152_weighted_median, q153_correlated_avg,
-    q154_string_agg, q155_exact_variance, q156_date_funcs)
+    q154_string_agg, q155_exact_variance, q156_date_funcs,
+    q157_similarity_join)
 }

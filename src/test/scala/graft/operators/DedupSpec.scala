@@ -59,6 +59,44 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(1L, 4L), survivors)
   }
 
+  test("thresholdJoin equals brute-force Jaccard on a random corpus") {
+    // random docs over a tiny vocabulary (forces shared shingles and
+    // borderline similarities) + planted exact/near duplicates
+    val rng = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val randomDocs = (1L to 40L).map(i =>
+      (i, Seq.fill(8 + rng.nextInt(10))(
+        vocab(rng.nextInt(vocab.length))).mkString(" ")))
+    val planted = Seq(
+      (101L, base), (102L, base), (103L, nearDup), (104L, unrelated))
+    val corpus = (randomDocs ++ planted).toDF("doc_id", "text")
+
+    val got = Dedup.thresholdJoin(corpus, "text", "doc_id", 6000)
+      .select($"id_a", $"id_b", $"j_bp")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val staged = corpus
+      .withColumn("_t", graft.functions.TextFunctions.lowerTokens($"text"))
+      .select($"doc_id", array_sort(
+        graft.functions.TextFunctions.shinglesOfTokens($"_t")).as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = staged.as("a")
+      .join(staged.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        graft.plans.SortedIntersectCount(col("a.sh"), col("b.sh"))
+          .as("i"),
+        (size(col("a.sh")) + size(col("b.sh"))).as("s"))
+      .select($"id_a", $"id_b", expr("(i * 10000) DIV (s - i)").as("j_bp"))
+      .filter($"j_bp" >= 6000)
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(got == brute,
+      s"prefix filter must be exact: missing=${brute -- got} " +
+        s"extra=${got -- brute}")
+    assert(brute.exists { case (a, b, _) => a == 101L && b == 102L },
+      "the planted exact dup must be present in the reference set")
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
       .as[(Long, Long)].collect().toMap
