@@ -681,11 +681,103 @@ object Extended4 {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Market-basket lift: part pairs co-ordered more often than chance,
+    * `lift = P(ab)/(P(a)·P(b))` in scaled integers
+    * (`n_ab·N·10⁴ DIV (n_a·n_b)` — association strength without a
+    * single float; overflow bound `n_ab·N·10⁴ < 2⁶³` documented at
+    * the call). Pair generation reuses [[graft.operators.Graph.coPairs]]
+    * (sorted-prefix slice, packed 8-byte shuffle keys — never a
+    * self-join); supports and the basket count ride two hash aggs.
+    */
+  val q158_basket_lift: Q = Q(
+    "q158_basket_lift",
+    """WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem),
+      |pairs AS (SELECT a.p AS item_a, b.p AS item_b, COUNT(*) AS n_ab
+      |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2),
+      |supp AS (SELECT p, COUNT(*) AS n FROM i GROUP BY 1),
+      |tot AS (SELECT COUNT(DISTINCT o) AS big_n FROM i)
+      |SELECT item_a, item_b, n_ab,
+      |  (n_ab * big_n * 10000) // (sa.n * sb.n) AS lift_bp
+      |FROM pairs JOIN supp sa ON sa.p = item_a
+      |JOIN supp sb ON sb.p = item_b CROSS JOIN tot
+      |WHERE n_ab >= 3
+      |ORDER BY lift_bp DESC, item_a, item_b LIMIT 50""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val items = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      .localCheckpoint() // pairs, supports, and the total all read it
+    val pairs = graft.operators.Graph.coPairs(items, $"o", $"p",
+        spark.sessionState.conf.numShufflePartitions, packKey = true)
+      .select($"item_a", $"item_b", $"n".as("n_ab"))
+      .filter($"n_ab" >= 3)
+    val supp = items.groupBy($"p").agg(count(lit(1)).as("n"))
+    val bigN = items.select(countDistinct($"o").as("big_n"))
+    pairs
+      .join(broadcast(supp.select($"p".as("item_a"), $"n".as("na"))),
+        "item_a")
+      .join(broadcast(supp.select($"p".as("item_b"), $"n".as("nb"))),
+        "item_b")
+      .crossJoin(broadcast(bigN))
+      .select($"item_a", $"item_b", $"n_ab",
+        expr("(n_ab * big_n * 10000) DIV (na * nb)").as("lift_bp"))
+      .orderBy($"lift_bp".desc, $"item_a", $"item_b")
+      .limit(50)
+  }
+
+  /** Sparse-vector retrieval over posting lists: score the corpus
+    * against a term query with integer TF·IDF-style weights
+    * (`idf = N·10⁶ DIV df` — the log-free inverse-frequency variant
+    * that stays exact). The query terms broadcast as an `isin` filter
+    * into the token scan — the posting-list access path: only
+    * matching (doc, term) rows ever aggregate, so corpus size sets
+    * scan cost but NOT shuffle cost.
+    */
+  val q159_retrieval: Q = {
+    val terms = Seq("join", "window", "scan", "merge")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    Q("q159_retrieval",
+      s"""WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        |  FROM documents),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+        |  WHERE tok IN ($termList) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS big_n FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ($termList) GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(tf * ((big_n * 1000000) // df)) AS BIGINT) AS score
+        |FROM tf JOIN df USING (tok) CROSS JOIN n
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) {
+      (spark, dir) =>
+      import spark.implicits._
+      val toks = Tables.loadParallel(spark, dir, "documents")
+        .select($"doc_id",
+          explode(graft.functions.TextFunctions.lowerTokens($"text"))
+            .as("tok"))
+        .filter($"tok".isin(terms: _*))
+        .localCheckpoint() // df and tf both read the filtered postings
+      val dfreq = toks.groupBy($"tok")
+        .agg(countDistinct($"doc_id").as("df"))
+      val bigN = Tables.load(spark, dir, "documents")
+        .select(count(lit(1)).as("big_n"))
+      toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        .join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(bigN))
+        .groupBy($"doc_id")
+        .agg(sum(expr("tf * ((big_n * 1000000) DIV df)")).as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q140_bloom_semi, q141_bounded_hops, q142_scd_pit, q143_not_in_nulls,
     q144_interpolate, q145_explode_outer, q146_json_roundtrip,
     q147_pivot_multi, q148_time_weighted, q149_mad, q150_cdc_apply,
     q151_skyline, q152_weighted_median, q153_correlated_avg,
     q154_string_agg, q155_exact_variance, q156_date_funcs,
-    q157_similarity_join)
+    q157_similarity_join, q158_basket_lift, q159_retrieval)
 }
