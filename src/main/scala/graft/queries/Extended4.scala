@@ -773,11 +773,104 @@ object Extended4 {
     }
   }
 
+  /** Boolean aggregates: BOOL_AND / BOOL_OR / COUNT_IF — the
+    * assertion-style rollups data-quality dashboards run (\"do ALL
+    * rows satisfy X, does ANY violate Y, how many\") without CASE
+    * scaffolding. All three partial-aggregate map-side (AND/OR/count
+    * are associative-commutative).
+    */
+  val q160_bool_aggs: Q = Q(
+    "q160_bool_aggs",
+    """SELECT event_type,
+      |  bool_and(value > 1) AS all_gt1,
+      |  bool_or(value > 400) AS any_gt400,
+      |  CAST(count_if(value > 250) AS BIGINT) AS n_gt250,
+      |  CAST(COUNT(*) - count_if(value > 250) AS BIGINT) AS n_le250
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(bool_and($"value" > 1).as("all_gt1"),
+        bool_or($"value" > 400).as("any_gt400"),
+        count_if($"value" > 250).as("n_gt250"),
+        (count(lit(1)) - count_if($"value" > 250)).as("n_le250"))
+      .orderBy($"event_type")
+  }
+
+  /** Regex-function sweep with a DIALECT-SAFE pattern subset
+    * (character classes, anchors, groups — identical in Java regex
+    * and RE2): predicate match, match counting, group extraction,
+    * and global replacement. Note the portability trap the query
+    * pins: DuckDB's `regexp_replace` replaces the FIRST match unless
+    * given the 'g' flag; Spark's replaces ALL — the oracle carries
+    * the flag explicitly.
+    */
+  val q161_regex_sweep: Q = Q(
+    "q161_regex_sweep",
+    """SELECT p_partkey,
+      |  regexp_matches(p_name, 'ow') AS has_ow,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INT)
+      |    AS n_vowel_runs,
+      |  regexp_extract(p_name, '^([a-z]+) ([a-z]+)', 2) AS word2,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+      |FROM part WHERE p_partkey < 200
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .filter($"p_partkey" < 200)
+      .select($"p_partkey",
+        $"p_name".rlike("ow").as("has_ow"),
+        regexp_count($"p_name", lit("[aeiou]+")).cast("int")
+          .as("n_vowel_runs"),
+        regexp_extract($"p_name", "^([a-z]+) ([a-z]+)", 2).as("word2"),
+        regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Per-row array set algebra against a bounded query set:
+    * intersect (sorted — Spark preserves left order, DuckDB's is
+    * unspecified, so BOTH sides sort — then serialized to CSV, the
+    * q24 array-output convention), except/union via sizes. Pure
+    * expression work: zero shuffles before the output sort.
+    * Pinned quirk: DuckDB's `array_to_string([])` is NULL where
+    * Spark's `array_join` gives '' — the oracle coalesces.
+    */
+  val q162_array_setops: Q = Q(
+    "q162_array_setops",
+    """WITH t AS (SELECT doc_id,
+      |    list_sort(list_distinct(string_split_regex(lower(text),
+      |      '\s+'))) AS toks
+      |  FROM documents WHERE doc_id < 50)
+      |SELECT doc_id,
+      |  COALESCE(array_to_string(list_sort(list_intersect(toks,
+      |    ['join', 'scan', 'window', 'merge'])), ','), '') AS q_hits,
+      |  CAST(len(list_filter(toks, x -> NOT list_contains(
+      |    ['join', 'scan', 'window', 'merge'], x))) AS INT) AS n_rest,
+      |  CAST(len(list_distinct(toks ||
+      |    ['join', 'scan', 'window', 'merge'])) AS INT) AS n_union
+      |FROM t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val q = typedlit(Seq("join", "scan", "window", "merge"))
+    Tables.load(spark, dir, "documents")
+      .filter($"doc_id" < 50)
+      .select($"doc_id",
+        array_sort(array_distinct(
+          graft.functions.TextFunctions.lowerTokens($"text")))
+          .as("toks"))
+      .select($"doc_id",
+        array_join(array_sort(array_intersect($"toks", q)), ",")
+          .as("q_hits"),
+        size(array_except($"toks", q)).as("n_rest"),
+        size(array_union($"toks", q)).as("n_union"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     q140_bloom_semi, q141_bounded_hops, q142_scd_pit, q143_not_in_nulls,
     q144_interpolate, q145_explode_outer, q146_json_roundtrip,
     q147_pivot_multi, q148_time_weighted, q149_mad, q150_cdc_apply,
     q151_skyline, q152_weighted_median, q153_correlated_avg,
     q154_string_agg, q155_exact_variance, q156_date_funcs,
-    q157_similarity_join, q158_basket_lift, q159_retrieval)
+    q157_similarity_join, q158_basket_lift, q159_retrieval,
+    q160_bool_aggs, q161_regex_sweep, q162_array_setops)
 }
