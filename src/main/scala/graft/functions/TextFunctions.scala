@@ -119,6 +119,19 @@ object TextFunctions {
     * shingle. Stage tokens with `withColumn` first (see
     * Dedup.withBandKeys).
     */
+  /** Sorted distinct shingle array straight from text, with the
+    * tokenizer [[Let]]-bound so it evaluates ONCE per row no matter
+    * how the optimizer collapses projections. Staging tokens in a
+    * `withColumn` is NOT enough: CollapseProject inlines the split
+    * back into every reference inside the shingle `when`/`transform`,
+    * and interpreted HOF lambdas then re-run the regex per element —
+    * measured 4× slower on the corpus staging (see PLANS.md,
+    * expression-level hot paths).
+    */
+  def sortedShingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.functions.array_sort(
+      Let(lowerTokens(text))(toks => shinglesOfTokens(toks, n)))
+
   def shinglesOfTokens(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       array_distinct(

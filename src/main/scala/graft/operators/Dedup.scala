@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{Let, TextFunctions}
 
 /** Deduplication operators for training-data pipelines: exact
   * (fingerprint group-by), MinHash+LSH banding, SimHash, and n-gram
@@ -87,8 +87,12 @@ object Dedup {
     // staged projections, re-inlining (and per-element re-evaluating)
     // the shingle expression. Sub-n-gram docs get a NULL signature from
     // MinHashSig instead, and explode/posexplode drops them.
-    df.withColumn("_toks", TextFunctions.lowerTokens(col(textCol)))
-      .withColumn("_sh", TextFunctions.shinglesOfTokens(col("_toks")))
+    // Let-bound tokenizer: CollapseProject would inline a staged _toks
+    // column back into the shingle transform, whose interpreted lambda
+    // then re-runs the regex split per element (measured 4×)
+    df.withColumn("_sh",
+        Let(TextFunctions.lowerTokens(col(textCol)))(t =>
+          TextFunctions.shinglesOfTokens(t)))
       .withColumn("_sig", minhashSignature(col("_sh"), k))
       .withColumn("_bands", lshBandKeys(col("_sig"), bands, k / bands))
 
@@ -183,10 +187,8 @@ object Dedup {
     require(thresholdBp > 0 && thresholdBp <= 10000,
       s"thresholdBp must be 1..10000, got $thresholdBp")
     val s = df
-      .withColumn("_toks", TextFunctions.lowerTokens(col(textCol)))
       .select(col(idCol).as("_id"),
-        array_sort(TextFunctions.shinglesOfTokens(col("_toks")))
-          .as("_sh"))
+        TextFunctions.sortedShingles(col(textCol)).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .localCheckpoint() // read by the frequency agg AND both verify joins
     val ex = s.select(col("_id"), explode(col("_sh")).as("_t"))
@@ -322,9 +324,7 @@ object Dedup {
     // blocks are released by the ContextCleaner once this plan is
     // garbage-collected.
     val staged = df
-      .withColumn("_toks", TextFunctions.lowerTokens(col(textCol)))
-      .withColumn("_sh",
-        array_sort(TextFunctions.shinglesOfTokens(col("_toks"))))
+      .withColumn("_sh", TextFunctions.sortedShingles(col(textCol)))
       .withColumn("_sig", minhashSignature(col("_sh"), k))
       .withColumn("_bands", lshBandKeys(col("_sig"), bands, k / bands))
       .select(col(idCol).as("_id"), col("_sh"), col("_bands"))

@@ -138,9 +138,9 @@ object Extended3 {
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val chunks = Tables.loadParallel(spark, dir, "documents")
-      .withColumn("_toks", lowerTokens($"text"))
       .select($"doc_id",
-        explode(chunksOfTokens($"_toks", chunkSize = 8, overlap = 0))
+        explode(graft.functions.Let(lowerTokens($"text"))(t =>
+          chunksOfTokens(t, chunkSize = 8, overlap = 0)))
           .as("chunk"))
       .localCheckpoint() // df agg and per-doc rollup both read it
     val df = chunks.groupBy($"chunk")
@@ -202,8 +202,7 @@ object Extended3 {
       |ORDER BY cont_bp DESC, id_probe, id_doc""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val s = Tables.loadParallel(spark, dir, "documents")
-      .withColumn("_toks", lowerTokens($"text"))
-      .select($"doc_id", array_sort(shinglesOfTokens($"_toks")).as("sh"))
+      .select($"doc_id", TextFunctions.sortedShingles($"text").as("sh"))
       .localCheckpoint() // probe and corpus sides share the staging
     val probes = s.filter($"doc_id" < 10 && size($"sh") > 0)
       .select($"doc_id".as("id_probe"), $"sh".as("sh_p"))

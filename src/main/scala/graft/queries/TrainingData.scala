@@ -148,8 +148,7 @@ object TrainingData {
     // so the blocks free on GC rather than pinning the CacheManager
     // for the session's lifetime
     val s = Tables.loadParallel(spark, dir, "documents")
-      .withColumn("_toks", lowerTokens($"text"))
-      .select($"doc_id", array_sort(shinglesOfTokens($"_toks")).as("sh"))
+      .select($"doc_id", sortedShingles($"text").as("sh"))
       .localCheckpoint()
     val a = s.filter($"doc_id" < 40)
       .select($"doc_id".as("id_a"), $"sh".as("sh_a"))
@@ -319,14 +318,17 @@ object TrainingData {
       |  CAST(MAX(n_chunks) AS INT) AS max_chunks
       |FROM c GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // one Let-bound tokenization feeds both the chunk and token counts
+    // (a struct carries the pair out of the binding)
     Tables.loadParallel(spark, dir, "documents")
-      .withColumn("_toks", lowerTokens($"text"))
-      .withColumn("_chunks", chunksOfTokens($"_toks", 64, 16))
+      .withColumn("_s", graft.functions.Let(lowerTokens($"text"))(t =>
+        struct(size(t).as("n_toks"),
+          size(chunksOfTokens(t, 64, 16)).as("n_chunks"))))
       .groupBy($"source")
       .agg(
-        sum(size($"_chunks").cast("long")).as("total_chunks"),
-        sum(size($"_toks").cast("long")).as("total_tokens"),
-        max(size($"_chunks")).cast("int").as("max_chunks"))
+        sum($"_s.n_chunks".cast("long")).as("total_chunks"),
+        sum($"_s.n_toks".cast("long")).as("total_tokens"),
+        max($"_s.n_chunks").cast("int").as("max_chunks"))
       .orderBy($"source")
   }
 
@@ -568,8 +570,8 @@ object TrainingData {
       |ORDER BY n_docs DESC, shingle LIMIT 10""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     Tables.loadParallel(spark, dir, "documents")
-      .withColumn("_toks", lowerTokens($"text"))
-      .select(explode_outer(shinglesOfTokens($"_toks")).as("shingle"))
+      .select(explode_outer(graft.functions.Let(lowerTokens($"text"))(
+        t => shinglesOfTokens(t))).as("shingle"))
       .filter($"shingle".isNotNull)
       .groupBy($"shingle")
       .agg(count(lit(1)).as("n_docs"))
