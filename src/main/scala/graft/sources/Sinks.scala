@@ -70,6 +70,35 @@ object Sinks {
     * walking the table location like the reference's own fallback,
     * `assignment_3_spark.py:152-161`).
     */
+  /** Small-file compaction — the table-maintenance pass a streaming or
+    * micro-batch ingest needs periodically: thousands of KB-sized
+    * files (one per epoch × partition) make every downstream scan pay
+    * a task per file and every footer a round trip. Rewrite the table
+    * into `ceil(bytes / targetFileBytes)` files via a round-robin
+    * repartition (even sizes without a shuffle key), then swap —
+    * write-new-then-replace, the same idempotent-rewrite stance as
+    * [[graft.operators.Upsert.overwritePartitions]].
+    *
+    * Returns (files_before, files_after). At 100 TB the same call
+    * runs per PARTITION (compact recent partitions only) — whole-table
+    * compaction is the bounded local form.
+    */
+  def compact(spark: SparkSession, name: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    val (bytes, filesBefore) = tableStats(spark, name)
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1)
+      / targetFileBytes).toInt
+    val compacted = spark.table(name).repartition(nFiles)
+    // materialize BEFORE overwriting the source table: the lazy plan
+    // reads the very files the overwrite would truncate
+    val tmp = s"${name}_compacting"
+    compacted.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.table(tmp).write.mode("overwrite").format("parquet")
+      .saveAsTable(name)
+    spark.sql(s"DROP TABLE $tmp")
+    (filesBefore, tableStats(spark, name)._2)
+  }
+
   def tableStats(spark: SparkSession, name: String): (Long, Long) = {
     val location = new java.net.URI(spark.sql(
         s"DESCRIBE FORMATTED $name")

@@ -141,4 +141,30 @@ class TuningSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("parquet aggregate pushdown (v2) answers MIN/MAX/COUNT from footers") {
+    import org.apache.spark.sql.functions._
+    // v1 is Spark's default parquet path; the footer-statistics
+    // aggregate pushdown lives in DSv2 — flip both confs for the test
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agged = spark.read.parquet(s"$sfDir/orders.parquet")
+        .agg(count(lit(1)).as("n"), min($"o_orderkey").as("mn"),
+          max($"o_orderkey").as("mx"))
+      assert(agged.queryExecution.executedPlan.toString
+          .contains("PushedAggregation: [COUNT(*)"),
+        "MIN/MAX/COUNT over plain parquet must come from row-group " +
+          "footers, not a scan — at 100 TB that is metadata vs I/O")
+      val got = agged.head()
+      val want = graft.core.Tables.load(spark, sfDir, "orders")
+        .agg(count(lit(1)), min($"o_orderkey"), max($"o_orderkey"))
+        .head()
+      assert(got == want, s"pushed-down answer must match: $got $want")
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    }
+  }
 }

@@ -121,4 +121,38 @@ class SinksSpec extends SparkSpec {
     } finally Seq("t_zorder", "t_roundrobin").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("compaction rewrites a fragmented table into sized files") {
+    try {
+      // simulate micro-batch fragmentation: 64 tiny files
+      Sinks.saveTable(orders.repartition(64), "t_fragmented", "parquet")
+      val before = Sinks.tableStats(spark, "t_fragmented")
+      assert(before._2 == 64, s"fixture must fragment: $before")
+      val (filesBefore, filesAfter) =
+        Sinks.compact(spark, "t_fragmented")
+      assert(filesBefore == 64)
+      assert(filesAfter <= 2,
+        s"tiny table must compact to ~1 file, got $filesAfter")
+      // contents unchanged
+      assert(spark.table("t_fragmented").count() == orders.count())
+    } finally Seq("t_fragmented", "t_fragmented_compacting").foreach(
+      t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("mergeSchema read unions evolved parquet schemas") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "s")
+      .write.mode("append").parquet(dir)
+    Seq((2L, 3.5)).toDF("id", "d")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("d", "id", "s"),
+      "both generations' columns must appear")
+    assert(merged.count() == 2)
+    // plain read keeps ONE footer's schema — the documented default
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length < 3,
+      "without mergeSchema one generation's schema wins")
+  }
 }
