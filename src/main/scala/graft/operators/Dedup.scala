@@ -200,14 +200,20 @@ object Dedup {
         .as("_r"))
       .select(col("_id"),
         transform(col("_r"), x => x.getField("_t")).as("_rt"))
-    val pref = ranked.select(col("_id"),
+    val pref = ranked.select(col("_id"), size(col("_rt")).as("_n"),
         explode(expr(s"slice(_rt, 1, size(_rt) " +
           s"- ((size(_rt) * $thresholdBp + 9999) DIV 10000) + 1)"))
           .as("_t"))
       .localCheckpoint() // self-joined: avoid re-running the ranking twice
+    // length band: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t (the intersection
+    // is at most the smaller set) — a free integer filter INSIDE the
+    // candidate join that prunes size-mismatched pairs before they
+    // reach the array-carrying verify joins
     val cand = pref.as("a")
       .join(pref.as("b"),
-        col("a._t") === col("b._t") && col("a._id") < col("b._id"))
+        col("a._t") === col("b._t") && col("a._id") < col("b._id") &&
+          col("a._n") * 10000 >= col("b._n") * thresholdBp &&
+          col("b._n") * 10000 >= col("a._n") * thresholdBp)
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
     cand
