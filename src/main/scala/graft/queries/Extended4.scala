@@ -865,6 +865,136 @@ object Extended4 {
       .orderBy($"doc_id")
   }
 
+  /** SCD temporal join — every fact row joined to the dimension
+    * version in effect AT ITS OWN time (`day BETWEEN start AND end`),
+    * the per-row generalization of q142's fixed-date lookup and the
+    * classic warehouse "fact × type-2 dimension" access path. The
+    * join is equi on the entity with the interval residual evaluated
+    * in-place: one shuffle on user_id co-locates fact days with that
+    * user's few SCD rows at any scale.
+    */
+  val q163_scd_temporal_join: Q = Q(
+    "q163_scd_temporal_join",
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |    CASE WHEN COUNT(*) >= 3 THEN 'active' ELSE 'light' END
+      |      AS activity_class
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT *, CASE WHEN activity_class =
+      |      LAG(activity_class) OVER (PARTITION BY user_id ORDER BY day)
+      |    THEN 0 ELSE 1 END AS changed
+      |  FROM d),
+      |s AS (
+      |  SELECT *, SUM(changed) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS streak
+      |  FROM c),
+      |scd AS (
+      |  SELECT user_id, activity_class,
+      |    MIN(day) AS start_day, MAX(day) AS end_day
+      |  FROM s GROUP BY user_id, activity_class, streak)
+      |SELECT scd.activity_class, COUNT(*) AS n_user_days,
+      |  CAST(SUM(d.n_events) AS BIGINT) AS total_events
+      |FROM d JOIN scd ON d.user_id = scd.user_id
+      |  AND d.day BETWEEN scd.start_day AND scd.end_day
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"user_id", $"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("activity_class",
+        when($"n_events" >= 3, "active").otherwise("light"))
+    val scd = Scd.backfill(
+        daily.select($"user_id", $"day", $"activity_class"),
+        "user_id", "day", "activity_class")
+      .select($"user_id", $"activity_class".as("cls"),
+        $"start_day", $"end_day")
+    daily.join(scd,
+        daily("user_id") === scd("user_id") &&
+          $"day" >= $"start_day" && $"day" <= $"end_day")
+      .groupBy($"cls".as("activity_class"))
+      .agg(count(lit(1)).as("n_user_days"),
+        sum($"n_events").as("total_events"))
+      .orderBy($"activity_class")
+  }
+
+  /** Sessionized STRICT-ORDER funnel (view → click → purchase inside
+    * one 30-min session) with zero self-joins: a chain of running-min
+    * windows over the session — `tv_run` carries the earliest view so
+    * far, so a click counts only once a view precedes it, and a
+    * purchase only once such a click precedes IT. One shuffle on
+    * (user); three window passes reuse the partition sort. The
+    * event_id tiebreak makes the within-µs order total, so both
+    * engines walk identical sequences.
+    */
+  val q164_session_funnel: Q = Q(
+    "q164_session_funnel",
+    """WITH o AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+      |    event_type,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ts, ts
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+      |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |    THEN 1 ELSE 0 END AS ns FROM o),
+      |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f),
+      |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tus END)
+      |    OVER (PARTITION BY user_id, sid ORDER BY tus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS tv_run
+      |  FROM s),
+      |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+      |      AND tv_run IS NOT NULL THEN tus END)
+      |    OVER (PARTITION BY user_id, sid ORDER BY tus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS tc_run
+      |  FROM w1),
+      |sess AS (SELECT user_id, sid,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS d1,
+      |    MAX(CASE WHEN event_type = 'click'
+      |      AND tv_run IS NOT NULL THEN 1 ELSE 0 END) AS d2,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |      AND tc_run IS NOT NULL THEN 1 ELSE 0 END) AS d3
+      |  FROM w2 GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_sessions,
+      |  CAST(SUM(d1) AS BIGINT) AS n_viewed,
+      |  CAST(SUM(d2) AS BIGINT) AS n_clicked_after,
+      |  CAST(SUM(d3) AS BIGINT) AS n_purchased_after
+      |FROM sess""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"event_id")
+    val run = byUser
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", unix_micros($"ts").as("tus"),
+        $"event_id", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("ns", when($"prev_ts".isNull ||
+        unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1)
+        .otherwise(0))
+      .withColumn("sid", sum($"ns").over(run))
+    val bySess = Window.partitionBy($"user_id", $"sid")
+      .orderBy($"tus", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.withColumn("tv_run",
+        min(when($"event_type" === "view", $"tus")).over(bySess))
+      .withColumn("tc_run",
+        min(when($"event_type" === "click" && $"tv_run".isNotNull,
+          $"tus")).over(bySess))
+      .groupBy($"user_id", $"sid")
+      .agg(
+        max(when($"event_type" === "view", 1).otherwise(0)).as("d1"),
+        max(when($"event_type" === "click" && $"tv_run".isNotNull, 1)
+          .otherwise(0)).as("d2"),
+        max(when($"event_type" === "purchase" && $"tc_run".isNotNull, 1)
+          .otherwise(0)).as("d3"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"d1").cast("long").as("n_viewed"),
+        sum($"d2").cast("long").as("n_clicked_after"),
+        sum($"d3").cast("long").as("n_purchased_after"))
+  }
+
   val all: Seq[Q] = Seq(
     q140_bloom_semi, q141_bounded_hops, q142_scd_pit, q143_not_in_nulls,
     q144_interpolate, q145_explode_outer, q146_json_roundtrip,
@@ -872,5 +1002,6 @@ object Extended4 {
     q151_skyline, q152_weighted_median, q153_correlated_avg,
     q154_string_agg, q155_exact_variance, q156_date_funcs,
     q157_similarity_join, q158_basket_lift, q159_retrieval,
-    q160_bool_aggs, q161_regex_sweep, q162_array_setops)
+    q160_bool_aggs, q161_regex_sweep, q162_array_setops,
+    q163_scd_temporal_join, q164_session_funnel)
 }
