@@ -995,6 +995,55 @@ object Extended4 {
         sum($"d3").cast("long").as("n_purchased_after"))
   }
 
+  // sequential-fold dot product of dims [1..k] in DuckDB — the same
+  // left-to-right order as the codegen VectorDot, so doubles match
+  private def dotSql(a: String, b: String, k: Int): String =
+    s"""list_reduce(list_transform(range(1, ${k + 1}),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** Truncated-embedding retrieval (the matryoshka trade): score the
+    * corpus against a query with only the FIRST 16 of 64 dimensions —
+    * a 4× cheaper scan whose ranking is then compared against the
+    * full-dimension cosine carried alongside. Both cosines are
+    * sequential-fold doubles (codegen [[graft.plans.VectorDot]] ≡
+    * DuckDB's left-fold `list_reduce`), so every score is
+    * bit-identical cross-engine. The query vector broadcasts; the
+    * scan never shuffles.
+    */
+  val q165_truncated_ann: Q = Q(
+    "q165_truncated_ann",
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+      |  WHERE vec_id = 0),
+      |s AS (SELECT vec_id,
+      |    ${dotSql("embedding", "qv", 16)}
+      |      / (sqrt(${dotSql("embedding", "embedding", 16)})
+      |        * sqrt(${dotSql("qv", "qv", 16)})) AS cos16,
+      |    ${dotSql("embedding", "qv", 64)}
+      |      / (sqrt(${dotSql("embedding", "embedding", 64)})
+      |        * sqrt(${dotSql("qv", "qv", 64)})) AS cos64
+      |  FROM embeddings, q WHERE vec_id <> 0)
+      |SELECT vec_id, cos16, cos64 FROM s
+      |ORDER BY cos16 DESC, vec_id LIMIT 20""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.plans.VectorDot
+    val emb = Tables.loadParallel(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"),
+        slice($"embedding", 1, 16).as("qv16"))
+    def cos(v: org.apache.spark.sql.Column,
+        w: org.apache.spark.sql.Column) =
+      VectorDot(v, w) / (sqrt(VectorDot(v, v)) * sqrt(VectorDot(w, w)))
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id",
+        cos(slice($"embedding", 1, 16), $"qv16").as("cos16"),
+        cos($"embedding", $"qv").as("cos64"))
+      .orderBy($"cos16".desc, $"vec_id")
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     q140_bloom_semi, q141_bounded_hops, q142_scd_pit, q143_not_in_nulls,
     q144_interpolate, q145_explode_outer, q146_json_roundtrip,
@@ -1003,5 +1052,5 @@ object Extended4 {
     q154_string_agg, q155_exact_variance, q156_date_funcs,
     q157_similarity_join, q158_basket_lift, q159_retrieval,
     q160_bool_aggs, q161_regex_sweep, q162_array_setops,
-    q163_scd_temporal_join, q164_session_funnel)
+    q163_scd_temporal_join, q164_session_funnel, q165_truncated_ann)
 }

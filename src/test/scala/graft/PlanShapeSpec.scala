@@ -154,6 +154,14 @@ class PlanShapeSpec extends SparkSpec {
       "bloom probe must prune before the exact semi join")
   }
 
+  test("q163's temporal join extracts the equi key (no nested loop)") {
+    val p = plan("q163_scd_temporal_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the interval residual must ride an equi join on user_id, " +
+        "not degrade to a nested loop")
+  }
+
   test("q143's NOT IN plans as a null-aware anti join") {
     val p = plan("q143_not_in_nulls")
     // the BHJ's trailing flag is isNullAwareAntiJoin — both NOT INs
