@@ -1044,6 +1044,59 @@ object Extended4 {
       .limit(20)
   }
 
+  /** Quantized ANN scoring: the int8 codes of q133 put to work —
+    * corpus and query both quantize per-vector (min/max range codes,
+    * all-IEEE so the codes are engine-identical), and the score is a
+    * PURE INTEGER dot product of code arrays: exact, overflow-safe
+    * (64·255² ≪ 2⁶³), and 4× smaller memory traffic than float dots —
+    * the serving-side payoff of the quantization pass. Min/max are
+    * [[graft.functions.Let]]-bound so the O(d) extrema never
+    * re-evaluate per element inside the code lambda.
+    */
+  val q166_quantized_topk: Q = {
+    val codesSql =
+      """CASE WHEN mx > mn THEN list_transform(embedding,
+        |    v -> LEAST(CAST(FLOOR((CAST(v AS DOUBLE) - mn) * 255
+        |      / (mx - mn)) AS BIGINT), 255))
+        |  ELSE list_transform(embedding, v -> CAST(0 AS BIGINT))
+        |  END""".stripMargin
+    Q("q166_quantized_topk",
+      s"""WITH r AS (SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, $codesSql AS codes FROM r),
+        |q AS (SELECT codes AS qc FROM c WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |  CAST(list_reduce(list_transform(range(1, 65),
+        |    i -> c.codes[i] * qc[i]), (x, y) -> x + y) AS BIGINT)
+        |    AS qscore
+        |FROM c, q WHERE c.vec_id <> 0
+        |ORDER BY qscore DESC, vec_id LIMIT 20""".stripMargin) {
+      (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Let
+      def codes(emb: org.apache.spark.sql.Column) =
+        Let(array_min(emb).cast("double"),
+            array_max(emb).cast("double")) { (mn, mx) =>
+          when(mx > mn, transform(emb, v =>
+            least(floor((v.cast("double") - mn) * 255 / (mx - mn))
+              .cast("long"), lit(255L))))
+            .otherwise(transform(emb, _ => lit(0L)))
+        }
+      val c = Tables.loadParallel(spark, dir, "embeddings")
+        .select($"vec_id", codes($"embedding").as("codes"))
+      val q = c.filter($"vec_id" === 0).select($"codes".as("qc"))
+      c.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id",
+          aggregate(zip_with($"codes", $"qc", (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("qscore"))
+        .orderBy($"qscore".desc, $"vec_id")
+        .limit(20)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q140_bloom_semi, q141_bounded_hops, q142_scd_pit, q143_not_in_nulls,
     q144_interpolate, q145_explode_outer, q146_json_roundtrip,
@@ -1052,5 +1105,6 @@ object Extended4 {
     q154_string_agg, q155_exact_variance, q156_date_funcs,
     q157_similarity_join, q158_basket_lift, q159_retrieval,
     q160_bool_aggs, q161_regex_sweep, q162_array_setops,
-    q163_scd_temporal_join, q164_session_funnel, q165_truncated_ann)
+    q163_scd_temporal_join, q164_session_funnel, q165_truncated_ann,
+    q166_quantized_topk)
 }
