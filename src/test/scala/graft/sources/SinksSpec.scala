@@ -41,6 +41,41 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("3-way bucket join stays shuffle-free (reference homework shape)") {
+    // the bucket-join homework joins THREE 16-bucket tables on one key
+    // (`homework.md:78`, `assignment_3_spark.py:56-62`) — co-location
+    // must hold transitively through both joins
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      Sinks.saveBucketed(
+        li.select($"l_orderkey", $"l_quantity"), "b3_qty",
+        "l_orderkey", 16)
+      Sinks.saveBucketed(
+        li.select($"l_orderkey", $"l_extendedprice"), "b3_price",
+        "l_orderkey", 16)
+      Sinks.saveBucketed(
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .select($"o_orderkey", $"o_orderpriority"),
+        "b3_orders", "o_orderkey", 16)
+      val joined = spark.table("b3_orders")
+        .join(spark.table("b3_qty"), $"o_orderkey" === $"l_orderkey")
+        .drop("l_orderkey")
+        .join(spark.table("b3_price"),
+          $"o_orderkey" === $"l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"3-way bucket join must not shuffle:\n$plan")
+      assert("SortMergeJoin".r.findAllIn(plan).length == 2, plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      Seq("b3_qty", "b3_price", "b3_orders").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("partitioned write prunes partitions on the filter") {
     try {
       Sinks.savePartitioned(
