@@ -1097,6 +1097,55 @@ object Extended4 {
     }
   }
 
+  /** Incremental near-dup of a delta batch against a historical LSH
+    * band index ([[graft.operators.Dedup.incrementalNearDup]]) — the
+    * daily-ingest shape: history's text is never re-read; the delta
+    * bands, joins the index on band_hash, and exact-verifies only the
+    * collisions. Verdict rule: dup against ANY history doc or an
+    * EARLIER delta doc (lowest-id-keeps, applied incrementally). The
+    * oracle replays signatures → bands → candidates → Jaccard on the
+    * same split.
+    */
+  val q167_incremental_neardup: Q = Q(
+    "q167_incremental_neardup",
+    s"""WITH s AS (SELECT doc_id, $SortedShingleSql AS sh
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(x), 1, 15))::BIGINT AS hv
+      |  FROM (SELECT doc_id, unnest(sh) AS x FROM s WHERE len(sh) > 0) t),
+      |seeds(i, seed) AS (VALUES ${graft.operators.Dedup.MinhashSeeds
+        .take(16).zipWithIndex.map { case (s, i) => s"($i, $s::BIGINT)" }
+        .mkString(", ")}),
+      |sig AS (SELECT doc_id, i, CAST(MIN(xor(hv, seed)) AS VARCHAR) AS mh
+      |  FROM h CROSS JOIN seeds GROUP BY doc_id, i),
+      |band AS (SELECT doc_id,
+      |    md5(string_agg(mh, ',' ORDER BY i)) AS band_hash
+      |  FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT d.doc_id AS did, o.doc_id AS oid
+      |  FROM band d JOIN band o ON d.band_hash = o.band_hash
+      |  WHERE d.doc_id % 5 = 0
+      |    AND ((o.doc_id % 5 <> 0) OR o.doc_id < d.doc_id)),
+      |ver AS (SELECT did, MIN(oid) AS dup_of FROM cand
+      |  JOIN s sa ON cand.did = sa.doc_id
+      |  JOIN s sb ON cand.oid = sb.doc_id
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |      / (len(sa.sh) + len(sb.sh)
+      |         - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+      |  GROUP BY did)
+      |SELECT doc_id AS id, ver.dup_of, ver.dup_of IS NOT NULL AS is_dup
+      |FROM documents LEFT JOIN ver ON doc_id = ver.did
+      |WHERE doc_id % 5 = 0
+      |ORDER BY id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val history = docs.filter($"doc_id" % 5 =!= 0)
+    val delta = docs.filter($"doc_id" % 5 === 0)
+    val index = graft.operators.Dedup.bandIndex(history, "text",
+      "doc_id")
+    graft.operators.Dedup.incrementalNearDup(index, delta, "text",
+        "doc_id", jaccardThreshold = 0.8)
+      .orderBy($"id")
+  }
+
   val all: Seq[Q] = Seq(
     q140_bloom_semi, q141_bounded_hops, q142_scd_pit, q143_not_in_nulls,
     q144_interpolate, q145_explode_outer, q146_json_roundtrip,
@@ -1106,5 +1155,5 @@ object Extended4 {
     q157_similarity_join, q158_basket_lift, q159_retrieval,
     q160_bool_aggs, q161_regex_sweep, q162_array_setops,
     q163_scd_temporal_join, q164_session_funnel, q165_truncated_ann,
-    q166_quantized_topk)
+    q166_quantized_topk, q167_incremental_neardup)
 }

@@ -97,6 +97,27 @@ class DedupSpec extends SparkSpec {
       "the planted exact dup must be present in the reference set")
   }
 
+  test("incrementalNearDup: history match, intra-delta match, clean") {
+    val history = Seq((10L, base), (11L, unrelated)).toDF("doc_id", "text")
+    val delta = Seq(
+      (20L, base),       // dup of history doc 10
+      (21L, nearDup),    // near-dup of history doc 10
+      (22L, nearDup),    // ALSO dup of earlier delta 21 — min wins: 10
+      (23L, "something else entirely about graphs and bloom filters " +
+        "and windows and watermarks in streaming systems today"))
+      .toDF("doc_id", "text")
+    val index = Dedup.bandIndex(history, "text", "doc_id")
+    val got = Dedup.incrementalNearDup(index, delta, "text", "doc_id",
+        jaccardThreshold = 0.6)
+      .orderBy($"id")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (20L, Some(10L), true),
+      (21L, Some(10L), true),
+      (22L, Some(10L), true),
+      (23L, None, false)), s"got $got")
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
       .as[(Long, Long)].collect().toMap
