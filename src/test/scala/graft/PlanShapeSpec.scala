@@ -162,6 +162,13 @@ class PlanShapeSpec extends SparkSpec {
         "not degrade to a nested loop")
   }
 
+  test("q167's candidate join is equi on band_hash (no cross pair space)") {
+    val p = plan("q167_incremental_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "delta×index candidates must come from the band equi-join")
+  }
+
   test("q143's NOT IN plans as a null-aware anti join") {
     val p = plan("q143_not_in_nulls")
     // the BHJ's trailing flag is isNullAwareAntiJoin — both NOT INs
