@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Let
+import graft.functions.TextFunctions.lowerTokens
+
+/** Round-6 surface batch: corpus-level chunk ("line") dedup with
+  * global first-occurrence retention, and the runtime-error-safe
+  * `try_divide` / `try_element_at` surface q119 left unexercised.
+  */
+object Extended5 {
+
+  /** Cross-document chunk-level dedup — the RefinedWeb/Gopher "remove
+    * duplicated lines across the corpus" stage, the third classic
+    * dedup granularity next to exact-document (q43) and near-dup
+    * document (q78). q128 computes the removal SIGNAL (chunk document
+    * frequency ≥ k); this query performs the removal itself: the
+    * corpus-wide FIRST occurrence of each chunk survives (ordered by
+    * doc_id then chunk position — a total order, so retention is
+    * deterministic and reprocessing-stable), every later occurrence is
+    * dropped, and per-source kept/dropped accounting falls out. The
+    * synthetic corpus has no newlines, so the "line" unit is a
+    * non-overlapping 10-token chunk (full chunks only).
+    *
+    * Shape: one tokenize (Let-bound — PLANS.md, HOF children must not
+    * re-evaluate per element) → chunk fingerprints generated inline in
+    * the transform (md5 INSIDE the lambda: the chunk string never
+    * leaves the expression; only its 32-hex hash is exploded and
+    * shuffled) → one window shuffle partitioned by fingerprint → one
+    * aggregate by source. At 100 TB the fingerprint shuffle is the
+    * whole cost and it moves (fp, doc_id, cid, source), never text. A
+    * pathological boilerplate chunk (millions of occurrences) skews
+    * one fp partition; the per-partition work is a single sort and
+    * AQE's skew split covers the spill.
+    */
+  val q168_chunk_dedup: Q = Q(
+    "q168_chunk_dedup",
+    """WITH t AS (SELECT doc_id, source,
+      |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |c AS (SELECT doc_id, source, g.g AS cid,
+      |    md5(array_to_string(toks[g.g*10+1 : g.g*10+10], ' ')) AS fp
+      |  FROM t, LATERAL (SELECT unnest(range(len(toks)//10)) AS g) g),
+      |r AS (SELECT source,
+      |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, cid) AS rn
+      |  FROM c)
+      |SELECT source, COUNT(*) AS total_chunks,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dropped_chunks,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 10 ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens
+      |FROM r GROUP BY source ORDER BY source""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val chunks = Tables.loadParallel(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          posexplode(Let(lowerTokens($"text")) { t =>
+            // full 10-token chunks only (the remainder tail is not a
+            // "line"); the when-guard dodges sequence(0,-1), which
+            // DESCENDS in Spark (the q76 trap)
+            when(size(t) >= 10,
+              transform(
+                sequence(lit(0), floor(size(t) / lit(10)).cast("int") - 1),
+                g => md5(array_join(slice(t, g * 10 + 1, lit(10)), " "))))
+              .otherwise(array().cast("array<string>"))
+          }).as(Seq("cid", "fp")))
+      val w = Window.partitionBy($"fp").orderBy($"doc_id", $"cid")
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("total_chunks"),
+          sum(when($"rn" > 1, 1L).otherwise(0L)).as("dropped_chunks"),
+          sum(when($"rn" === 1, 10L).otherwise(0L)).as("kept_tokens"))
+        .orderBy($"source")
+  }
+
+  /** Runtime-error-safe arithmetic and collection access — Spark 4
+    * runs ANSI mode by default, so division by zero and out-of-bounds
+    * `element_at` THROW unless routed through `try_divide` /
+    * `try_element_at` (q119 pinned `try_cast`; these two complete the
+    * family a strict-mode pipeline actually needs). NULL-on-error
+    * results are pinned against explicitly-guarded oracle SQL (CASE
+    * divisor guards; DuckDB list extraction is natively NULL past the
+    * end). The quantity that gets SUMMED stays integer — cents DIV d
+    * with both operands non-negative, so truncation ≡ floor across
+    * engines — while try_divide's double result is only ever
+    * null-counted: summing order-dependent doubles would break the
+    * hash compare.
+    */
+  val q169_ansi_safe: Q = Q(
+    "q169_ansi_safe",
+    """WITH e AS (SELECT event_type, user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CASE WHEN event_type = 'error'
+      |         THEN 'x' || CAST(user_id AS VARCHAR)
+      |         ELSE CAST(user_id AS VARCHAR) END AS s,
+      |    user_id % 7 AS d
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(COUNT(CASE WHEN TRY_CAST(s AS INTEGER) IS NULL THEN 1 END)
+      |    AS BIGINT) AS n_bad_casts,
+      |  CAST(SUM(COALESCE(TRY_CAST(s AS INTEGER), 0)) AS BIGINT)
+      |    AS sum_cast,
+      |  CAST(COUNT(CASE WHEN d = 0 THEN 1 END) AS BIGINT) AS n_div_null,
+      |  CAST(SUM(CASE WHEN d <> 0 THEN cents // d END) AS BIGINT)
+      |    AS sum_div,
+      |  CAST(COUNT(CASE WHEN user_id % 3 < 2 THEN 1 END) AS BIGINT)
+      |    AS n_elem_null
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val e = Tables.load(spark, dir, "events").select(
+        $"event_type", $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        when($"event_type" === "error",
+          concat(lit("x"), $"user_id".cast("string")))
+          .otherwise($"user_id".cast("string")).as("s"),
+        ($"user_id" % 7).as("d"))
+      e.select($"event_type", $"cents", $"d",
+          expr("try_cast(s AS int)").as("c"),
+          try_divide($"cents", $"d").as("dv"),
+          // 1 + user_id%3 ∈ {1,2,3}: element 3 exists only for %3 == 2;
+          // the +1 base dodges sequence(1,0), which DESCENDS
+          try_element_at(sequence(lit(1L), lit(1L) + $"user_id" % 3),
+            lit(3)).as("el"))
+        .groupBy($"event_type")
+        .agg(
+          count(when($"c".isNull, 1)).as("n_bad_casts"),
+          sum(coalesce($"c", lit(0))).cast("long").as("sum_cast"),
+          count(when($"dv".isNull, 1)).as("n_div_null"),
+          sum(when($"d" =!= 0, expr("cents DIV d"))).cast("long")
+            .as("sum_div"),
+          count(when($"el".isNull, 1)).as("n_elem_null"))
+        .orderBy($"event_type")
+  }
+
+  val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe)
+}
