@@ -189,6 +189,37 @@ object StreamingJobs {
         col("click_url"), col("click_ts"))
   }
 
+  /** Left-outer variant of [[impressionClickJoin]]: every impression
+    * emits exactly once — joined to its in-window clicks when they
+    * arrive, or with NULL click columns once the watermark proves no
+    * click can still match (imp_ts + window is past BOTH watermarks).
+    * This is the full attribution ledger (conversion rate needs the
+    * non-converting impressions too), and the outer emission is
+    * watermark-DRIVEN: an unmatched row is held in join state until
+    * the watermark passes its window, then released — so outer
+    * results trail the stream by the window plus the late-data bound,
+    * by design, and state stays evictable exactly as in the inner
+    * form.
+    */
+  def impressionClickJoinOuter(impressions: DataFrame, clicks: DataFrame,
+      window: String = "10 minutes"): DataFrame = {
+    val i = withEventTime(impressions)
+      .select(col("ip"), col("url").as("imp_url"),
+        col("event_timestamp").as("imp_ts"))
+      .withWatermark("imp_ts", "15 seconds")
+    val c = withEventTime(clicks)
+      .select(col("ip").as("click_ip"), col("url").as("click_url"),
+        col("event_timestamp").as("click_ts"))
+      .withWatermark("click_ts", "15 seconds")
+    i.join(c,
+      col("ip") === col("click_ip") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("ip"), col("imp_url"), col("imp_ts"),
+        col("click_url"), col("click_ts"))
+  }
+
   /** S11: the JDBC-style sink — `foreachBatch` with per-epoch
     * idempotence (re-delivered micro-batches are dropped), faking the
     * exactly-once the reference gets from Flink checkpoints.

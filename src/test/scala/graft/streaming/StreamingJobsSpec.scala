@@ -129,6 +129,41 @@ class StreamingJobsSpec extends SparkSpec {
       s"only the in-window same-ip click may join, got $rows")
   }
 
+  test("left-outer interval join releases unmatched impressions " +
+    "once the watermark passes their window") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[WebEvent]
+    val clicks = MemoryStream[WebEvent]
+    val name = "outer_join_out"
+    val q = StreamingJobs
+      .impressionClickJoinOuter(imps.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      imps.addData(Seq(ev("a.com", "1.1.1.1", "00:00:00"),
+        ev("a.com", "2.2.2.2", "00:00:00")))   // 2.2.2.2 never clicks
+      clicks.addData(Seq(ev("a.com", "1.1.1.1", "00:02:00")))
+      q.processAllAvailable()
+      // two more batches: first advances both watermarks past
+      // imp_ts + 10 min, the next lets the state-eviction pass emit
+      // the held outer row
+      Seq("01:00:00", "02:00:00").foreach { t =>
+        imps.addData(Seq(ev("a.com", "9.9.9.9", t)))
+        clicks.addData(Seq(ev("a.com", "9.9.9.8", t)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select($"ip", $"click_ts".isNull).as[(String, Boolean)]
+      .collect().toSeq
+    assert(rows.contains(("1.1.1.1", false)),
+      s"matched impression must carry its click: $rows")
+    assert(rows.contains(("2.2.2.2", true)),
+      s"unmatched impression must emit with NULL click columns: $rows")
+    assert(!rows.contains(("1.1.1.1", true)),
+      s"a matched impression must not ALSO emit an outer row: $rows")
+  }
+
   test("incrementalDrain processes only files new since the checkpoint") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_drain").toString
