@@ -136,5 +136,39 @@ object Extended5 {
         .orderBy($"event_type")
   }
 
-  val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe)
+  /** ANSI aggregate `FILTER (WHERE …)` clause — per-aggregate row
+    * predicates without CASE scaffolding, including the
+    * distinct-aggregate form (`COUNT(DISTINCT …) FILTER`) that a CASE
+    * rewrite gets wrong unless the else-branch is NULL. Exercised
+    * through the SQL surface on both engines (the DataFrame API has no
+    * FILTER clause — `when()` is its spelling); one hash aggregate,
+    * same plan as the unfiltered form.
+    */
+  val q170_filtered_aggs: Q = Q(
+    "q170_filtered_aggs",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+      |    AS n_f,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
+      |      AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+      |    AS cents_open,
+      |  CAST(COUNT(DISTINCT o_custkey)
+      |      FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_custs_f
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
+        |      AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+        |    AS cents_open,
+        |  COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+        |    AS n_custs_f
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe,
+    q170_filtered_aggs)
 }

@@ -167,4 +167,24 @@ class TuningSpec extends SparkSpec {
       spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
     }
   }
+
+  test("nested schema pruning reads only the projected struct subfield") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_nested").toString
+    // a typical event envelope: wide payload struct, narrow probe
+    spark.range(100).select($"id",
+        struct($"id".as("k"),
+          concat(lit("u"), $"id").as("url"),
+          lit("x" * 100).as("payload")).as("props"))
+      .write.mode("overwrite").parquet(dir)
+    val probe = spark.read.parquet(dir).select($"id", $"props.k")
+    val scan = probe.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("props:struct<k:bigint>"),
+      "projecting props.k must prune url/payload out of the parquet " +
+        s"read — at 100 TB the payload column IS the I/O bill: $readSchema")
+    assert(probe.agg(sum($"k")).head().getLong(0) == 4950L)
+  }
 }

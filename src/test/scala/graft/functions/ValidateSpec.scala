@@ -31,4 +31,22 @@ class ValidateSpec extends SparkSpec {
     assert(got.map(_.getBoolean(1)).toSeq ==
       Seq(false, false, true, false)) // NULL is absent, not a violation
   }
+
+  test("observed metrics count violations in the SAME pass as the " +
+    "consuming action") {
+    val rows = Seq(("good", 10L), ("star", 20L), ("legendary", -5L),
+      ("oops", 7L), (null, 1L))
+    val (observedDf, obs) = Validate.observed(
+      rows.toDF("scoring_class", "cents"), "health",
+      Seq(
+        "bad_enum" -> Validate.enumViolation($"scoring_class", allowed),
+        "neg_cents" -> ($"cents" < 0)))
+    // the action IS the metric collection pass — here a count, in a
+    // pipeline the sink write
+    assert(observedDf.count() == 5)
+    val m = obs.get
+    assert(m("n_rows") == 5L, s"$m")
+    assert(m("bad_enum") == 2L, s"two out-of-domain values: $m")
+    assert(m("neg_cents") == 1L, s"$m")
+  }
 }
