@@ -169,6 +169,48 @@ object Extended5 {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** GROUPING SETS through the first-class DataFrame API —
+    * `Dataset.groupingSets` (Spark ≥4.0), the programmatic form of
+    * q7's SQL surface (and the shape `cube`/`rollup` can't express:
+    * an arbitrary set list skipping the (dow)-only level). `grouping()`
+    * disambiguates "NULL because rolled up" from a NULL group value,
+    * exactly as in SQL. Day-of-week via `weekday()+1` ≡ DuckDB
+    * `isodow` (the pinned calendar rule — never `dayofweek`, whose
+    * week start is locale-ish).
+    */
+  val q171_grouping_sets_api: Q = Q(
+    "q171_grouping_sets_api",
+    """SELECT COALESCE(event_type, '(all)') AS etype,
+      |  COALESCE(CAST(isodow(CAST(ts AS DATE)) AS VARCHAR), '(all)')
+      |    AS dow,
+      |  CAST(GROUPING(event_type) + GROUPING(isodow(CAST(ts AS DATE)))
+      |    AS INT) AS lvl,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM events
+      |GROUP BY GROUPING SETS
+      |  ((event_type, isodow(CAST(ts AS DATE))), (event_type), ())
+      |ORDER BY lvl, etype, dow""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_type".as("et"),
+        (weekday(to_date($"ts")) + 1).as("dw"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupingSets(
+        Seq(Seq($"et", $"dw"), Seq($"et"), Seq.empty),
+        $"et", $"dw")
+      .agg(
+        grouping($"et").as("_ge"), grouping($"dw").as("_gd"),
+        count(lit(1)).as("n"), sum($"c").cast("long").as("cents"))
+      .select(
+        coalesce($"et", lit("(all)")).as("etype"),
+        coalesce($"dw".cast("string"), lit("(all)")).as("dow"),
+        ($"_ge" + $"_gd").cast("int").as("lvl"),
+        $"n", $"cents")
+      .orderBy($"lvl", $"etype", $"dow")
+  }
+
   val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe,
-    q170_filtered_aggs)
+    q170_filtered_aggs, q171_grouping_sets_api)
 }
