@@ -27,6 +27,45 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("_fp")
 
+  /** Chunk ("line")-level dedup classification — the RefinedWeb/Gopher
+    * "remove lines duplicated across the corpus" stage at sub-document
+    * granularity (this corpus has no newlines, so the unit is a
+    * non-overlapping `chunkTokens`-token chunk; full chunks only).
+    * Emits one row per chunk occurrence — all input columns except the
+    * text, plus `chunk_idx`, `chunk_fp`, and `kept`: true iff this is
+    * the corpus-wide FIRST occurrence of the chunk content, ordered by
+    * (id, position). That order is total, so retention is
+    * deterministic and stable under reprocessing — and idempotent: a
+    * corpus rebuilt from kept chunks re-classifies everything kept
+    * (DedupSpec property).
+    *
+    * Scale shape: one tokenize per document (Let-bound; PLANS.md),
+    * fingerprints computed INSIDE the generating lambda so chunk text
+    * never leaves the row — the only wide operation is the window
+    * shuffle keyed by the 32-hex fingerprint. A boilerplate chunk with
+    * millions of occurrences is one skewed sort partition (AQE skew
+    * split); only its rank-1 row keeps `kept`.
+    */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive")
+    val occ = df.select(col("*"),
+      posexplode(Let(TextFunctions.lowerTokens(col(textCol))) { t =>
+        // the when-guard dodges sequence(0,-1), which DESCENDS
+        when(size(t) >= chunkTokens,
+          transform(
+            sequence(lit(0),
+              floor(size(t) / lit(chunkTokens)).cast("int") - 1),
+            g => md5(array_join(
+              slice(t, g * chunkTokens + 1, lit(chunkTokens)), " "))))
+          .otherwise(array().cast("array<string>"))
+      }).as(Seq("chunk_idx", "chunk_fp")))
+      .drop(textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_fp")).orderBy(col(idCol), col("chunk_idx"))
+    occ.withColumn("kept", row_number().over(w) === 1)
+  }
+
   /** The k XOR seeds of the one-hash MinHash family (60-bit, so every
     * xored value stays positive). Deterministic; the oracle SQL embeds
     * the same constants.

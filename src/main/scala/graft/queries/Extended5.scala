@@ -1,11 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.Let
-import graft.functions.TextFunctions.lowerTokens
 
 /** Round-6 surface batch: corpus-level chunk ("line") dedup with
   * global first-occurrence retention, and the runtime-error-safe
@@ -54,25 +51,15 @@ object Extended5 {
       |FROM r GROUP BY source ORDER BY source""".stripMargin) {
     (spark, dir) =>
       import spark.implicits._
-      val chunks = Tables.loadParallel(spark, dir, "documents")
-        .select($"doc_id", $"source",
-          posexplode(Let(lowerTokens($"text")) { t =>
-            // full 10-token chunks only (the remainder tail is not a
-            // "line"); the when-guard dodges sequence(0,-1), which
-            // DESCENDS in Spark (the q76 trap)
-            when(size(t) >= 10,
-              transform(
-                sequence(lit(0), floor(size(t) / lit(10)).cast("int") - 1),
-                g => md5(array_join(slice(t, g * 10 + 1, lit(10)), " "))))
-              .otherwise(array().cast("array<string>"))
-          }).as(Seq("cid", "fp")))
-      val w = Window.partitionBy($"fp").orderBy($"doc_id", $"cid")
-      chunks.withColumn("rn", row_number().over(w))
+      graft.operators.Dedup.chunkDedup(
+          Tables.loadParallel(spark, dir, "documents")
+            .select($"doc_id", $"source", $"text"),
+          "text", "doc_id", chunkTokens = 10)
         .groupBy($"source")
         .agg(
           count(lit(1)).as("total_chunks"),
-          sum(when($"rn" > 1, 1L).otherwise(0L)).as("dropped_chunks"),
-          sum(when($"rn" === 1, 10L).otherwise(0L)).as("kept_tokens"))
+          sum(when(!$"kept", 1L).otherwise(0L)).as("dropped_chunks"),
+          sum(when($"kept", 10L).otherwise(0L)).as("kept_tokens"))
         .orderBy($"source")
   }
 

@@ -143,4 +143,55 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
     assert(expected.contains((1L, 2L, 0)), "exact dup must appear at dist 0")
   }
+
+  private def toks(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("chunkDedup keeps the corpus-wide first occurrence of each " +
+    "chunk, by (id, position)") {
+    // doc 1 = A B; doc 2 = A C (A re-occurs); doc 3 = 5 tokens (no
+    // full chunk); doc 4 = D D (intra-doc duplicate); 3-token tail
+    // on doc 2 must be ignored
+    val chunkA = toks("a", 10)
+    val corpus = Seq(
+      (1L, s"$chunkA ${toks("b", 10)}"),
+      (2L, s"$chunkA ${toks("c", 10)} x1 x2 x3"),
+      (3L, toks("e", 5)),
+      (4L, s"${toks("d", 10)} ${toks("d", 10)}"))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(corpus, "text", "doc_id")
+      .select($"doc_id", $"chunk_idx", $"kept")
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 0, true), (1L, 1, true),   // first A, first B
+      (2L, 0, false), (2L, 1, true),  // A again → dropped; first C
+      (4L, 0, true), (4L, 1, false)), // intra-doc dup dropped too
+      s"got $got")
+  }
+
+  test("chunkDedup is idempotent: a corpus rebuilt from kept chunks " +
+    "drops nothing") {
+    val corpus = Seq(
+      (1L, s"${toks("a", 10)} ${toks("b", 10)}"),
+      (2L, s"${toks("a", 10)} ${toks("c", 10)}"),
+      (3L, s"${toks("c", 10)} ${toks("a", 10)} ${toks("z", 10)}"))
+      .toDF("doc_id", "text")
+    val first = Dedup.chunkDedup(corpus, "text", "doc_id")
+    assert(first.filter(!$"kept").count() == 3,
+      "the re-occurrences of A (×2) and C must drop")
+    // rebuild each doc from its kept chunks (fingerprints have no
+    // text, so rebuild by re-slicing the original positions)
+    val keptPos = first.filter($"kept")
+      .select($"doc_id", $"chunk_idx").as[(Long, Int)].collect().toSet
+    val rebuilt = corpus.as[(Long, String)].collect().map {
+      case (id, text) =>
+        val t = text.split("\\s+")
+        id -> t.grouped(10).zipWithIndex
+          .filter { case (g, i) => g.length == 10 && keptPos((id, i)) }
+          .map(_._1.mkString(" ")).mkString(" ")
+    }.filter(_._2.nonEmpty).toSeq.toDF("doc_id", "text")
+    val second = Dedup.chunkDedup(rebuilt, "text", "doc_id")
+    assert(second.filter(!$"kept").count() == 0,
+      "re-deduping the deduped corpus must be a no-op")
+  }
 }
