@@ -354,7 +354,11 @@ object Graph {
         .join(settled.select(col("id")), Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint()
-      settled = settled.unionByName(next).localCheckpoint()
+      // the union is NOT re-checkpointed: both children already are,
+      // so lineage stays flat (depth grows only with the bounded hop
+      // count) — re-materializing the whole settled set every round
+      // would write O(V · maxHops) blocks for no plan benefit
+      settled = settled.unionByName(next)
       frontier = next.select(col("id"))
       h += 1
     }

@@ -198,6 +198,66 @@ object Extended5 {
       .orderBy($"lvl", $"etype", $"dow")
   }
 
+  /** Bag-semantics set operations — `exceptAll` / `intersectAll`
+    * (multiset difference/intersection, duplicates preserved by
+    * count), the ALL forms q19b/q19c's distinct set ops don't touch.
+    * Semantics pinned by counting the surviving multiplicities: a user
+    * with 5 'view' rows early-week and 2 late-week keeps exactly 3 in
+    * the difference and 2 in the intersection. Spark plans these as a
+    * single aggregate computing per-row multiplicities then a
+    * generate — no join, one shuffle on the full row key.
+    */
+  val q172_bag_setops: Q = Q(
+    "q172_bag_setops",
+    """WITH a AS (SELECT user_id % 50 AS u, event_type AS t
+      |  FROM events WHERE isodow(CAST(ts AS DATE)) <= 3),
+      |b AS (SELECT user_id % 50 AS u, event_type AS t
+      |  FROM events WHERE isodow(CAST(ts AS DATE)) > 3)
+      |SELECT 'except_all' AS op, u, t, COUNT(*) AS n FROM (
+      |  SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2, 3
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, u, t, COUNT(*) AS n FROM (
+      |  SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2, 3
+      |ORDER BY op, u, t""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+      .select(($"user_id" % 50).as("u"), $"event_type".as("t"),
+        (weekday(to_date($"ts")) + 1).as("dw"))
+    val a = e.filter($"dw" <= 3).drop("dw")
+    val b = e.filter($"dw" > 3).drop("dw")
+    def counted(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.groupBy($"u", $"t").agg(count(lit(1)).as("n"))
+        .select(lit(op).as("op"), $"u", $"t", $"n")
+    counted(a.exceptAll(b), "except_all")
+      .unionByName(counted(a.intersectAll(b), "intersect_all"))
+      .orderBy($"op", $"u", $"t")
+  }
+
+  /** Deterministic pagination — `Dataset.offset` + `limit` ≡ SQL
+    * `LIMIT … OFFSET …` over a TOTAL order (price ties broken by key;
+    * pagination over a partial order returns an arbitrary page and is
+    * a correctness bug, not a style nit). Spark plans the pair as one
+    * `GlobalLimit(offset+limit)` over a single ordered shuffle — page
+    * depth costs memory linearly, so deep pagination at scale should
+    * keyset-paginate (WHERE key > last) instead; this pins the shallow
+    * form.
+    */
+  val q173_offset_page: Q = Q(
+    "q173_offset_page",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 40""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .offset(40).limit(20)
+  }
+
   val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe,
-    q170_filtered_aggs, q171_grouping_sets_api)
+    q170_filtered_aggs, q171_grouping_sets_api, q172_bag_setops,
+    q173_offset_page)
 }
