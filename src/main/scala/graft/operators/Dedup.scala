@@ -288,9 +288,15 @@ object Dedup {
       .filter(size(col("_sh")) > 0)
       .localCheckpoint() // read by the frequency agg AND both verify joins
     val ex = s.select(col("_id"), explode(col("_sh")).as("_t"))
-    // shingles are distinct per doc, so count == document frequency
-    val dfreq = ex.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
-    val ranked = ex.join(dfreq, "_t")
+    // shingles are distinct per doc, so the per-shingle row count IS
+    // the document frequency — computed as a whole-partition window
+    // over the shingle key, so the exploded table shuffles ONCE (the
+    // aggregate+rejoin formulation shuffles it into the frequency agg
+    // and then again into the join)
+    val wdf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_t"))
+    val ranked = ex
+      .withColumn("_df", count(lit(1)).over(wdf))
       .groupBy(col("_id"))
       .agg(sort_array(collect_list(struct(col("_df"), col("_t"))))
         .as("_r"))
