@@ -180,4 +180,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti, BuildRight, false"),
       "NOT EXISTS must stay a plain anti join")
   }
+
+  test("q168's fingerprint shuffle never carries document text") {
+    // chunk fingerprints are md5'd INSIDE the generating lambda and
+    // the text column is dropped before the window exchange — a
+    // refactor that shuffles raw text turns a 32-byte key exchange
+    // into a corpus-sized one. Formatted explain lists each node's
+    // Input columns (the AQE wrapper hides the tree from collect()).
+    val fmt = SparkEntry.queries("q168_chunk_dedup")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val fpExchanges = fmt.split("\n\n").filter(b =>
+      b.contains("Exchange") && b.contains("hashpartitioning(chunk_fp"))
+    assert(fpExchanges.nonEmpty,
+      s"expected the chunk_fp exchange:\n$fmt")
+    assert(fpExchanges.forall(!_.contains("text#")),
+      "text must be dropped before the fingerprint shuffle:\n" +
+        fpExchanges.mkString("\n"))
+  }
 }
