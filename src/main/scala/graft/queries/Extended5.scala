@@ -257,7 +257,105 @@ object Extended5 {
       .offset(40).limit(20)
   }
 
+  /** GPT-style sequence packing accounting — concatenate each
+    * source's documents in doc_id order and slice into fixed
+    * 256-token training sequences ("concat-and-chunk"): sequences
+    * used, pad waste in the final partial sequence, and how many
+    * documents SPAN a sequence boundary (the attention-masking /
+    * document-leakage metric packing pipelines watch). Pure window
+    * cumsum + integer division on non-negative counts — no
+    * materialization of the packed sequences themselves, which at
+    * 100 TB is the difference between an accounting query and a
+    * rewrite of the corpus.
+    */
+  val q174_sequence_pack: Q = Q(
+    "q174_sequence_pack",
+    """WITH d AS (SELECT doc_id, source,
+      |    len(string_split_regex(lower(text), '\s+')) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d),
+      |m AS (SELECT source, n,
+      |    (cum - n) // 256 AS first_seq, (cum - 1) // 256 AS last_seq
+      |  FROM c)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  CAST((SUM(n) + 255) // 256 AS BIGINT) AS n_seqs,
+      |  CAST((SUM(n) + 255) // 256 * 256 - SUM(n) AS BIGINT)
+      |    AS pad_tokens,
+      |  CAST(COUNT(CASE WHEN first_seq <> last_seq THEN 1 END)
+      |    AS BIGINT) AS n_spanning
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      Tables.loadParallel(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          size(graft.functions.TextFunctions.lowerTokens($"text"))
+            .cast("long").as("n"))
+        .withColumn("cum", sum($"n").over(w))
+        // all operands non-negative → DIV ≡ DuckDB's flooring //
+        .select($"source", $"n",
+          expr("(cum - n) DIV 256").as("first_seq"),
+          expr("(cum - 1) DIV 256").as("last_seq"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n").as("total_tokens"),
+          expr("(sum(n) + 255) DIV 256").as("n_seqs"),
+          expr("(sum(n) + 255) DIV 256 * 256 - sum(n)").as("pad_tokens"),
+          count(when($"first_seq" =!= $"last_seq", 1)).as("n_spanning"))
+        .orderBy($"source")
+  }
+
+  /** Domain-mixture rebalancing weights — given per-language token
+    * masses and target shares (en 60%, the rest 10% each: the
+    * down-sample-the-head shape every pretraining mix applies), the
+    * per-language keep rate toward the target, capped at 1 (never
+    * up-sample), and the expected post-sample token count. Exact
+    * basis-point integer arithmetic on non-negative operands; the
+    * total is a scalar subquery (broadcast at any scale).
+    */
+  val q175_mix_weights: Q = Q(
+    "q175_mix_weights",
+    """WITH s AS (SELECT lang,
+      |    CAST(SUM(len(string_split_regex(lower(text), '\s+')))
+      |      AS BIGINT) AS toks
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM s)
+      |SELECT lang, toks,
+      |  CAST(LEAST(10000,
+      |    (CASE WHEN lang = 'en' THEN 6000 ELSE 1000 END) * total
+      |      // toks) AS BIGINT) AS keep_bp,
+      |  CAST(toks * LEAST(10000,
+      |    (CASE WHEN lang = 'en' THEN 6000 ELSE 1000 END) * total
+      |      // toks) // 10000 AS BIGINT) AS exp_toks
+      |FROM s, t ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.load(spark, dir, "documents")
+      .groupBy($"lang")
+      .agg(sum(size(graft.functions.TextFunctions.lowerTokens($"text"))
+        .cast("long")).as("toks"))
+    val t = s.agg(sum($"toks").as("total"))
+    // all operands non-negative → DIV ≡ flooring //; the one-row
+    // total broadcasts (at any corpus scale)
+    s.crossJoin(broadcast(t))
+      .select($"lang", $"toks",
+        least(lit(10000L),
+          expr("(CASE WHEN lang = 'en' THEN 6000 ELSE 1000 END " +
+            "* total) DIV toks")).as("keep_bp"))
+      .select($"lang", $"toks", $"keep_bp",
+        expr("(toks * keep_bp) DIV 10000").as("exp_toks"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe,
     q170_filtered_aggs, q171_grouping_sets_api, q172_bag_setops,
-    q173_offset_page)
+    q173_offset_page, q174_sequence_pack, q175_mix_weights)
 }
