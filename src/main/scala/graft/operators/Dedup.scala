@@ -48,8 +48,24 @@ object Dedup {
     */
   def chunkDedup(df: DataFrame, textCol: String, idCol: String,
       chunkTokens: Int = 10): DataFrame = {
+    val occ = chunkOccurrences(df, textCol, chunkTokens)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_fp")).orderBy(col(idCol), col("chunk_idx"))
+    occ.withColumn("kept", row_number().over(w) === 1)
+  }
+
+  /** The occurrence generator [[chunkDedup]] classifies: one row per
+    * full `chunkTokens`-token chunk — every input column except the
+    * text, plus `chunk_idx` and the chunk content's md5 `chunk_fp`
+    * (hashed INSIDE the lambda; chunk text never becomes a row).
+    * Streaming-safe (no window): the streaming twin dedups the same
+    * fingerprints with `dropDuplicatesWithinWatermark`
+    * ([[graft.streaming.StreamingJobs.chunkDedupStream]]).
+    */
+  def chunkOccurrences(df: DataFrame, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive")
-    val occ = df.select(col("*"),
+    df.select(col("*"),
       posexplode(Let(TextFunctions.lowerTokens(col(textCol))) { t =>
         // the when-guard dodges sequence(0,-1), which DESCENDS
         when(size(t) >= chunkTokens,
@@ -61,9 +77,6 @@ object Dedup {
           .otherwise(array().cast("array<string>"))
       }).as(Seq("chunk_idx", "chunk_fp")))
       .drop(textCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("chunk_fp")).orderBy(col(idCol), col("chunk_idx"))
-    occ.withColumn("kept", row_number().over(w) === 1)
   }
 
   /** The k XOR seeds of the one-hash MinHash family (60-bit, so every

@@ -189,6 +189,26 @@ object StreamingJobs {
         col("click_url"), col("click_ts"))
   }
 
+  /** Streaming chunk ("line")-level dedup — the streaming twin of
+    * [[graft.operators.Dedup.chunkDedup]], for corpora that ARRIVE as
+    * a stream: explode each document into chunk fingerprints
+    * ([[graft.operators.Dedup.chunkOccurrences]] — stateless, text
+    * never becomes state) and keep the first occurrence of each
+    * fingerprint with `dropDuplicatesWithinWatermark`. State holds
+    * one entry per DISTINCT chunk fingerprint seen within the
+    * late-data horizon — evicted past the watermark, so state is
+    * O(distinct chunks per horizon), not O(corpus). The trade against
+    * the batch operator: a duplicate arriving after its first
+    * occurrence left the horizon is admitted again (bounded-state
+    * dedup is horizon-exact, corpus-approximate) — run the batch
+    * dedup downstream for the exact global pass.
+    */
+  def chunkDedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      horizon: String = "15 seconds", chunkTokens: Int = 10): DataFrame =
+    graft.operators.Dedup.chunkOccurrences(docs, textCol, chunkTokens)
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(Seq("chunk_fp"))
+
   /** Left-outer variant of [[impressionClickJoin]]: every impression
     * emits exactly once — joined to its in-window clicks when they
     * arrive, or with NULL click columns once the watermark proves no

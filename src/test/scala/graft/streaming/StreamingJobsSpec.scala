@@ -129,6 +129,31 @@ class StreamingJobsSpec extends SparkSpec {
       s"only the in-window same-ip click may join, got $rows")
   }
 
+  test("streaming chunk dedup keeps first-in-horizon fingerprints only") {
+    implicit val ctx = spark.sqlContext
+    def doc(prefixes: String*): String =
+      prefixes.flatMap(p => (1 to 10).map(i => s"$p$i")).mkString(" ")
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingJobs.chunkDedupStream(
+        input.toDF().toDF("doc_id", "text", "t")
+          .withColumn("ts", to_timestamp($"t", "yyyy-MM-dd HH:mm:ss"))
+          .drop("t"),
+        "ts", "text")
+      .writeStream.format("memory").queryName("chunk_dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, doc("a", "b"), "2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // same horizon: chunk A re-arrives → dropped; C is new → kept
+      input.addData(Seq((2L, doc("a", "c"), "2024-01-01 00:00:05")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("chunk_dedup_stream")
+      .select($"doc_id", $"chunk_idx").as[(Long, Int)].collect().toSet
+    assert(kept == Set((1L, 0), (1L, 1), (2L, 1)),
+      s"doc 2's repeat of chunk A must be dropped in-horizon: $kept")
+  }
+
   test("left-outer interval join releases unmatched impressions " +
     "once the watermark passes their window") {
     implicit val ctx = spark.sqlContext
