@@ -355,7 +355,78 @@ object Extended5 {
       .orderBy($"lang")
   }
 
+  /** Product-quantization codebook assignment — the IVF-PQ building
+    * block q133's scalar int8 codes don't cover: split each 64-dim
+    * embedding into m=4 16-dim subvectors, assign each to its nearest
+    * of k=4 per-subspace codewords, report per-(subspace, code)
+    * occupancy and total squared distortion. The codebook is the
+    * deterministic "first-k vectors" stub (codebook TRAINING is the
+    * Lloyd step q139 already proves); distances are exact scaled
+    * integers (`floor(v·10⁶)` longs — squared diffs ≤ ~2⁴⁶, sums fit
+    * long with room), argmin tie-breaks fold into the ordering value
+    * (`dist·k + cid` — unique because cid < k), so assignment is
+    * bit-deterministic in any engine.
+    *
+    * Scale shape: the codebook is m·k tiny rows — broadcast; the
+    * embedding side is scan + generate only (4 subvector rows per
+    * vector), one aggregate per (vec, sub) then per (sub, code). At
+    * 100 TB of embeddings nothing shuffles except (sub, code, dist)
+    * triples post-argmin — the corpus-sized arrays never leave their
+    * scan partitions.
+    */
+  val q176_pq_assign: Q = Q(
+    "q176_pq_assign",
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)
+      |      * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |sub AS (SELECT vec_id, s.s AS sub, qv[s.s*16+1 : s.s*16+16] AS v
+      |  FROM q, LATERAL (SELECT unnest(range(4)) AS s) s),
+      |csub AS (SELECT vec_id AS cid, s.s AS sub,
+      |    qv[s.s*16+1 : s.s*16+16] AS cv
+      |  FROM q, LATERAL (SELECT unnest(range(4)) AS s) s
+      |  WHERE vec_id < 4),
+      |d AS (SELECT vec_id, sub.sub, cid,
+      |    CAST(list_sum(list_transform(list_zip(v, cv),
+      |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+      |  FROM sub JOIN csub ON sub.sub = csub.sub),
+      |best AS (SELECT vec_id, sub,
+      |    CAST(arg_min(cid, dist*4 + cid) AS BIGINT) AS code,
+      |    CAST(MIN(dist) AS BIGINT) AS mdist
+      |  FROM d GROUP BY 1, 2)
+      |SELECT sub, code, COUNT(*) AS n, CAST(SUM(mdist) AS BIGINT)
+      |  AS sum_err
+      |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val q = Tables.load(spark, dir, "embeddings")
+        .select($"vec_id",
+          transform($"embedding",
+            x => floor(x.cast("double") * 1000000).cast("long"))
+            .as("qv"))
+      def subspaces(df: org.apache.spark.sql.DataFrame) = df
+        .select($"vec_id", explode(sequence(lit(0), lit(3))).as("sub"),
+          $"qv")
+        .select($"vec_id", $"sub",
+          slice($"qv", $"sub" * 16 + 1, lit(16)).as("v"))
+      val sub = subspaces(q)
+      val csub = subspaces(q.filter($"vec_id" < 4))
+        .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
+      sub.join(broadcast(csub), "sub")
+        .select($"vec_id", $"sub", $"cid",
+          aggregate(zip_with($"v", $"cv", (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"))
+        .groupBy($"vec_id", $"sub")
+        .agg(min_by($"cid", $"dist" * 4 + $"cid").as("code"),
+          min($"dist").as("mdist"))
+        .groupBy($"sub", $"code")
+        .agg(count(lit(1)).as("n"), sum($"mdist").cast("long")
+          .as("sum_err"))
+        .orderBy($"sub", $"code")
+  }
+
   val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe,
     q170_filtered_aggs, q171_grouping_sets_api, q172_bag_setops,
-    q173_offset_page, q174_sequence_pack, q175_mix_weights)
+    q173_offset_page, q174_sequence_pack, q175_mix_weights,
+    q176_pq_assign)
 }
