@@ -425,8 +425,94 @@ object Extended5 {
         .orderBy($"sub", $"code")
   }
 
+  /** PQ asymmetric-distance (ADC) search over q176's codes — the
+    * query-time half of IVF-PQ: each query vector precomputes a tiny
+    * distance table (its exact distance to every codeword per
+    * subspace, m·k = 16 longs), and a database vector's approximate
+    * distance is the SUM OF TABLE LOOKUPS selected by its 4 codes —
+    * the corpus's raw floats are never touched at query time. Code
+    * ties produce equal approximate distances (two vectors with the
+    * same code tuple ARE indistinguishable under PQ — visible in the
+    * output); ranking tie-breaks on vec_id, so results are
+    * bit-deterministic.
+    *
+    * Scale shape: codes are 4 small ints per vector (the 64× storage
+    * compression that makes 100 TB of embeddings searchable from
+    * memory); the ADC table (queries × m × k rows) broadcasts; the
+    * only aggregate is the per-(query, vector) 4-row sum, shuffled on
+    * ids — no float arrays move anywhere.
+    */
+  val q177_pq_search: Q = Q(
+    "q177_pq_search",
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)
+      |      * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |sub AS (SELECT vec_id, s.s AS sub, qv[s.s*16+1 : s.s*16+16] AS v
+      |  FROM q, LATERAL (SELECT unnest(range(4)) AS s) s),
+      |csub AS (SELECT vec_id AS cid, sub, v AS cv FROM sub
+      |  WHERE vec_id < 4),
+      |codes AS (SELECT vec_id, sub,
+      |    CAST(arg_min(cid, dist*4 + cid) AS BIGINT) AS code
+      |  FROM (SELECT sub.vec_id, sub.sub, cid,
+      |      CAST(list_sum(list_transform(list_zip(v, cv),
+      |        p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+      |    FROM sub JOIN csub USING (sub)) GROUP BY 1, 2),
+      |adc AS (SELECT sub.vec_id AS qid, sub.sub, cid,
+      |    CAST(list_sum(list_transform(list_zip(v, cv),
+      |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS adist
+      |  FROM sub JOIN csub USING (sub) WHERE sub.vec_id < 5),
+      |scored AS (SELECT qid, codes.vec_id AS vid,
+      |    CAST(SUM(adist) AS BIGINT) AS adist
+      |  FROM codes JOIN adc ON codes.sub = adc.sub
+      |    AND codes.code = adc.cid
+      |  WHERE codes.vec_id <> qid
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT qid, vid, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid)
+      |      AS rank
+      |  FROM scored)
+      |SELECT qid, rank, vid, adist FROM ranked WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val q = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 1000000).cast("long"))
+          .as("qv"))
+    def subspaces(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", explode(sequence(lit(0), lit(3))).as("sub"),
+        $"qv")
+      .select($"vec_id", $"sub",
+        slice($"qv", $"sub" * 16 + 1, lit(16)).as("v"))
+    val sub = subspaces(q)
+    val csub = subspaces(q.filter($"vec_id" < 4))
+      .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
+    val sqdist =
+      aggregate(zip_with($"v", $"cv", (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val codes = sub.join(broadcast(csub), "sub")
+      .select($"vec_id", $"sub", $"cid", sqdist.as("dist"))
+      .groupBy($"vec_id", $"sub")
+      .agg(min_by($"cid", $"dist" * 4 + $"cid").as("code"))
+    val adc = subspaces(q.filter($"vec_id" < 5))
+      .join(broadcast(csub), "sub")
+      .select($"vec_id".as("qid"), $"sub", $"cid", sqdist.as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"adist", $"vid")
+    codes.join(broadcast(adc),
+        codes("sub") === adc("sub") && codes("code") === adc("cid") &&
+          codes("vec_id") =!= adc("qid"))
+      .groupBy($"qid", codes("vec_id").as("vid"))
+      .agg(sum($"adist").cast("long").as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"vid", $"adist")
+      .orderBy($"qid", $"rank")
+  }
+
   val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe,
     q170_filtered_aggs, q171_grouping_sets_api, q172_bag_setops,
     q173_offset_page, q174_sequence_pack, q175_mix_weights,
-    q176_pq_assign)
+    q176_pq_assign, q177_pq_search)
 }
