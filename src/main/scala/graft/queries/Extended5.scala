@@ -511,8 +511,113 @@ object Extended5 {
       .orderBy($"qid", $"rank")
   }
 
+  /** Recall@5 of the PQ-ADC search against exact ground truth — the
+    * quality gate every ANN deployment needs before trusting a
+    * compressed index: q177's approximate top-5 intersected with the
+    * exact integer-L2 top-5 over the same scaled vectors, per query,
+    * in basis points. Both rankings are bit-deterministic (vec_id
+    * tie-breaks), so the recall itself is exact — no "approximately
+    * 0.8" flakiness. The toy 4-codeword codebook lands 0–40%
+    * recall, honestly displaying the compression/recall trade the
+    * metric exists to measure; production tunes m·k up until this
+    * number meets target.
+    *
+    * Scale shape: the exact side is the only corpus-sized work (the
+    * deliberate cost of ground truth — run it on a SAMPLE of queries
+    * at 100 TB, exactly as here); the comparison join moves 10
+    * (qid, vid) pairs per query.
+    */
+  val q178_pq_recall: Q = Q(
+    "q178_pq_recall",
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)
+      |      * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |sub AS (SELECT vec_id, s.s AS sub, qv[s.s*16+1 : s.s*16+16] AS v
+      |  FROM q, LATERAL (SELECT unnest(range(4)) AS s) s),
+      |csub AS (SELECT vec_id AS cid, sub, v AS cv FROM sub
+      |  WHERE vec_id < 4),
+      |codes AS (SELECT vec_id, sub,
+      |    CAST(arg_min(cid, dist*4 + cid) AS BIGINT) AS code
+      |  FROM (SELECT sub.vec_id, sub.sub, cid,
+      |      CAST(list_sum(list_transform(list_zip(v, cv),
+      |        p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+      |    FROM sub JOIN csub USING (sub)) GROUP BY 1, 2),
+      |adc AS (SELECT sub.vec_id AS qid, sub.sub, cid,
+      |    CAST(list_sum(list_transform(list_zip(v, cv),
+      |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS adist
+      |  FROM sub JOIN csub USING (sub) WHERE sub.vec_id < 5),
+      |approx AS (SELECT qid, vid FROM (
+      |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY adist, vid) AS rank
+      |  FROM (SELECT qid, codes.vec_id AS vid,
+      |      CAST(SUM(adist) AS BIGINT) AS adist
+      |    FROM codes JOIN adc ON codes.sub = adc.sub
+      |      AND codes.code = adc.cid
+      |    WHERE codes.vec_id <> qid GROUP BY 1, 2)) WHERE rank <= 5),
+      |exact AS (SELECT qid, vid FROM (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vid,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |      CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+      |        p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT), b.vec_id)
+      |      AS rank
+      |  FROM q a JOIN q b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+      |  WHERE rank <= 5)
+      |SELECT exact.qid,
+      |  CAST(COUNT(approx.vid) * 2000 AS BIGINT) AS recall_bp
+      |FROM exact LEFT JOIN approx USING (qid, vid)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val q = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 1000000).cast("long"))
+          .as("qv"))
+    def subspaces(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", explode(sequence(lit(0), lit(3))).as("sub"),
+        $"qv")
+      .select($"vec_id", $"sub",
+        slice($"qv", $"sub" * 16 + 1, lit(16)).as("v"))
+    def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, z) => acc + z)
+    val sub = subspaces(q)
+    val csub = subspaces(q.filter($"vec_id" < 4))
+      .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
+    val codes = sub.join(broadcast(csub), "sub")
+      .select($"vec_id", $"sub", $"cid", sq($"v", $"cv").as("dist"))
+      .groupBy($"vec_id", $"sub")
+      .agg(min_by($"cid", $"dist" * 4 + $"cid").as("code"))
+    val adc = subspaces(q.filter($"vec_id" < 5))
+      .join(broadcast(csub), "sub")
+      .select($"vec_id".as("qid"), $"sub", $"cid",
+        sq($"v", $"cv").as("adist"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"adist", $"vid")
+    val approx = codes.join(broadcast(adc),
+        codes("sub") === adc("sub") && codes("code") === adc("cid") &&
+          codes("vec_id") =!= adc("qid"))
+      .groupBy($"qid", codes("vec_id").as("vid"))
+      .agg(sum($"adist").cast("long").as("adist"))
+      .withColumn("rank", row_number().over(wA))
+      .filter($"rank" <= 5).select($"qid", $"vid", lit(1).as("_hit"))
+    val qs = q.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"qv".as("qqv"))
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"edist", $"vid")
+    val exact = q.join(broadcast(qs), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("vid"),
+        sq($"qqv", $"qv").as("edist"))
+      .withColumn("rank", row_number().over(wE))
+      .filter($"rank" <= 5).select($"qid", $"vid")
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy($"qid")
+      .agg((count($"_hit") * 2000).as("recall_bp"))
+      .orderBy($"qid")
+  }
+
   val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe,
     q170_filtered_aggs, q171_grouping_sets_api, q172_bag_setops,
     q173_offset_page, q174_sequence_pack, q175_mix_weights,
-    q176_pq_assign, q177_pq_search)
+    q176_pq_assign, q177_pq_search, q178_pq_recall)
 }
