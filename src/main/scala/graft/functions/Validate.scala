@@ -49,10 +49,27 @@ object Validate {
       checks: Seq[(String, Column)]): (DataFrame, Observation) = {
     require(checks.nonEmpty, "at least one check is required")
     val obs = Observation(name)
-    val metrics = count(lit(1)).as("n_rows") +:
-      checks.map { case (n, pred) =>
-        sum(pred.cast("long")).as(n)
-      }
+    val metrics = observeMetrics(checks)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** Streaming form of [[observed]]: `Observation` only supports
+    * batch queries, so attach a NAMED observe node instead and read
+    * the per-micro-batch metric row from
+    * `StreamingQueryProgress.observedMetrics(name)` — the same
+    * zero-extra-pass accumulators, reported per batch (a per-batch
+    * quality feed for alerting, not a global total; sum across
+    * progress events for cumulative numbers).
+    */
+  def observedStream(df: DataFrame, name: String,
+      checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one check is required")
+    val metrics = observeMetrics(checks)
+    df.observe(name, metrics.head, metrics.tail: _*)
+  }
+
+  private def observeMetrics(checks: Seq[(String, Column)])
+      : Seq[Column] =
+    count(lit(1)).as("n_rows") +:
+      checks.map { case (n, pred) => sum(pred.cast("long")).as(n) }
 }

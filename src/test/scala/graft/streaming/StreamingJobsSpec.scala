@@ -129,6 +129,31 @@ class StreamingJobsSpec extends SparkSpec {
       s"only the in-window same-ip click may join, got $rows")
   }
 
+  test("observedStream reports per-batch health metrics in progress") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[WebEvent]
+    val q = graft.functions.Validate.observedStream(
+        StreamingJobs.withEventTime(input.toDF()), "health",
+        Seq("bad_host" -> $"host".isNull,
+          "empty_url" -> ($"url" === "")))
+      .writeStream.format("memory").queryName("observed_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(ev("a.com", "1.1.1.1", "00:00:00"),
+        ev("a.com", "2.2.2.2", "00:00:01"),
+        WebEvent("", "r", "ua", null, "3.3.3.3", "{}",
+          "2024-01-01T00:00:02.000Z")))
+      q.processAllAvailable()
+      // the health row rides the batch as accumulators — no second
+      // scan, no extra state; read it from the progress feed
+      val m = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("health"))).last
+      assert(m.getAs[Long]("n_rows") == 3L, m.toString)
+      assert(m.getAs[Long]("bad_host") == 1L, m.toString)
+      assert(m.getAs[Long]("empty_url") == 1L, m.toString)
+    } finally q.stop()
+  }
+
   test("streaming chunk dedup keeps first-in-horizon fingerprints only") {
     implicit val ctx = spark.sqlContext
     def doc(prefixes: String*): String =
