@@ -365,6 +365,97 @@ object Graph {
     settled
   }
 
+  /** Budget-bounded weighted shortest paths (multi-source): minimum
+    * path COST from any seed, keeping only vertices reachable within
+    * `maxCost` — the weighted twin of [[boundedHops]] (supply-chain
+    * cost radius, latency-bounded reachability). Distributed form is
+    * iterative relaxation (Bellman-Ford steps): each round joins the
+    * current labels to the edges, keeps improvements within budget,
+    * and re-minimizes — with POSITIVE integer weights every round
+    * either adds a vertex or lowers a finite cost, so convergence is
+    * guaranteed and checked (the loop fails loudly at `maxIter`
+    * rather than returning partial costs, the [[connectedComponents]]
+    * discipline). Rounds are bounded by the hop count of the deepest
+    * in-budget shortest path ≤ maxCost / min(w).
+    *
+    * Below the bounded edge threshold a driver Dijkstra answers in
+    * milliseconds with identical labels (same hybrid discipline as
+    * the other iterative operators — the threshold bounds driver
+    * memory BY CONSTRUCTION; both paths spec-asserted identical).
+    *
+    * @param edges (`src`, `dst`, `w`) directed weighted edges, w ≥ 1
+    *              integer (symmetrize for undirected semantics)
+    * @param seeds one column `id` — cost-0 sources
+    * @return (id, cost) for every vertex with min cost ≤ maxCost
+    */
+  def boundedCost(edges: DataFrame, seeds: DataFrame, maxCost: Long,
+      maxIter: Int = 50, localSolveMaxEdges: Long = 1L << 20)
+      : DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint()
+    val isLong = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (isLong && e.count() <= localSolveMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val adj = e.as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) =>
+          k -> v.map(t => (t._2, t._3))
+        }
+      val dist = scala.collection.mutable.Map.empty[Long, Long]
+      val pq = scala.collection.mutable.PriorityQueue
+        .empty[(Long, Long)](Ordering.by[(Long, Long), Long](_._1).reverse)
+      seeds.select(col("id").cast("long")).distinct()
+        .as[Long].collect().foreach { s => dist(s) = 0L; pq.enqueue((0L, s)) }
+      while (pq.nonEmpty) {
+        val (c, v) = pq.dequeue()
+        if (dist(v) == c)
+          adj.getOrElse(v, Array.empty[(Long, Long)]).foreach {
+            case (d, w) =>
+              val nc = c + w
+              if (nc <= maxCost && dist.get(d).forall(nc < _)) {
+                dist(d) = nc
+                pq.enqueue((nc, d))
+              }
+          }
+      }
+      return dist.toSeq.toDF("id", "cost")
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("id"))
+    }
+    var labels = seeds.select(col("id")).distinct()
+      .withColumn("cost", lit(0L)).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val relaxed = labels.join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+        .filter(col("cost") <= maxCost)
+      // fold the convergence check into the SAME union-aggregate that
+      // re-minimizes: prior labels carry their cost in `_old`, relaxed
+      // candidates carry null — a vertex improved iff its new min beats
+      // its old cost (or it had none). The check is then a near-free
+      // scan of the checkpointed result instead of an extra join per
+      // round (the connectedComponents _chg discipline).
+      val next = labels
+        .select(col("id"), col("cost"), col("cost").as("_old"))
+        .unionByName(relaxed.withColumn("_old", lit(null).cast("long")))
+        .groupBy(col("id"))
+        .agg(min(col("cost")).as("cost"), min(col("_old")).as("_old"))
+        .localCheckpoint()
+      changed = next
+        .filter(col("_old").isNull || col("cost") < col("_old"))
+        .count()
+      labels = next.select(col("id"), col("cost"))
+      i += 1
+    }
+    require(changed == 0,
+      s"boundedCost did not converge in $maxIter rounds ($changed " +
+        "labels still improving); raise maxIter — the in-budget path " +
+        "depth exceeds the round budget")
+    labels
+  }
+
   /** Build an edge table between two identified endpoints. */
   def edges(df: DataFrame, subjectId: Column, subjectType: String,
       objectId: Column, objectType: String, edgeType: String,

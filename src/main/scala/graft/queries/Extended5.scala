@@ -616,8 +616,56 @@ object Extended5 {
       .orderBy($"qid")
   }
 
+  /** Budget-bounded weighted shortest paths over the part↔supplier
+    * co-supply graph (edge weight = the minimum quantity ever shipped
+    * on that lane): minimum cost from seed supplier 0 (vertex 1),
+    * keeping vertices within a cost budget of 12 —
+    * [[graft.operators.Graph.boundedCost]] iterative relaxation /
+    * driver Dijkstra vs a recursive-CTE min-cost oracle (two
+    * independent shortest-path formulations; the CTE's UNION
+    * set-dedup terminates because positive weights make cost strictly
+    * increase). The budget bounds the distributed round count by
+    * construction (≤ budget / min weight).
+    */
+  val q179_bounded_cost: Q = Q(
+    "q179_bounded_cost",
+    """WITH RECURSIVE e AS (
+      |  SELECT CAST(l_partkey*2 AS BIGINT) AS src,
+      |    CAST(l_suppkey*2+1 AS BIGINT) AS dst,
+      |    CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(l_suppkey*2+1 AS BIGINT),
+      |    CAST(l_partkey*2 AS BIGINT),
+      |    CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |  FROM lineitem GROUP BY 1, 2),
+      |r(id, c) AS (
+      |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |  UNION
+      |  SELECT e.dst, r.c + e.w FROM r JOIN e ON e.src = r.id
+      |  WHERE r.c + e.w <= 12)
+      |SELECT id, CAST(MIN(c) AS BIGINT) AS cost FROM r
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val lanes = Tables.load(spark, dir, "lineitem")
+      .groupBy(($"l_partkey" * 2).cast("long").as("p"),
+        ($"l_suppkey" * 2 + 1).cast("long").as("s"))
+      .agg(min($"l_quantity".cast("long")).as("w"))
+    val edges = lanes.select($"p".as("src"), $"s".as("dst"), $"w")
+      .unionByName(lanes.select($"s".as("src"), $"p".as("dst"), $"w"))
+    val seeds = Seq(1L).toDF("id")
+    // the raised threshold sends this graph (~1.2M symmetrized lanes
+    // at sf0.1, ~30 MB of long triples) down the driver-Dijkstra path
+    // — a ~13-round relaxation loop would pay 2 shuffles per unit of
+    // cost budget; q141 keeps the distributed iterative path honest at
+    // bench, GraphSpec asserts the two paths identical here
+    graft.operators.Graph.boundedCost(edges, seeds, maxCost = 12L,
+        localSolveMaxEdges = 1L << 22)
+      .orderBy($"id")
+  }
+
   val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe,
     q170_filtered_aggs, q171_grouping_sets_api, q172_bag_setops,
     q173_offset_page, q174_sequence_pack, q175_mix_weights,
-    q176_pq_assign, q177_pq_search, q178_pq_recall)
+    q176_pq_assign, q177_pq_search, q178_pq_recall, q179_bounded_cost)
 }

@@ -211,4 +211,39 @@ class GraphSpec extends SparkSpec {
     assert(row.getString(4) == "located_in")
     assert(row.getString(5) == """{"segment":"AUTOMOBILE"}""")
   }
+
+  test("boundedCost: cheapest path wins over fewest hops; budget " +
+    "excludes; both solve paths identical") {
+    // 1→2→3 costs 1+1=2, direct 1→3 costs 5 ⇒ min is 2; 1→4 costs 9;
+    // 4→5 would be 9+4=13 > budget 12 ⇒ 5 absent; isolated 8→9 absent
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L),
+      (1L, 4L, 9L), (4L, 5L, 4L), (8L, 9L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    Seq(1L << 20, 0L).foreach { threshold =>
+      val got = Graph.boundedCost(edges, seeds, maxCost = 12L,
+          localSolveMaxEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 9L),
+        s"threshold=$threshold diverged: $got")
+    }
+  }
+
+  test("boundedCost: multi-seed minimum; non-convergence fails loudly") {
+    val edges = (1L to 5L).map(i => (i, i + 1, 2L)).toDF("src", "dst", "w")
+    Seq(1L << 20, 0L).foreach { threshold =>
+      val got = Graph.boundedCost(edges, Seq(1L, 6L).toDF("id"), 6L,
+          localSolveMaxEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 0L, 6L -> 0L, 2L -> 2L, 3L -> 4L,
+        4L -> 6L), s"threshold=$threshold diverged: $got")
+    }
+    // distributed loop must REFUSE to return partial labels when the
+    // round budget is too small for the in-budget path depth
+    val ex = intercept[IllegalArgumentException] {
+      Graph.boundedCost(edges, Seq(1L).toDF("id"), 10L, maxIter = 2,
+        localSolveMaxEdges = 0L)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
