@@ -664,8 +664,84 @@ object Extended5 {
       .orderBy($"id")
   }
 
+  /** Corpus prep v2 — the full modern pretraining recipe end to end,
+    * each stage the operator proven individually: quality filter
+    * (stopword ratio, q41/q77) → exact document dedup (normalized
+    * fingerprint, lowest-id keeps, q43) → chunk-level dedup across
+    * the survivors (q168's `Dedup.chunkDedup` — first occurrence
+    * keeps) → deterministic 90/5/5 split (q58) with kept-token and
+    * 256-token-sequence accounting (q174). One scan of the corpus,
+    * one fingerprint shuffle per dedup granularity, one split
+    * aggregate — the chain a RefinedWeb-style pipeline runs, with
+    * every intermediate bounded (hashes and counts, never re-shuffled
+    * text).
+    */
+  val q180_corpus_prep_v2: Q = Q(
+    "q180_corpus_prep_v2",
+    """WITH d AS (SELECT doc_id,
+      |    string_split_regex(lower(text), '\s+') AS toks,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |scored AS (SELECT doc_id, toks, fp,
+      |    CAST(len(list_filter(toks, w -> list_contains(
+      |      ['the','a','of','and','to','in','is','for','on','with'],
+      |      w))) AS DOUBLE) / len(toks) AS sr
+      |  FROM d),
+      |clean AS (SELECT * FROM scored WHERE sr >= 0.05),
+      |docdedup AS (SELECT doc_id, toks FROM (
+      |    SELECT doc_id, toks,
+      |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM clean) t WHERE rn = 1),
+      |occ AS (SELECT doc_id, g.g AS cid,
+      |    md5(array_to_string(toks[g.g*10+1 : g.g*10+10], ' ')) AS cfp
+      |  FROM docdedup, LATERAL (SELECT unnest(range(len(toks)//10))
+      |    AS g) g),
+      |kept AS (SELECT doc_id FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cfp
+      |      ORDER BY doc_id, cid) AS rn
+      |    FROM occ) t WHERE rn = 1),
+      |agg AS (SELECT doc_id, COUNT(*) AS kept_chunks FROM kept
+      |  GROUP BY 1)
+      |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(kept_chunks) * 10 AS BIGINT) AS kept_tokens,
+      |  CAST(SUM((kept_chunks * 10 + 255) // 256) AS BIGINT) AS n_seqs
+      |FROM (SELECT doc_id, kept_chunks,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 100 AS b
+      |  FROM agg) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val d = Tables.loadParallel(spark, dir, "documents")
+      .select($"doc_id", $"text",
+        graft.functions.Let(TextFunctions.lowerTokens($"text")) { t =>
+          size(filter(t, w => w.isin(TextFunctions.EnStopwords: _*)))
+            .cast("double") / size(t)
+        }.as("sr"),
+        TextFunctions.fingerprint($"text").as("fp"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"fp").orderBy($"doc_id")
+    val survivors = d.filter($"sr" >= 0.05)
+      .withColumn("rn", row_number().over(wDoc))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"text")
+    graft.operators.Dedup.chunkDedup(survivors, "text", "doc_id")
+      .filter($"kept")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept_chunks"))
+      .groupBy(TextFunctions.datasetSplit($"doc_id").as("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum($"kept_chunks") * 10).as("kept_tokens"),
+        sum(expr("(kept_chunks * 10 + 255) DIV 256")).as("n_seqs"))
+      .orderBy($"split")
+  }
+
   val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe,
     q170_filtered_aggs, q171_grouping_sets_api, q172_bag_setops,
     q173_offset_page, q174_sequence_pack, q175_mix_weights,
-    q176_pq_assign, q177_pq_search, q178_pq_recall, q179_bounded_cost)
+    q176_pq_assign, q177_pq_search, q178_pq_recall, q179_bounded_cost,
+    q180_corpus_prep_v2)
 }
