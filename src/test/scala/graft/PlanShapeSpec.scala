@@ -181,6 +181,17 @@ class PlanShapeSpec extends SparkSpec {
       "NOT EXISTS must stay a plain anti join")
   }
 
+  test("q177's codebook and ADC table broadcast; corpus vectors " +
+    "never shuffle pre-aggregation") {
+    val p = plan("q177_pq_search")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "the m·k codebook and the query ADC table are tiny by " +
+        s"construction — both joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join here would shuffle corpus-sized rows " +
+        "against a 16-row codebook")
+  }
+
   test("q168's fingerprint shuffle never carries document text") {
     // chunk fingerprints are md5'd INSIDE the generating lambda and
     // the text column is dropped before the window exchange — a

@@ -169,6 +169,12 @@ class DedupSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("chunkDedup on a corpus with no full chunk emits no rows") {
+    val corpus = Seq((1L, toks("a", 9)), (2L, toks("b", 3)))
+      .toDF("doc_id", "text")
+    assert(Dedup.chunkDedup(corpus, "text", "doc_id").count() == 0)
+  }
+
   test("chunkDedup is idempotent: a corpus rebuilt from kept chunks " +
     "drops nothing") {
     val corpus = Seq(
