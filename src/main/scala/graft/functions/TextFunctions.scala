@@ -119,16 +119,26 @@ object TextFunctions {
     * shingle. Stage tokens with `withColumn` first (see
     * Dedup.withBandKeys).
     */
-  /** Sorted distinct shingle array straight from text, with the
-    * tokenizer [[Let]]-bound so it evaluates ONCE per row no matter
-    * how the optimizer collapses projections. Staging tokens in a
-    * `withColumn` is NOT enough: CollapseProject inlines the split
-    * back into every reference inside the shingle `when`/`transform`,
-    * and interpreted HOF lambdas then re-run the regex per element —
-    * measured 4× slower on the corpus staging (see PLANS.md,
-    * expression-level hot paths).
+  /** Sorted distinct shingle array straight from text — computed by
+    * the single-pass [[graft.plans.SortedShinglesExpr]] kernel (the
+    * q157 profile showed shingle STAGING dominating the similarity
+    * pipeline; one tight loop replaces per-window interpreted
+    * slice+join lambdas). Property-tested ≡ [[sortedShinglesFold]].
     */
   def sortedShingles(text: Column, n: Int = 3): Column =
+    graft.plans.SortedShinglesExpr(text, n)
+
+  /** The composable HOF formulation — reference semantics the kernel
+    * is property-tested against, with the tokenizer [[Let]]-bound so
+    * it evaluates ONCE per row no matter how the optimizer collapses
+    * projections. Staging tokens in a `withColumn` is NOT enough:
+    * CollapseProject inlines the split back into every reference
+    * inside the shingle `when`/`transform`, and interpreted HOF
+    * lambdas then re-run the regex per element — measured 4× slower
+    * on the corpus staging (see PLANS.md, expression-level hot
+    * paths).
+    */
+  def sortedShinglesFold(text: Column, n: Int = 3): Column =
     org.apache.spark.sql.functions.array_sort(
       Let(lowerTokens(text))(toks => shinglesOfTokens(toks, n)))
 
