@@ -71,5 +71,9 @@ object Validate {
   private def observeMetrics(checks: Seq[(String, Column)])
       : Seq[Column] =
     count(lit(1)).as("n_rows") +:
-      checks.map { case (n, pred) => sum(pred.cast("long")).as(n) }
+      checks.map { case (n, pred) =>
+        // sum over ZERO rows is NULL — an empty micro-batch / filtered
+        // partition must report 0 violations, not break getAs[Long]
+        coalesce(sum(pred.cast("long")), lit(0L)).as(n)
+      }
 }

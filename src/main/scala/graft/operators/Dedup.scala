@@ -305,7 +305,13 @@ object Dedup {
     // the document frequency — computed as a whole-partition window
     // over the shingle key, so the exploded table shuffles ONCE (the
     // aggregate+rejoin formulation shuffles it into the frequency agg
-    // and then again into the join)
+    // and then again into the join). Trade-off: WindowExec buffers
+    // each shingle group before emitting, so a boilerplate shingle
+    // present in most documents is one buffered (possibly spilled)
+    // group where the old partial-agg form reduced map-side; the
+    // saved corpus-wide shuffle wins until that skew dominates — on
+    // such corpora strip ubiquitous shingles first (q128's census is
+    // the signal).
     val wdf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_t"))
     val ranked = ex

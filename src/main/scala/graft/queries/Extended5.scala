@@ -355,6 +355,68 @@ object Extended5 {
       .orderBy($"lang")
   }
 
+  // ---- shared PQ pipeline pieces (q176/q177/q178) — one definition
+  // of the quantization, subspace split, codebook, distance fold, and
+  // assignment, so the scale factor / tie-break / codebook filter can
+  // never drift between the index, the search, and the recall gate
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+  /** floor(v·10⁶) scaled-integer vectors: vec_id, qv. */
+  private def pqQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+
+  /** m=4 × 16-dim subvector rows: vec_id, sub, v. */
+  private def pqSubspaces(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("sub"),
+      col("qv"))
+    .select(col("vec_id"), col("sub"),
+      slice(col("qv"), col("sub") * 16 + 1, lit(16)).as("v"))
+
+  /** Exact integer squared L2 between two scaled subvectors. */
+  private def pqSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+
+  /** First-k codebook (vec_id < 4): cid, sub, cv. */
+  private def pqCodebook(q: DataFrame): DataFrame =
+    pqSubspaces(q.filter(col("vec_id") < 4))
+      .select(col("vec_id").as("cid"), col("sub"), col("v").as("cv"))
+
+  /** Nearest-codeword assignment: vec_id, sub, code, mdist —
+    * tie-break folded into the ordering value (dist·k + cid). */
+  private def pqAssignments(q: DataFrame): DataFrame =
+    pqSubspaces(q).join(broadcast(pqCodebook(q)), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        pqSq(col("v"), col("cv")).as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), col("dist") * 4 + col("cid")).as("code"),
+        min(col("dist")).as("mdist"))
+
+  /** ADC tables for the query set (vec_id < 5): qid, sub, cid, adist. */
+  private def pqAdc(q: DataFrame): DataFrame =
+    pqSubspaces(q.filter(col("vec_id") < 5))
+      .join(broadcast(pqCodebook(q)), "sub")
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        pqSq(col("v"), col("cv")).as("adist"))
+
+  /** ADC top-5 per query: qid, rank, vid, adist. */
+  private def pqApproxTop5(q: DataFrame): DataFrame = {
+    val codes = pqAssignments(q)
+    val adc = pqAdc(q)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+    codes.join(broadcast(adc),
+        codes("sub") === adc("sub") && codes("code") === adc("cid") &&
+          codes("vec_id") =!= adc("qid"))
+      .groupBy(col("qid"), codes("vec_id").as("vid"))
+      .agg(sum(col("adist")).cast("long").as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
   /** Product-quantization codebook assignment — the IVF-PQ building
     * block q133's scalar int8 codes don't cover: split each 64-dim
     * embedding into m=4 16-dim subvectors, assign each to its nearest
@@ -399,26 +461,7 @@ object Extended5 {
       |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
     (spark, dir) =>
       import spark.implicits._
-      val q = Tables.load(spark, dir, "embeddings")
-        .select($"vec_id",
-          transform($"embedding",
-            x => floor(x.cast("double") * 1000000).cast("long"))
-            .as("qv"))
-      def subspaces(df: org.apache.spark.sql.DataFrame) = df
-        .select($"vec_id", explode(sequence(lit(0), lit(3))).as("sub"),
-          $"qv")
-        .select($"vec_id", $"sub",
-          slice($"qv", $"sub" * 16 + 1, lit(16)).as("v"))
-      val sub = subspaces(q)
-      val csub = subspaces(q.filter($"vec_id" < 4))
-        .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
-      sub.join(broadcast(csub), "sub")
-        .select($"vec_id", $"sub", $"cid",
-          aggregate(zip_with($"v", $"cv", (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("dist"))
-        .groupBy($"vec_id", $"sub")
-        .agg(min_by($"cid", $"dist" * 4 + $"cid").as("code"),
-          min($"dist").as("mdist"))
+      pqAssignments(pqQuantize(spark, dir))
         .groupBy($"sub", $"code")
         .agg(count(lit(1)).as("n"), sum($"mdist").cast("long")
           .as("sum_err"))
@@ -475,38 +518,7 @@ object Extended5 {
       |SELECT qid, rank, vid, adist FROM ranked WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val q = Tables.load(spark, dir, "embeddings")
-      .select($"vec_id",
-        transform($"embedding",
-          x => floor(x.cast("double") * 1000000).cast("long"))
-          .as("qv"))
-    def subspaces(df: org.apache.spark.sql.DataFrame) = df
-      .select($"vec_id", explode(sequence(lit(0), lit(3))).as("sub"),
-        $"qv")
-      .select($"vec_id", $"sub",
-        slice($"qv", $"sub" * 16 + 1, lit(16)).as("v"))
-    val sub = subspaces(q)
-    val csub = subspaces(q.filter($"vec_id" < 4))
-      .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
-    val sqdist =
-      aggregate(zip_with($"v", $"cv", (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    val codes = sub.join(broadcast(csub), "sub")
-      .select($"vec_id", $"sub", $"cid", sqdist.as("dist"))
-      .groupBy($"vec_id", $"sub")
-      .agg(min_by($"cid", $"dist" * 4 + $"cid").as("code"))
-    val adc = subspaces(q.filter($"vec_id" < 5))
-      .join(broadcast(csub), "sub")
-      .select($"vec_id".as("qid"), $"sub", $"cid", sqdist.as("adist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"adist", $"vid")
-    codes.join(broadcast(adc),
-        codes("sub") === adc("sub") && codes("code") === adc("cid") &&
-          codes("vec_id") =!= adc("qid"))
-      .groupBy($"qid", codes("vec_id").as("vid"))
-      .agg(sum($"adist").cast("long").as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
+    pqApproxTop5(pqQuantize(spark, dir))
       .select($"qid", $"rank", $"vid", $"adist")
       .orderBy($"qid", $"rank")
   }
@@ -568,46 +580,16 @@ object Extended5 {
       |FROM exact LEFT JOIN approx USING (qid, vid)
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val q = Tables.load(spark, dir, "embeddings")
-      .select($"vec_id",
-        transform($"embedding",
-          x => floor(x.cast("double") * 1000000).cast("long"))
-          .as("qv"))
-    def subspaces(df: org.apache.spark.sql.DataFrame) = df
-      .select($"vec_id", explode(sequence(lit(0), lit(3))).as("sub"),
-        $"qv")
-      .select($"vec_id", $"sub",
-        slice($"qv", $"sub" * 16 + 1, lit(16)).as("v"))
-    def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, z) => acc + z)
-    val sub = subspaces(q)
-    val csub = subspaces(q.filter($"vec_id" < 4))
-      .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
-    val codes = sub.join(broadcast(csub), "sub")
-      .select($"vec_id", $"sub", $"cid", sq($"v", $"cv").as("dist"))
-      .groupBy($"vec_id", $"sub")
-      .agg(min_by($"cid", $"dist" * 4 + $"cid").as("code"))
-    val adc = subspaces(q.filter($"vec_id" < 5))
-      .join(broadcast(csub), "sub")
-      .select($"vec_id".as("qid"), $"sub", $"cid",
-        sq($"v", $"cv").as("adist"))
-    val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"adist", $"vid")
-    val approx = codes.join(broadcast(adc),
-        codes("sub") === adc("sub") && codes("code") === adc("cid") &&
-          codes("vec_id") =!= adc("qid"))
-      .groupBy($"qid", codes("vec_id").as("vid"))
-      .agg(sum($"adist").cast("long").as("adist"))
-      .withColumn("rank", row_number().over(wA))
-      .filter($"rank" <= 5).select($"qid", $"vid", lit(1).as("_hit"))
+    val q = pqQuantize(spark, dir)
+    val approx = pqApproxTop5(q)
+      .select($"qid", $"vid", lit(1).as("_hit"))
     val qs = q.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"qv".as("qqv"))
     val wE = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"edist", $"vid")
     val exact = q.join(broadcast(qs), $"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("vid"),
-        sq($"qqv", $"qv").as("edist"))
+        pqSq($"qqv", $"qv").as("edist"))
       .withColumn("rank", row_number().over(wE))
       .filter($"rank" <= 5).select($"qid", $"vid")
     exact.join(approx, Seq("qid", "vid"), "left")
@@ -647,10 +629,15 @@ object Extended5 {
       |SELECT id, CAST(MIN(c) AS BIGINT) AS cost FROM r
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // checkpoint the lane aggregate BEFORE symmetrizing: union
+    // branches do not share subplans, so an unmaterialized `lanes`
+    // would run the full lineitem groupBy twice (PLANS.md round-5:
+    // checkpoint the SHARED input, not each derivation)
     val lanes = Tables.load(spark, dir, "lineitem")
       .groupBy(($"l_partkey" * 2).cast("long").as("p"),
         ($"l_suppkey" * 2 + 1).cast("long").as("s"))
       .agg(min($"l_quantity".cast("long")).as("w"))
+      .localCheckpoint()
     val edges = lanes.select($"p".as("src"), $"s".as("dst"), $"w")
       .unionByName(lanes.select($"s".as("src"), $"p".as("dst"), $"w"))
     val seeds = Seq(1L).toDF("id")

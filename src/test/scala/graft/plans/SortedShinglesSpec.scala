@@ -21,13 +21,13 @@ class SortedShinglesSpec extends SparkSpec {
       Tuple1(""), Tuple1("   "), Tuple1(" a b c "), Tuple1("a b"),
       Tuple1("a a a a a"))
     val df = rows.toDF("text")
-    val bad = df.filter(
-      !(TextFunctions.sortedShingles($"text") <=>
-        TextFunctions.sortedShinglesFold($"text")))
-    assert(bad.count() == 0,
-      bad.select($"text", TextFunctions.sortedShingles($"text"),
+    val mismatches = df.filter(
+        !(TextFunctions.sortedShingles($"text") <=>
+          TextFunctions.sortedShinglesFold($"text")))
+      .select($"text", TextFunctions.sortedShingles($"text"),
         TextFunctions.sortedShinglesFold($"text"))
-        .collect().take(5).mkString("\n"))
+      .take(5)
+    assert(mismatches.isEmpty, mismatches.mkString("\n"))
   }
 
   test("NULL text yields an empty array (the HOF guard semantics), " +
