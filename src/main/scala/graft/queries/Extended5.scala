@@ -726,9 +726,51 @@ object Extended5 {
       .orderBy($"split")
   }
 
+  /** Two remaining SQL-sugar/HOF surfaces in one query: `GROUP BY
+    * ALL` (infer the grouping keys from the non-aggregate select
+    * list — DuckDB's invention, in Spark SQL since 3.4) feeding an
+    * `array_sort` with a CUSTOM COMPARATOR lambda (multi-key struct
+    * ordering — count desc, then type asc — that the default
+    * element ordering can't express). The oracle builds the same
+    * ranking with an ordered `string_agg`; the comparator is total,
+    * so the serialized order is deterministic on both engines.
+    */
+  val q181_comparator_sort: Q = Q(
+    "q181_comparator_sort",
+    """WITH c AS (SELECT user_id % 10 AS bucket, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY ALL)
+      |SELECT bucket,
+      |  string_agg(event_type || ':' || n, ','
+      |    ORDER BY n DESC, event_type) AS ranked
+      |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      Tables.load(spark, dir, "events")
+        .createOrReplaceTempView("events")
+      spark.sql(
+          """SELECT user_id % 10 AS bucket, event_type, COUNT(*) AS n
+            |FROM events GROUP BY ALL""".stripMargin)
+        .groupBy($"bucket")
+        .agg(collect_list(struct($"event_type", $"n")).as("xs"))
+        .select($"bucket",
+          concat_ws(",", transform(
+            array_sort($"xs", (l, r) =>
+              when(l.getField("n") > r.getField("n"), -1)
+                .when(l.getField("n") < r.getField("n"), 1)
+                .when(l.getField("event_type") < r.getField("event_type"),
+                  -1)
+                .when(l.getField("event_type") > r.getField("event_type"),
+                  1)
+                .otherwise(0)),
+            e => concat_ws(":", e.getField("event_type"),
+              e.getField("n")))).as("ranked"))
+        .orderBy($"bucket")
+  }
+
   val all: Seq[Q] = Seq(q168_chunk_dedup, q169_ansi_safe,
     q170_filtered_aggs, q171_grouping_sets_api, q172_bag_setops,
     q173_offset_page, q174_sequence_pack, q175_mix_weights,
     q176_pq_assign, q177_pq_search, q178_pq_recall, q179_bounded_cost,
-    q180_corpus_prep_v2)
+    q180_corpus_prep_v2, q181_comparator_sort)
 }
