@@ -49,4 +49,16 @@ class ValidateSpec extends SparkSpec {
     assert(m("bad_enum") == 2L, s"two out-of-domain values: $m")
     assert(m("neg_cents") == 1L, s"$m")
   }
+
+  test("observed metrics report 0, not NULL, over zero rows") {
+    // sum() over an empty frame is NULL — the helper must coalesce so
+    // an empty batch reads as healthy, not as a broken getAs[Long]
+    val (odf, obs) = Validate.observed(
+      Seq(("x", 1L)).toDF("scoring_class", "cents")
+        .filter(org.apache.spark.sql.functions.lit(false)),
+      "empty", Seq("bad" -> Validate.enumViolation($"scoring_class", allowed)))
+    assert(odf.count() == 0)
+    val m = obs.get
+    assert(m("n_rows") == 0L && m("bad") == 0L, s"$m")
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.SparkSpec
+
+/** ScalaCheck invariant for [[Graph.boundedCost]]: the driver
+  * Dijkstra and the distributed Bellman-Ford relaxation are
+  * INDEPENDENT implementations of the same contract — on random
+  * positive-weighted digraphs they must produce identical label
+  * maps, and both must agree with a plain in-memory relaxation
+  * reference. Random graphs reach the cases fixed fixtures miss
+  * (parallel edges with different weights, cycles, seeds inside
+  * cycles, budget boundaries landing mid-path).
+  */
+object GraphProps extends Properties("Graph.boundedCost") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // each case runs a full distributed iterative loop — 15 random
+  // graphs exercise the edge cases without a multi-minute suite
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private val graphGen: Gen[(List[(Long, Long, Long)], Long)] = for {
+    nEdges <- Gen.choose(1, 14)
+    edges <- Gen.listOfN(nEdges, for {
+      s <- Gen.choose(0L, 5L)
+      d <- Gen.choose(0L, 5L)
+      w <- Gen.choose(1L, 4L)
+    } yield (s, d, w))
+    budget <- Gen.choose(2L, 9L)
+  } yield (edges, budget)
+
+  private def reference(edges: Seq[(Long, Long, Long)], seed: Long,
+      budget: Long): Map[Long, Long] = {
+    val dist = scala.collection.mutable.Map(seed -> 0L)
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (s, d, w) =>
+        dist.get(s).foreach { c =>
+          val nc = c + w
+          if (nc <= budget && dist.get(d).forall(nc < _)) {
+            dist(d) = nc; changed = true
+          }
+        }
+      }
+    }
+    dist.toMap
+  }
+
+  property("driver Dijkstra ≡ distributed relaxation ≡ reference") =
+    forAll(graphGen) { case (edges, budget) =>
+      val df = edges.toDF("src", "dst", "w")
+      val seeds = Seq(0L).toDF("id")
+      val want = reference(edges, 0L, budget)
+      Seq(1L << 20, 0L).forall { threshold =>
+        Graph.boundedCost(df, seeds, budget,
+            localSolveMaxEdges = threshold)
+          .as[(Long, Long)].collect().toMap == want
+      }
+    }
+}
