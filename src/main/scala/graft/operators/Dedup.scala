@@ -119,13 +119,31 @@ object Dedup {
   /** LSH band keys: the signature sliced into `bands` groups of
     * `rowsPerBand`, each hashed to one bucket key.
     */
+  /** Rows per band for a k-row signature — the layout must COVER the
+    * signature exactly: bands > k degenerates every band to the same
+    * empty-slice hash (all-pairs candidates), a non-dividing band
+    * count silently ignores trailing rows and weakens the guarantee.
+    */
+  private def bandRows(k: Int, bands: Int): Int = {
+    require(bands > 0 && k % bands == 0,
+      s"bands must divide the signature size: k=$k, bands=$bands")
+    k / bands
+  }
+
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int)
-      : Column =
+      : Column = {
+    // rowsPerBand = 0 (bands > k upstream) would hash an EMPTY slice
+    // into every band of every document — identical keys corpus-wide,
+    // i.e. the full O(n²) candidate space LSH exists to avoid; a
+    // non-covering layout silently ignores trailing signature rows
+    require(bands > 0 && rowsPerBand > 0,
+      s"bands and rowsPerBand must be positive, got $bands×$rowsPerBand")
     graft.functions.Let(signature) { sig =>
       transform(sequence(lit(0), lit(bands - 1)),
         b => md5(array_join(
           slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
     }
+  }
 
   /** Stage shingles → signature → band keys as separate projections.
     * Inlining them would re-evaluate the tokenize+shingle subtree once
@@ -146,7 +164,7 @@ object Dedup {
         Let(TextFunctions.lowerTokens(col(textCol)))(t =>
           TextFunctions.shinglesOfTokens(t)))
       .withColumn("_sig", minhashSignature(col("_sh"), k))
-      .withColumn("_bands", lshBandKeys(col("_sig"), bands, k / bands))
+      .withColumn("_bands", lshBandKeys(col("_sig"), bands, bandRows(k, bands)))
 
   /** Per-band LSH bucket summary: buckets and collision counts — the
     * candidate-generation telemetry of a near-dup pipeline.
@@ -197,7 +215,7 @@ object Dedup {
     // the later merge-walk verify — one tokenize+shingle pass total
     df.withColumn("_sh", TextFunctions.sortedShingles(col(textCol)))
       .withColumn("_sig", minhashSignature(col("_sh"), k))
-      .withColumn("_bands", lshBandKeys(col("_sig"), bands, k / bands))
+      .withColumn("_bands", lshBandKeys(col("_sig"), bands, bandRows(k, bands)))
       .select(col(idCol).as("id"), col("_sh").as("sh"),
         explode_outer(col("_bands")).as("band_hash"))
       .filter(col("band_hash").isNotNull)
@@ -220,18 +238,37 @@ object Dedup {
       k: Int = 16, bands: Int = 4): DataFrame = {
     val d = bandIndex(delta, textCol, idCol, k, bands)
       .localCheckpoint() // joined against history AND itself
-    val dSide = d.select(col("id").as("_did"), col("sh").as("_dsh"),
-      col("band_hash"))
-    val others = historyIndex
-      .select(col("id").as("_oid"), col("sh").as("_osh"),
-        col("band_hash"), lit(false).as("_isDelta"))
-      .unionByName(d.select(col("id").as("_oid"),
-        col("sh").as("_osh"), col("band_hash"),
+    // candidate generation moves IDS ONLY: the band join and its
+    // multi-band dedup run over (did, oid) pairs — shuffling and
+    // distinct-comparing the full shingle arrays here would move
+    // candidate-multiplicity × array-size bytes for nothing (the
+    // nearDupDedup discipline)
+    val dBands = d.select(col("id").as("_did"), col("band_hash"))
+    val oBands = historyIndex
+      .select(col("id").as("_oid"), col("band_hash"),
+        lit(false).as("_isDelta"))
+      .unionByName(d.select(col("id").as("_oid"), col("band_hash"),
         lit(true).as("_isDelta")))
-    val verified = dSide.join(others, Seq("band_hash"))
+    val cand = dBands.join(oBands, Seq("band_hash"))
       .filter(!col("_isDelta") || col("_oid") < col("_did"))
-      .select(col("_did"), col("_oid"), col("_dsh"), col("_osh"))
+      .select(col("_did"), col("_oid"))
       .distinct()
+    // arrays attach AFTER the dedup, and only for ids that are
+    // actually candidates: first() collapses the bands× copies
+    // map-side, the semi join prunes the history side to candidates
+    val dSh = d.groupBy(col("id"))
+      .agg(first(col("sh")).as("sh"))
+      .select(col("id").as("_did"), col("sh").as("_dsh"))
+    val oSh = historyIndex
+      .join(cand.select(col("_oid")).distinct(),
+        historyIndex("id") === col("_oid"), "left_semi")
+      .groupBy(col("id")).agg(first(col("sh")).as("sh"))
+      .select(col("id").as("_oid"), col("sh").as("_osh"))
+      .unionByName(
+        dSh.select(col("_did").as("_oid"), col("_dsh").as("_osh")))
+    val verified = cand
+      .join(dSh, "_did")
+      .join(oSh, "_oid")
       .filter(jaccardSorted(col("_dsh"), col("_osh"))
         >= jaccardThreshold)
       .groupBy(col("_did"))
@@ -453,7 +490,7 @@ object Dedup {
     val staged = df
       .withColumn("_sh", TextFunctions.sortedShingles(col(textCol)))
       .withColumn("_sig", minhashSignature(col("_sh"), k))
-      .withColumn("_bands", lshBandKeys(col("_sig"), bands, k / bands))
+      .withColumn("_bands", lshBandKeys(col("_sig"), bands, bandRows(k, bands)))
       .select(col(idCol).as("_id"), col("_sh"), col("_bands"))
       .localCheckpoint()
     val exploded = staged

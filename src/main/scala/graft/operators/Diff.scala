@@ -38,7 +38,12 @@ object Diff {
       keys.map(k => col(k).as(s"_ak_$k")) ++
         attrs.map(c => col(c).as(s"${c}_after")) :+
         lit(true).as("_in_after"): _*)
-    val cond = keys.map(k => col(s"_bk_$k") === col(s"_ak_$k"))
+    // NULL-SAFE key equality: the presence markers exist precisely so
+    // NULL-keyed rows classify correctly, and a null-rejecting ===
+    // would undo that by never matching them (a NULL-keyed row in
+    // both snapshots must read as one unchanged/changed row, not as
+    // removed + added) — same kernel as Cumulate.fullOuterMerge
+    val cond = keys.map(k => col(s"_bk_$k") <=> col(s"_ak_$k"))
       .reduce(_ && _)
     val inBefore = col("_in_before").isNotNull
     val inAfter = col("_in_after").isNotNull

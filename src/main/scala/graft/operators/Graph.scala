@@ -68,7 +68,10 @@ object Graph {
         .agg(count(lit(1)).as("n"))
         .select(
           col("_pk").bitwiseAND(lit(0xffffffffL)).as("item_a"),
-          shiftright(col("_pk"), 32).as("item_b"),
+          // UNSIGNED shift: item_b in [2³¹, 2³²) sets bit 63 of the
+          // packed key, and an arithmetic shift would sign-extend it
+          // back out as a negative id
+          shiftrightunsigned(col("_pk"), 32).as("item_b"),
           col("n"))
     else
       generated

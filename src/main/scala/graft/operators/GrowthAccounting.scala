@@ -26,25 +26,13 @@ object GrowthAccounting {
     *         [user's first active day, max active day overall]
     */
   def dailyStates(events: DataFrame, userCol: String, tsCol: String)
-      : DataFrame = {
-    val perUser = events
-      .groupBy(col(userCol))
-      .agg(collect_set(to_date(col(tsCol))).as("days"))
-      .withColumn("first_day", array_min(col("days")))
-    val horizon = events
-      .agg(max(to_date(col(tsCol))).as("end_day"))
-    val active = call_function("array_contains", col("days"), col("day"))
-    val activeYday =
-      call_function("array_contains", col("days"), date_sub(col("day"), 1))
-    perUser
-      .crossJoin(broadcast(horizon))
-      .select(col(userCol),
-        explode(sequence(col("first_day"), col("end_day"))).as("day"),
-        col("days"), col("first_day"))
-      .withColumn("state", stateOf(col("day") === col("first_day"),
-        active, activeYday))
-      .select(col(userCol), col("day"), col("state"))
-  }
+      : DataFrame =
+    states(events, userCol, tsCol,
+      active =
+        call_function("array_contains", col("days"), col("day")),
+      activeYday =
+        call_function("array_contains", col("days"),
+          date_sub(col("day"), 1)))
 
   /** Weekly-window variant (the reference table also tracks
     * `weekly_active_state`, `user_growth_accounting.sql:5`): a user is
@@ -53,24 +41,32 @@ object GrowthAccounting {
     * against the per-user day set.
     */
   def weeklyStates(events: DataFrame, userCol: String, tsCol: String)
-      : DataFrame = {
+      : DataFrame =
+    states(events, userCol, tsCol,
+      active = arrays_overlap(col("days"),
+        sequence(date_sub(col("day"), 6), col("day"))),
+      activeYday = arrays_overlap(col("days"),
+        sequence(date_sub(col("day"), 7), date_sub(col("day"), 1))))
+
+  /** The shared single-shuffle pipeline: per-user day set → horizon
+    * cross join → calendar explode → probe-driven state labeling.
+    * Only the two activity probes differ between variants.
+    */
+  private def states(events: DataFrame, userCol: String, tsCol: String,
+      active: Column, activeYday: Column): DataFrame = {
     val perUser = events
       .groupBy(col(userCol))
       .agg(collect_set(to_date(col(tsCol))).as("days"))
       .withColumn("first_day", array_min(col("days")))
     val horizon = events
       .agg(max(to_date(col(tsCol))).as("end_day"))
-    val weeklyActive = arrays_overlap(col("days"),
-      sequence(date_sub(col("day"), 6), col("day")))
-    val weeklyActiveYday = arrays_overlap(col("days"),
-      sequence(date_sub(col("day"), 7), date_sub(col("day"), 1)))
     perUser
       .crossJoin(broadcast(horizon))
       .select(col(userCol),
         explode(sequence(col("first_day"), col("end_day"))).as("day"),
         col("days"), col("first_day"))
       .withColumn("state", stateOf(col("day") === col("first_day"),
-        weeklyActive, weeklyActiveYday))
+        active, activeYday))
       .select(col(userCol), col("day"), col("state"))
   }
 

@@ -57,7 +57,16 @@ object Percentiles {
   def exactDisc(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame =
     rankSelect(df, groupCol, valueCol, ps) { (n, p) =>
-      val r = math.max(math.ceil(p * n).toLong, 1L)
+      // ⌈p·n⌉ computed in DECIMAL, not IEEE: double products round UP
+      // past integers (0.07 × 100 = 7.000000000000001, whose ceil is
+      // 8 — but cume_dist 7/100 ≥ 0.07 demands rank 7).
+      // BigDecimal.valueOf goes through Double.toString, recovering
+      // the decimal the caller wrote.
+      val r = math.max(
+        java.math.BigDecimal.valueOf(p)
+          .multiply(java.math.BigDecimal.valueOf(n))
+          .setScale(0, java.math.RoundingMode.CEILING).longValueExact(),
+        1L)
       (r, r, 0.0)
     }
 

@@ -34,11 +34,18 @@ object Scd {
     val runningFrame =
       byEntity.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df
-      // LAG change detection; LAG is NULL on the first row and the
-      // null-comparison falls through to "changed", opening streak 1 —
-      // same null choreography as the reference SQL.
+      // LAG change detection with NULL-SAFE equality (reference P8,
+      // IS DISTINCT FROM): a run of NULL attribute values is ONE
+      // period, not one per ordinal — plain === would evaluate
+      // NULL===NULL to NULL and fragment it. The first row still
+      // opens streak 1: its lag is a missing value, and NULL <=>
+      // non-NULL is false (a first-row NULL attr matches NULL <=>
+      // NULL = true, but sum-over-zero still labels the streak — the
+      // groupBy keys on the streak id, so the first period is intact
+      // either way).
       .withColumn("_changed",
-        when(col(attr) === lag(col(attr), 1).over(byEntity), 0).otherwise(1))
+        when(col(attr) <=> lag(col(attr), 1).over(byEntity), 0)
+          .otherwise(1))
       .withColumn("_streak", sum(col("_changed")).over(runningFrame))
       .groupBy(col(entity), col(attr), col("_streak"))
       .agg(
@@ -84,14 +91,15 @@ object Scd {
     val newRow = row(col("t_entity"), col("t_attr"),
       lit(newOrdinal), lit(newOrdinal))
     val out =
-      // unchanged: attribute equal → extend the open period through today
-      when(bothSides && col(attr) === col("t_attr"),
+      // unchanged: attribute NULL-SAFELY equal (reference P8, IS NOT
+      // DISTINCT FROM — a NULL attr staying NULL extends the period,
+      // it is not a change) → extend the open period through today
+      when(bothSides && (col(attr) <=> col("t_attr")),
         array(row(col(entity), col(attr), col(startCol),
           lit(newOrdinal))))
-      // changed: close the old period, open a fresh one. NULL-safe
-      // inequality (reference P8 IS DISTINCT FROM) via the when-chain:
-      // equality matched above, so reaching here means attrs differ
-      // (including NULL vs non-NULL).
+      // changed: close the old period, open a fresh one. Reaching
+      // here means attrs are DISTINCT (including NULL vs non-NULL,
+      // but never NULL vs NULL — that matched above).
       .when(bothSides, array(oldRow, newRow))
       // left-only: a closed period, or an open one whose entity is
       // absent today (retired) — either way the row passes through

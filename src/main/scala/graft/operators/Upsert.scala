@@ -61,7 +61,14 @@ object Upsert {
       table: String): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try delta.write.mode("overwrite").insertInto(table)
+    // insertInto matches columns by POSITION, not name — a delta whose
+    // select order drifted from the table would silently write values
+    // into the wrong columns when types happen to line up. Reorder by
+    // the table's own schema first (unknown columns fail loudly here
+    // instead of corrupting data).
+    val aligned = delta.select(
+      spark.table(table).columns.map(col).toIndexedSeq: _*)
+    try aligned.write.mode("overwrite").insertInto(table)
     finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

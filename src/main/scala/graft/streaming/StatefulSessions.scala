@@ -69,7 +69,15 @@ object StatefulSessions {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // Spark REJECTS a timeout at or before the current
+              // watermark (IllegalArgumentException kills the query) —
+              // reachable whenever the session gap is shorter than the
+              // watermark delay and an in-watermark straggler arrives.
+              // Clamping to watermark+1 preserves semantics: the
+              // session was due to flush anyway, and the timer fires
+              // on the next batch.
+              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

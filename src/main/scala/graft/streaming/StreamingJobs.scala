@@ -245,9 +245,16 @@ object StreamingJobs {
     * exactly-once the reference gets from Flink checkpoints.
     */
   class IdempotentBatchSink(write: DataFrame => Unit) {
-    private val seen = scala.collection.mutable.Set.empty[Long]
+    // epoch ids are monotonic, so one high-watermark long replaces an
+    // ever-growing Set (which would leak one boxed Long per micro-batch
+    // for the process lifetime); a re-delivered batch always carries an
+    // already-seen (≤ watermark) epoch — the IncrementalAggSink pattern
+    private var maxSeen = Long.MinValue
     def apply(batch: DataFrame, epochId: Long): Unit = synchronized {
-      if (seen.add(epochId)) write(batch)
+      if (epochId > maxSeen) {
+        maxSeen = epochId
+        write(batch)
+      }
     }
   }
 

@@ -62,8 +62,12 @@ object TwsSessions {
       cur.foreach { s =>
         open.update(s)
         // move the idle-flush timer to the new horizon (delete the
-        // stale one — timers are explicit in this API)
-        val newTimer = s.lastMs + gapMs
+        // stale one — timers are explicit in this API). Clamped past
+        // the current watermark: a gap shorter than the watermark
+        // delay can put last+gap at/behind it (the StatefulSessions
+        // trap) — the session is due anyway, fire next batch.
+        val newTimer = math.max(s.lastMs + gapMs,
+          timerValues.getCurrentWatermarkInMs() + 1)
         if (!hadTimer.contains(newTimer)) {
           hadTimer.foreach(getHandle.deleteTimer)
           getHandle.registerTimer(newTimer)
@@ -75,12 +79,22 @@ object TwsSessions {
     override def handleExpiredTimer(key: (String, String),
         timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo)
         : Iterator[Closed] = {
-      // watermark passed last_seen + gap: flush and clear
-      val out =
-        if (open.exists()) Iterator.single(close(key, open.get()))
-        else Iterator.empty
-      open.clear()
-      out
+      // flush ONLY when the watermark genuinely passed last_seen+gap:
+      // timer deletes are best-effort (a clamped registration can't be
+      // reconstructed from state), so a stale timer may fire early —
+      // the guard makes that a no-op re-arm instead of a premature
+      // session close
+      if (!open.exists()) return Iterator.empty
+      val s = open.get()
+      val due = s.lastMs + gapMs
+      if (timerValues.getCurrentWatermarkInMs() >= due) {
+        open.clear()
+        Iterator.single(close(key, s))
+      } else {
+        getHandle.registerTimer(
+          math.max(due, timerValues.getCurrentWatermarkInMs() + 1))
+        Iterator.empty
+      }
     }
   }
 

@@ -52,4 +52,16 @@ class DiffSpec extends SparkSpec {
     val got = Upsert.applyChangelog(before, changelog, Seq("id"))
     assertDfEquality(got, after)
   }
+
+  test("a NULL-keyed row present in both snapshots is one row, " +
+    "not removed + added") {
+    val before = Seq((Option.empty[java.lang.Long], "x"),
+      (Option(1L): Option[java.lang.Long], "a")).toDF("id", "s")
+    val after = Seq((Option.empty[java.lang.Long], "y"),
+      (Option(1L): Option[java.lang.Long], "a")).toDF("id", "s")
+    val got = Diff.snapshotDiff(before, after, Seq("id"))
+      .select($"change_type").as[String].collect().sorted.toSeq
+    assert(got == Seq("changed", "unchanged"),
+      s"NULL-safe key join must match NULL keys across sides: $got")
+  }
 }

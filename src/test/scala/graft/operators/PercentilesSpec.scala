@@ -97,4 +97,14 @@ class PercentilesSpec extends SparkSpec {
     val vals = rows.map(_._2).toSet
     got.values.foreach(v => assert(vals.contains(v)))
   }
+
+  test("exactDisc rank is decimal-exact: p=0.07 over 100 rows " +
+    "selects rank 7, not the float-rounded 8") {
+    import spark.implicits._
+    val df = (1 to 100).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val got = Percentiles.exactDisc(df, "g", "v", Seq(0.07))
+      .select("value").head().getDouble(0)
+    // 0.07*100 in IEEE is 7.000000000000001 — ceil must still be 7
+    assert(got == 7.0, s"cume_dist 7/100 >= 0.07 demands rank 7: $got")
+  }
 }

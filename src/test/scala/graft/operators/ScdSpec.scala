@@ -70,4 +70,31 @@ class ScdSpec extends SparkSpec {
       full.select("player_name", "scoring_class",
         "start_current_season", "end_current_season"))
   }
+
+  test("a NULL-attribute run is ONE period (IS DISTINCT FROM), " +
+    "in both backfill and incremental") {
+    val hist = Seq(("E", 2000, null: String), ("E", 2001, null: String),
+      ("E", 2002, "Good"), ("E", 2003, null: String))
+      .toDF("player_name", "current_season", "scoring_class")
+    val got = Scd
+      .backfill(hist, "player_name", "current_season", "scoring_class")
+      .select("scoring_class", "start_current_season",
+        "end_current_season")
+      .as[(Option[String], Int, Int)].collect().toSet
+    assert(got == Set((None, 2000, 2001), (Some("Good"), 2002, 2002),
+      (None, 2003, 2003)),
+      s"NULL run must not fragment into per-ordinal periods: $got")
+    // incremental: a NULL attr staying NULL extends the open period
+    val scd = Scd.backfill(hist, "player_name", "current_season",
+      "scoring_class")
+    val today = Seq(("E", null: String))
+      .toDF("player_name", "scoring_class")
+    val inc = Scd.incremental(scd, today, "player_name",
+        "current_season", "scoring_class", 2004)
+      .filter($"end_current_season" === 2004)
+      .select("scoring_class", "start_current_season")
+      .as[(Option[String], Int)].collect().toSeq
+    assert(inc == Seq((None, 2003)),
+      s"NULL vs NULL is NOT a change — extend, don't close+reopen: $inc")
+  }
 }
