@@ -388,6 +388,46 @@ object Dedup {
       .filter(col("j_bp") >= thresholdBp)
   }
 
+  /** Priority keep-best over a verified near-dup pair relation — the
+    * corpus-curation stance that keeps the BEST copy (longest /
+    * highest-quality, the RefinedWeb rule), not the lowest-id one.
+    *
+    * For every pair (id_a, id_b) the losing side is the one with the
+    * lower priority; at equal priority the higher id loses (a total
+    * order, so the verdict is deterministic). Returns the DISTINCT
+    * loser ids. Pairwise, not transitive: a pair's winner may itself
+    * lose a different pair — same single-pass stance as
+    * [[nearDupDedup]] (chains collapse to their best member only via
+    * the iterative [[Graph.connectedComponents]] route).
+    *
+    * Scale shape: the pair relation is LSH-verified output (orders of
+    * magnitude smaller than the corpus) and the priority side is
+    * projected to (id, priority) before the joins — ids and one
+    * numeric column shuffle, never text or signatures.
+    *
+    * @param pairs      verified near-dup pairs, columns `id_a`,`id_b`
+    * @param priorities one row per id: `idCol`, `prioCol`. Priorities
+    *                   must be NON-NULL: a NULL comparison falls
+    *                   through both `when` branches to the id
+    *                   tie-break, silently ignoring the non-NULL side
+    * @return distinct ids to remove, as column `idCol`
+    */
+  def removeWorse(pairs: DataFrame, priorities: DataFrame,
+      idCol: String, prioCol: String): DataFrame = {
+    val pa = priorities
+      .select(col(idCol).as("id_a"), col(prioCol).as("_pa"))
+    val pb = priorities
+      .select(col(idCol).as("id_b"), col(prioCol).as("_pb"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(pa, "id_a")
+      .join(pb, "id_b")
+      .select(
+        when(col("_pa") > col("_pb"), col("id_b"))
+          .when(col("_pb") > col("_pa"), col("id_a"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+  }
+
   /** 60-bit SimHash over the token multiset: per-token md5-derived
     * 60-bit hash, per-bit ±1 majority vote — computed by the
     * single-pass [[graft.plans.SimHashSig]] kernel (no shuffle, no

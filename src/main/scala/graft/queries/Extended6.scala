@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Round-7 surface batch: cluster-scoped semantic dedup (the SemDeDup
+  * pipeline shape), priority keep-best near-dup curation (keep the
+  * longest copy, not the lowest-id one), and keyset pagination — the
+  * scale path q173's offset pagination documents but didn't exercise.
+  */
+object Extended6 {
+
+  private def dotD(a: String, b: String) =
+    s"""list_reduce(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  /** Cluster-scoped semantic dedup — the SemDeDup shape (Abbas et al.
+    * 2023, arXiv:2303.09540): embed → cluster → compare pairs ONLY
+    * within a cluster → drop every vector with a higher-similarity
+    * lower-id neighbor. The clustering is what makes semantic dedup
+    * tractable at 100 TB: the quadratic pair space is bounded per
+    * cluster (n/k)² instead of the corpus-wide n², and the only wide
+    * operations are the centroid-key shuffles.
+    *
+    * Pipeline: centroids (first-8 stub, the q63/q176 convention —
+    * training is q139's Lloyd step) broadcast against the corpus for
+    * assignment (zero shuffle); the within-cluster self-join shuffles
+    * each side once on `centroid_id`; the removal verdict is a
+    * distinct over loser ids. Cosines ride the codegen'd VectorDot
+    * kernel; the oracle replays the identical sequential-fold
+    * arithmetic, so the approximate pipeline itself is hash-checked
+    * (q63's discipline, not a brute-force stand-in). A skewed cluster
+    * (boilerplate embeddings collapsing to one centroid) skews one
+    * join partition — AQE's skew split covers it, and a per-cluster
+    * size cap is the curator's knob when a cluster saturates.
+    *
+    * Threshold 0.35 fits this synthetic corpus (near-random
+    * embeddings, max pairwise cosine ~0.51): 76 of 500 vectors drop
+    * at sf0.01. Real embedding spaces sit much tighter; the knob is
+    * data-dependent, the shape is not.
+    */
+  val q182_semdedup: Q = Q(
+    "q182_semdedup",
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    sqrt(${dotD("embedding", "embedding")}) AS vn
+       |  FROM embeddings),
+       |cn AS (SELECT vec_id AS centroid_id, embedding AS ce, vn AS cnm
+       |  FROM v WHERE vec_id < 8),
+       |assign AS (SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, cn.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${dotD("v.embedding", "cn.ce")} / (v.vn * cn.cnm) DESC,
+       |        cn.centroid_id) AS rn
+       |    FROM v, cn) t WHERE rn = 1),
+       |rem AS (SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  JOIN v va ON a.vec_id = va.vec_id
+       |  JOIN v vb ON b.vec_id = vb.vec_id
+       |  WHERE ${dotD("va.embedding", "vb.embedding")} / (va.vn * vb.vn)
+       |    >= 0.35)
+       |SELECT a.vec_id, a.centroid_id,
+       |  a.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
+       |FROM assign a ORDER BY a.vec_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.loadParallel(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val centroids = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    val assigned = Similarity.ivfAssign(emb, centroids)
+      .select($"vec_id", $"centroid_id")
+    // norms hoisted once per side (the bruteForceTopK discipline)
+    val withVec = assigned.join(emb, Seq("vec_id"))
+      .withColumn("_n", Similarity.norm($"embedding"))
+    val a = withVec.select($"centroid_id", $"vec_id".as("id_a"),
+      $"embedding".as("_va"), $"_n".as("_na"))
+    val b = withVec.select($"centroid_id", $"vec_id".as("id_b"),
+      $"embedding".as("_vb"), $"_n".as("_nb"))
+    val removed = a.join(b, Seq("centroid_id"))
+      .filter($"id_a" < $"id_b")
+      .filter(Similarity.dot($"_va", $"_vb") / ($"_na" * $"_nb")
+        >= 0.35)
+      .select($"id_b".as("vec_id"))
+      .distinct()
+    assigned
+      .join(removed.withColumn("_rm", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"centroid_id", $"_rm".isNull.as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  /** Priority keep-best near-dup curation: within every verified
+    * SimHash near-dup pair, the LONGEST document survives (tie →
+    * lowest doc_id) — the RefinedWeb "keep the best copy" rule, vs
+    * the lowest-id-keeps stance of q78/q167. Pairs come from the
+    * pigeonhole-banded SimHash join (q79's candidate machinery);
+    * [[graft.operators.Dedup.removeWorse]] turns them into loser ids
+    * moving only (id, n_chars) — never text — and the verdict joins
+    * back to the corpus as a per-document boolean.
+    */
+  val q183_keep_best: Q = Q(
+    "q183_keep_best",
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) t
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
+      |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |losers AS (SELECT DISTINCT CASE
+      |    WHEN da.n_chars > db.n_chars THEN p.id_b
+      |    WHEN db.n_chars > da.n_chars THEN p.id_a
+      |    ELSE greatest(p.id_a, p.id_b) END AS doc_id
+      |  FROM pairs p JOIN documents da ON p.id_a = da.doc_id
+      |               JOIN documents db ON p.id_b = db.doc_id)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |  d.doc_id NOT IN (SELECT doc_id FROM losers) AS kept
+      |FROM documents d ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+      maxDist = 3, bands = 4)
+    val removed = Dedup.removeWorse(pairs,
+      docs.select($"doc_id", $"n_chars"), "doc_id", "n_chars")
+    docs
+      .join(removed.withColumn("_rm", lit(true)), Seq("doc_id"), "left")
+      .select($"doc_id", $"lang", $"n_chars", $"_rm".isNull.as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** Keyset ("seek") pagination — the deep-pagination scale path the
+    * q173 scaladoc promises: instead of OFFSET n (which scans and
+    * discards n rows on EVERY page — O(pages²) total work at 100 TB),
+    * the client passes the last key it saw and the next page is a
+    * pure range predicate + top-k. The redundant `o_orderdate >=
+    * anchor` conjunct is the pushdown trick: the exact keyset
+    * predicate is an OR Catalyst can't push, while the range conjunct
+    * reaches the parquet scan (PushedFilters + row-group min/max
+    * pruning), so the scan skips everything before the anchor page.
+    * The ORDER BY + LIMIT plans as TakeOrderedAndProject — per-
+    * partition top-20, never a global sort.
+    */
+  val q184_keyset_page: Q = Q(
+    "q184_keyset_page",
+    """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-06-15'
+      |  AND (o_orderdate > TIMESTAMP '1997-06-15' OR o_orderkey > 7500)
+      |ORDER BY o_orderdate, o_orderkey LIMIT 20""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val anchorTs = to_timestamp(lit("1997-06-15 00:00:00"))
+      Tables.load(spark, dir, "orders")
+        .filter($"o_orderdate" >= anchorTs &&
+          ($"o_orderdate" > anchorTs || $"o_orderkey" > 7500))
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .limit(20)
+        .select($"o_orderkey", $"o_custkey",
+          $"o_orderdate".cast("date").as("o_date"),
+          ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+  }
+
+  val all: Seq[Q] = Seq(q182_semdedup, q183_keep_best, q184_keyset_page)
+}

@@ -200,4 +200,18 @@ class DedupSpec extends SparkSpec {
     assert(second.filter(!$"kept").count() == 0,
       "re-deduping the deduped corpus must be a no-op")
   }
+
+  test("removeWorse: lower priority loses, ties lose by higher id, " +
+    "a pair's winner can still lose elsewhere") {
+    // 1-2: 2 wins on priority; 2-3: tie, 3 loses on id; 4-5: 5 wins,
+    // so 4 drops even though 4 beat nobody — and 2 survives both its
+    // pairs. 6 is pairless and must not appear.
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val prio = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 5L), (5L, 9L),
+      (6L, 1L)).toDF("id", "p")
+    val removed = Dedup.removeWorse(pairs, prio, "id", "p")
+      .as[Long].collect().toSet
+    assert(removed == Set(1L, 3L, 4L),
+      s"expected losers {1 (priority), 3 (id tie), 4 (priority)}: $removed")
+  }
 }
