@@ -132,6 +132,36 @@ object StreamingJobs {
     q.awaitTermination()
   }
 
+  /** Backpressure-bounded drain: like [[incrementalDrain]] but with
+    * `maxFilesPerTrigger` capping every micro-batch — the ingest
+    * backpressure contract. A backlog (an outage, a bulk backfill)
+    * drains as MANY bounded batches instead of one giant one, so
+    * per-batch shuffle/state stays sized for steady state no matter
+    * how deep the queue got; watermarks and state eviction advance
+    * between batches instead of ballooning across one. The same knob
+    * family covers the other sources (`maxOffsetsPerTrigger` for
+    * Kafka/rate, `maxBytesPerTrigger` for files by size);
+    * Trigger.AvailableNow honors them all — its documented advantage
+    * over the deprecated Trigger.Once, which forced a single batch.
+    * Batches are handed to `onBatch` with their epoch id (the
+    * foreachBatch route, so any sink — including non-streaming ones —
+    * gets the bounded batches).
+    */
+  def throttledFileDrain(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, checkpointDir: String, maxFilesPerTrigger: Int,
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val q = spark.readStream
+      .schema(webEventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch(onBatch)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static enrichment join: each event looks up its host in a
     * STATIC dimension table. Spark re-plans the static side every
     * micro-batch, so this runs as a broadcast hash join inside each
