@@ -209,4 +209,15 @@ class PlanShapeSpec extends SparkSpec {
       "text must be dropped before the fingerprint shuffle:\n" +
         fpExchanges.mkString("\n"))
   }
+
+  test("q182's centroid assignment broadcasts; the pair space is " +
+    "cluster-scoped (equi join, no cartesian)") {
+    val p = plan("q182_semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"centroids must broadcast against the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster pairs must come from the centroid_id equi " +
+        s"join, never an all-pairs product:\n$p")
+  }
 }
