@@ -172,5 +172,120 @@ object Extended6 {
             .as("cents"))
   }
 
-  val all: Seq[Q] = Seq(q182_semdedup, q183_keep_best, q184_keyset_page)
+  /** Correlated EXISTS / NOT EXISTS in the PROJECTION — the one
+    * subquery position the anti/semi joins (q13/q14) don't cover:
+    * instead of filtering, each subquery becomes a boolean column.
+    * Catalyst decorrelates both into ExistenceJoin-typed hash joins
+    * (guarded in PlanShapeSpec) — one pass per subquery, never a
+    * per-row probe. The per-customer flags then roll up to a segment
+    * profile, so the output stays compact while every customer's
+    * flags are exercised underneath.
+    */
+  val q185_existence_join: Q = Q(
+    "q185_existence_join",
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_with_urgent,
+      |  CAST(SUM(CASE WHEN no_low THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_without_low
+      |FROM (SELECT c_custkey, c_mktsegment,
+      |    EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |           AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+      |    NOT EXISTS(SELECT 1 FROM orders o
+      |               WHERE o.o_custkey = c.c_custkey
+      |               AND o.o_orderpriority = '5-LOW') AS no_low
+      |  FROM customer c) t
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      Tables.load(spark, dir, "customer")
+        .createOrReplaceTempView("customer")
+      Tables.load(spark, dir, "orders")
+        .createOrReplaceTempView("orders")
+      spark.sql(
+        """SELECT c_custkey, c_mktsegment,
+          |  EXISTS(SELECT 1 FROM orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+          |  NOT EXISTS(SELECT 1 FROM orders o
+          |             WHERE o.o_custkey = c.c_custkey
+          |             AND o.o_orderpriority = '5-LOW') AS no_low
+          |FROM customer c""".stripMargin)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when($"has_urgent", 1L).otherwise(0L))
+            .as("n_with_urgent"),
+          sum(when($"no_low", 1L).otherwise(0L)).as("n_without_low"))
+        .orderBy($"c_mktsegment")
+  }
+
+  /** Nucleus ("top-p") vocabulary truncation — per language, the
+    * smallest most-frequent-first token set covering ≥ 90% of token
+    * mass (the tokenizer-vocab / head-of-distribution cut, the
+    * cumulative-mass sibling of q112's fixed top-k). A token is IN
+    * the nucleus iff the mass cumulated STRICTLY BEFORE it (by the
+    * count-desc, token-asc total order) is < 90% of the language's
+    * mass — so the token crossing the 90% boundary is included and
+    * coverage reaches the target with the minimal head set. The
+    * comparison is pure integers (`prev_cum · 10 < total · 9`), so
+    * the cut is reproducible cross-engine at any scale.
+    *
+    * Shape: one explode+count aggregate (map-side combined), one
+    * window pass per language ordered by (count desc, token), one
+    * rollup — the same single-exchange ladder every vocab query
+    * rides; at 100 TB the token-count table, not the corpus, is what
+    * shuffles into the window.
+    */
+  val q186_nucleus_vocab: Q = Q(
+    "q186_nucleus_vocab",
+    """WITH tc AS (SELECT lang, w, COUNT(*) AS c
+      |  FROM (SELECT lang,
+      |          unnest(string_split_regex(lower(text), '\s+')) AS w
+      |        FROM documents) t
+      |  GROUP BY 1, 2),
+      |cum AS (SELECT lang, c,
+      |    COALESCE(SUM(c) OVER (PARTITION BY lang
+      |      ORDER BY c DESC, w
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS prev_cum,
+      |    SUM(c) OVER (PARTITION BY lang) AS total
+      |  FROM tc)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vocab,
+      |  CAST(COUNT(CASE WHEN prev_cum * 10 < total * 9 THEN 1 END)
+      |    AS BIGINT) AS n_nucleus,
+      |  CAST(SUM(CASE WHEN prev_cum * 10 < total * 9 THEN c ELSE 0 END)
+      |    AS BIGINT) AS covered_tokens,
+      |  CAST(MAX(total) AS BIGINT) AS total_tokens
+      |FROM cum GROUP BY lang ORDER BY lang""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"c".desc, $"w")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val wTot = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang")
+      Tables.loadParallel(spark, dir, "documents")
+        .select($"lang",
+          explode(graft.functions.TextFunctions.lowerTokens($"text"))
+            .as("w"))
+        .groupBy($"lang", $"w")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("prev_cum", coalesce(sum($"c").over(w), lit(0L)))
+        .withColumn("total", sum($"c").over(wTot))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_vocab"),
+          count(when($"prev_cum" * 10 < $"total" * 9, lit(1)))
+            .as("n_nucleus"),
+          sum(when($"prev_cum" * 10 < $"total" * 9, $"c")
+            .otherwise(0L)).as("covered_tokens"),
+          max($"total").as("total_tokens"))
+        .orderBy($"lang")
+  }
+
+  val all: Seq[Q] = Seq(q182_semdedup, q183_keep_best, q184_keyset_page,
+    q185_existence_join, q186_nucleus_vocab)
 }

@@ -210,6 +210,16 @@ class PlanShapeSpec extends SparkSpec {
         fpExchanges.mkString("\n"))
   }
 
+  test("q185's projected EXISTS subqueries decorrelate to " +
+    "ExistenceJoin hash joins, never per-row probes") {
+    val p = plan("q185_existence_join")
+    assert("ExistenceJoin".r.findAllIn(p).length >= 2,
+      s"both EXISTS and NOT EXISTS must plan as ExistenceJoin:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must produce hash joins:\n$p")
+  }
+
   test("q182's centroid assignment broadcasts; the pair space is " +
     "cluster-scoped (equi join, no cartesian)") {
     val p = plan("q182_semdedup")
