@@ -286,6 +286,68 @@ object Extended6 {
         .orderBy($"lang")
   }
 
+  /** User-journey Markov transition matrix: per user, events ordered
+    * by (µs-truncated ts, event_id — the ns-parquet discipline) chain
+    * into from→to transitions, with virtual START (into each user's
+    * first event) and END (out of their last) states — entry/exit
+    * analysis and next-step probabilities in one matrix, the
+    * journey-level complement of the funnel queries (q15/q102/q164).
+    * Shares are exact basis points over each from-state's row total
+    * (`n·10⁴ DIV total` — non-negative integer division).
+    *
+    * Shape: lead() and row_number() ride ONE user-keyed window
+    * exchange (same spec → same sort); the transition table that
+    * aggregates afterwards is |states|²-bounded, so the matrix math
+    * costs nothing at any corpus size — the user window is the only
+    * wide operation, exactly like the sessionize/streak family.
+    */
+  val q187_markov_transitions: Q = Q(
+    "q187_markov_transitions",
+    """WITH ev AS (SELECT user_id, event_type,
+      |    epoch_ns(ts) // 1000 AS us, event_id FROM events),
+      |staged AS (SELECT user_id, event_type,
+      |    LEAD(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id) AS nxt,
+      |    ROW_NUMBER() OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      |  FROM ev),
+      |tr AS (SELECT event_type AS from_state,
+      |    COALESCE(nxt, 'END') AS to_state FROM staged
+      |  UNION ALL
+      |  SELECT 'START', event_type FROM staged WHERE rn = 1),
+      |cnt AS (SELECT from_state, to_state, COUNT(*) AS n
+      |  FROM tr GROUP BY 1, 2),
+      |tot AS (SELECT from_state, SUM(n) AS t FROM cnt GROUP BY 1)
+      |SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n,
+      |  (c.n * 10000) // t.t AS share_bp
+      |FROM cnt c JOIN tot t USING (from_state)
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val staged = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type",
+        unix_micros($"ts").as("us"), $"event_id")
+      .select($"event_type",
+        lead($"event_type", 1).over(w).as("_next"),
+        row_number().over(w).as("_rn"))
+    val cnt = staged
+      .select($"event_type".as("from_state"),
+        coalesce($"_next", lit("END")).as("to_state"))
+      .unionByName(staged.filter($"_rn" === 1)
+        .select(lit("START").as("from_state"),
+          $"event_type".as("to_state")))
+      .groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("n"))
+    cnt
+      .withColumn("t", sum($"n").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"from_state")))
+      .select($"from_state", $"to_state", $"n",
+        expr("(n * 10000) DIV t").as("share_bp"))
+      .orderBy($"from_state", $"to_state")
+  }
+
   val all: Seq[Q] = Seq(q182_semdedup, q183_keep_best, q184_keyset_page,
-    q185_existence_join, q186_nucleus_vocab)
+    q185_existence_join, q186_nucleus_vocab, q187_markov_transitions)
 }
