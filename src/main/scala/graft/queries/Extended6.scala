@@ -348,6 +348,71 @@ object Extended6 {
       .orderBy($"from_state", $"to_state")
   }
 
+  /** Week-over-week event-mix drift — the distribution-shift monitor
+    * a continuously-ingesting pipeline alarms on: each week's
+    * event-type share in exact basis points (`n·10⁴ DIV week_total`),
+    * L1 distance against the previous week summed over the DENSE
+    * week×type matrix (absent types coalesce to 0 — a vanished type
+    * must register as drift, and a sparse matrix would silently skip
+    * it). Integer arithmetic end to end, so the drift score is
+    * reproducible cross-engine — the PSI/KL alternatives need logs
+    * and are not. ISO weeks truncate to Monday in both engines
+    * (q156's calendar pin).
+    *
+    * Shape: one count aggregate over (week, type); the dense matrix
+    * is |weeks|×|types| — dimension-sized, so the cross join, the
+    * week-total window, and the per-type lag all run on a table
+    * that no longer scales with the corpus.
+    */
+  val q188_share_drift: Q = Q(
+    "q188_share_drift",
+    """WITH ev AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE))
+      |      AS DATE) AS week, event_type FROM events),
+      |cnt AS (SELECT week, event_type, COUNT(*) AS n
+      |  FROM ev GROUP BY 1, 2),
+      |dense AS (SELECT w.week, t.event_type,
+      |    COALESCE(cnt.n, 0) AS n
+      |  FROM (SELECT DISTINCT week FROM cnt) w
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM cnt) t
+      |  LEFT JOIN cnt USING (week, event_type)),
+      |bp AS (SELECT week, event_type,
+      |    (n * 10000) // SUM(n) OVER (PARTITION BY week) AS share_bp
+      |  FROM dense),
+      |d AS (SELECT week, event_type, share_bp,
+      |    LAG(share_bp) OVER (PARTITION BY event_type ORDER BY week)
+      |      AS prev_bp
+      |  FROM bp)
+      |SELECT week, CAST(SUM(ABS(share_bp - prev_bp)) AS BIGINT)
+      |    AS l1_drift_bp,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types
+      |FROM d WHERE prev_bp IS NOT NULL
+      |GROUP BY week ORDER BY week""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val cnt = Tables.load(spark, dir, "events")
+      .select(date_trunc("week", $"ts".cast("date")).cast("date")
+        .as("week"), $"event_type")
+      .groupBy($"week", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val dense = cnt.select($"week").distinct()
+      .crossJoin(cnt.select($"event_type").distinct())
+      .join(cnt, Seq("week", "event_type"), "left")
+      .withColumn("n", coalesce($"n", lit(0L)))
+    val wWeek = org.apache.spark.sql.expressions.Window
+      .partitionBy($"week")
+    val wType = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"week")
+    dense
+      .withColumn("t", sum($"n").over(wWeek))
+      .withColumn("share_bp", expr("(n * 10000) DIV t"))
+      .withColumn("prev_bp", lag($"share_bp", 1).over(wType))
+      .filter($"prev_bp".isNotNull)
+      .groupBy($"week")
+      .agg(sum(abs($"share_bp" - $"prev_bp")).as("l1_drift_bp"),
+        count(lit(1)).as("n_types"))
+      .orderBy($"week")
+  }
+
   val all: Seq[Q] = Seq(q182_semdedup, q183_keep_best, q184_keyset_page,
-    q185_existence_join, q186_nucleus_vocab, q187_markov_transitions)
+    q185_existence_join, q186_nucleus_vocab, q187_markov_transitions,
+    q188_share_drift)
 }
