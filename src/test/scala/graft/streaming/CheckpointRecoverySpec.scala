@@ -42,4 +42,53 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
       s"exactly-once violated: $got")
   }
+
+  test("windowed-aggregation STATE survives a restart: an open " +
+    "window accumulates across the stop, finalized windows never " +
+    "re-emit") {
+    implicit val ctx = spark.sqlContext
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ckpt_state").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/checkpoint"
+    def ev(host: String, t: String): WebEvent =
+      WebEvent(s"https://$host/x", "", "UA", host, "1.1.1.1", "{}",
+        s"2024-01-01T$t.000Z")
+
+    val input = MemoryStream[WebEvent]
+    def start() = StreamingJobs.tumblingHostAgg(input.toDF())
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // window W1 [00:00,00:05) gets 2 hits; W2 [00:05,00:10) opens
+    // with 1 hit and (at +15s watermark delay) pushes the watermark
+    // past W1's end → W1 finalizes and is WRITTEN before the stop
+    val q1 = start()
+    input.addData(Seq(ev("a.com", "00:00:10"), ev("a.com", "00:01:00"),
+      ev("a.com", "00:05:30")))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).count() == 1,
+      "W1 must finalize before the crash")
+
+    // "crash": more W2 hits queue while down; the restarted query
+    // must resume W2's count = 1 FROM THE STATE STORE, not from 0,
+    // and must not re-emit the already-committed W1 row
+    input.addData(Seq(ev("a.com", "00:06:00"), ev("a.com", "00:07:00"),
+      ev("a.com", "00:10:30"))) // last row advances watermark past W2
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select($"event_hour".cast("string"), $"host", $"num_hits")
+      .as[(String, String, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      ("2024-01-01 00:00:00", "a.com", 2L),
+      ("2024-01-01 00:05:00", "a.com", 3L)),
+      s"state must carry the pre-crash W2 hit across restart " +
+        s"and W1 must appear exactly once: $got")
+  }
 }
