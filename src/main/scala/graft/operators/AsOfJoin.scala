@@ -22,13 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @return all left columns + `asof` STRUCT column (null when no
+  /** @param tolerance optional max staleness: a prior right row older
+    *        than `leftTs - tolerance` yields a NULL `asof` (the
+    *        feature-store freshness bound — a stale feature must read
+    *        as missing, not silently joined). Any type with `-`
+    *        against the ts works: a long µs literal for numeric ts, an
+    *        interval for timestamps. Monotonicity makes the single
+    *        last-prior check sufficient: if the LATEST prior row is
+    *        stale, every earlier one is staler.
+    * @return all left columns + `asof` STRUCT column (null when no
     *         prior right row exists). Right rows at exactly leftTs DO
     *         match (`<=` semantics).
     */
   def lastPrior(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
-      leftTs: Column, rightTs: Column): DataFrame = {
+      leftTs: Column, rightTs: Column,
+      tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toIndexedSeq
     val l = left.select(
       leftKey.as("_k"), leftTs.as("_ts"), lit(1).as("_side"),
@@ -42,11 +51,19 @@ object AsOfJoin {
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val joined = l.unionByName(r)
       .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .withColumn("_asof_ts",
+        last(when(col("_side") === 0, col("_ts")), ignoreNulls = true)
+          .over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(c => col(s"_l.$c").as(c)) :+
-        col("_asof").as("asof"): _*)
+    val asof = tolerance match {
+      case Some(tol) =>
+        when(col("_asof_ts") >= col("_ts") - tol, col("_asof"))
+      case None => col("_asof")
+    }
+    joined.select(leftCols.map(c => col(s"_l.$c").as(c)) :+
+      asof.as("asof"): _*)
   }
 
   private def structType(df: DataFrame) =

@@ -122,7 +122,7 @@ object Graph {
     *         minimum vertex id
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-      localSolveMaxEdges: Long = 1L << 20): DataFrame = {
+      localSolveMaxEdges: Long = 1L << 21): DataFrame = {
     // checkpoint the symmetrized edges FIRST: every iteration joins
     // against them, and an unmaterialized edge list would re-execute
     // its entire upstream (e.g. a near-dup candidate pipeline) once
@@ -134,7 +134,7 @@ object Graph {
     // distributed loop costs several jobs PER ROUND in fixed overhead,
     // which dominates utterly when the post-LSH graph is small (a
     // 512-edge graph was taking ~6 s in pure scheduling). Below an
-    // explicit bounded threshold (~16 MB of edge pairs), collect and
+    // explicit bounded threshold (~32 MB of edge pairs), collect and
     // run driver union-find in milliseconds; past it — where that
     // collect would be the real scale hazard — use the loop. The
     // threshold bounds driver memory BY CONSTRUCTION; both paths
@@ -238,7 +238,7 @@ object Graph {
     */
   def pageRankInt(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, dampPct: Int = 85,
-      localSolveMaxEdges: Long = 1L << 20): DataFrame = {
+      localSolveMaxEdges: Long = 1L << 21): DataFrame = {
     require(dampPct > 0 && dampPct < 100, s"dampPct must be 1..99, got $dampPct")
     // checkpoint the (possibly expensive) edge list FIRST: degrees,
     // the degree-annotated join, and the vertex set all derive from
@@ -318,7 +318,7 @@ object Graph {
     * @return (id, hops) for every vertex within `maxHops` of a seed
     */
   def boundedHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-      localSolveMaxEdges: Long = 1L << 20): DataFrame = {
+      localSolveMaxEdges: Long = 1L << 21): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     // hybrid solve (same discipline as [[connectedComponents]] /
     // [[pageRankInt]]): below the bounded edge threshold, a driver
@@ -392,7 +392,7 @@ object Graph {
     * @return (id, cost) for every vertex with min cost ≤ maxCost
     */
   def boundedCost(edges: DataFrame, seeds: DataFrame, maxCost: Long,
-      maxIter: Int = 50, localSolveMaxEdges: Long = 1L << 20)
+      maxIter: Int = 50, localSolveMaxEdges: Long = 1L << 21)
       : DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .localCheckpoint()

@@ -20,14 +20,17 @@ object Windows {
   /** ROW_NUMBER dedup keeping the latest row per key (reference W2 +
     * P11: `team_vertices.sql:2`, `assignmnet_2.sql:50-62`; ordering made
     * total with the event_id tie-break — the reference's own Spark port
-    * fixed this nondeterminism, `team_vertex_job.py:6`).
+    * fixed this nondeterminism, `team_vertex_job.py:6`). The oracle
+    * orders by µs-truncated ts: events.ts is ns in the files, and a
+    * raw `ts DESC` would let DuckDB break same-µs ties by the ns tail
+    * Spark never sees, picking a different "latest" row.
     */
   val q20_dedup_latest: Q = Q(
     "q20_dedup_latest",
     """SELECT user_id, event_type, event_id, value FROM (
       |  SELECT user_id, event_type, event_id, value,
       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |                       ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
       |  FROM events) t
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin) { (spark, dir) =>
@@ -129,13 +132,16 @@ object Windows {
   /** Ordered collect per key (reference A3/W8 windowed ARRAY_AGG,
     * `load_players_table_day2.sql:20-32`): each user's event trail as a
     * comma-joined id list, ordered by time. Emitted as STRING so the
-    * oracle compare is representation-stable across engines.
+    * oracle compare is representation-stable across engines; the agg
+    * order is µs-truncated ts + event_id (the ns-parquet discipline —
+    * raw ns ts would order same-µs neighbors differently in DuckDB).
     */
   val q24_ordered_collect: Q = Q(
     "q24_ordered_collect",
     """SELECT user_id,
       |  COUNT(*) AS n_events,
-      |  STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+      |  STRING_AGG(CAST(event_id AS VARCHAR), ','
+      |    ORDER BY epoch_ns(ts) // 1000, event_id)
       |    AS event_trail
       |FROM events
       |GROUP BY user_id
