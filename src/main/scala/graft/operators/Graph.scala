@@ -114,8 +114,10 @@ object Graph {
     * directly). Each iteration is one distributed join+aggregate;
     * `localCheckpoint` truncates the lineage so the plan does not
     * grow with iterations (the classic Spark iterative-algorithm
-    * discipline). Converges in O(diameter) rounds — near-dup
-    * clusters are shallow, so a handful.
+    * discipline). Converges in O(log diameter) rounds: plain
+    * propagation for the first rounds (shallow near-dup clusters
+    * finish there for free), then pointer doubling (comp ← comp[comp])
+    * halves the remaining chain depth every round.
     *
     * @param edges undirected edge list with columns `u`, `v`
     * @return (id, comp) — every vertex labeled with its component's
@@ -199,6 +201,24 @@ object Graph {
         if (i == 0 && maxIter > 1) 1L
         else next.filter(col("_chg")).count()
       labels = next.select(col("id"), col("comp"))
+      // pointer doubling from round 3 on: comp ← comp[comp] halves the
+      // remaining label-chain depth, so total rounds grow with
+      // log(diameter) instead of diameter — the difference between a
+      // deep path graph converging in ~12 rounds vs needing one round
+      // per hop. Deferred past the first rounds so shallow graphs
+      // (the near-dup-cluster common case) never pay the extra
+      // self-join; comp values are always vertex ids present in
+      // labels, and comp(x) ≤ x makes the jump monotone non-increasing
+      // (the left join + coalesce is belt-and-braces, not load-bearing)
+      if (changed > 0 && i >= 2) {
+        labels = labels
+          .join(labels.select(col("id").as("_pid"),
+            col("comp").as("_pcomp")), col("comp") === col("_pid"),
+            "left")
+          .select(col("id"),
+            coalesce(col("_pcomp"), col("comp")).as("comp"))
+          .localCheckpoint()
+      }
       i += 1
     }
     // returning partial labels would silently split a deep component

@@ -117,6 +117,17 @@ class GraphSpec extends SparkSpec {
     assert(local == dist && local.nonEmpty)
   }
 
+  test("pointer doubling closes a deep chain within the default budget") {
+    // a 100-vertex path has diameter 99: plain min-label propagation
+    // would need ~99 rounds and trip the maxIter=20 guard; pointer
+    // doubling closes it in ~log2(99) + warmup rounds
+    val edges = (1L until 100L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = Graph
+      .connectedComponents(edges, localSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 100 && got.values.forall(_ == 1L))
+  }
+
   test("connectedComponents throws rather than returning partial labels") {
     // a 5-chain needs ~4 propagation rounds; maxIter=2 must fail
     // loudly, not silently split the component
