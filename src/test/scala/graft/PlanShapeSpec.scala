@@ -220,6 +220,32 @@ class PlanShapeSpec extends SparkSpec {
       s"decorrelation must produce hash joins:\n$p")
   }
 
+  test("q193's frequency join is hash-keyed and never shuffles text") {
+    // the staged frame is (doc_id, source, hv) — spans hash to longs
+    // inside the scan, so every exchange moves 8-byte keys, never the
+    // document body; the df join must be equi on hv, not a pair blowup
+    val df = SparkEntry.queries("q193_dup_span_fraction")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"document-frequency join must stay equi on hv:\n$p")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = fmt.split("\n\n").filter(_.contains("Exchange"))
+    assert(exchanges.forall(!_.contains("text#")),
+      "text must never reach an exchange:\n" + exchanges.mkString("\n"))
+  }
+
+  test("q194/q195/q196 keep corpus-wide moves to one aggregate; the " +
+    "apportionment/quota/concentration math runs broadcast-sized") {
+    Seq("q194_temperature_mix", "q195_quota_sample",
+      "q196_source_gini").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: tiny-side math must broadcast, not cartesian:\n$p")
+    }
+  }
+
   test("q182's centroid assignment broadcasts; the pair space is " +
     "cluster-scoped (equi join, no cartesian)") {
     val p = plan("q182_semdedup")
