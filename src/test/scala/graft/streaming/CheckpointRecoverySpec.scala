@@ -43,6 +43,65 @@ class CheckpointRecoverySpec extends SparkSpec {
       s"exactly-once violated: $got")
   }
 
+  test("mid-batch crash between staging write and commit: restart " +
+    "replays the epoch with no loss, no duplicates, no partial reads") {
+    implicit val ctx = spark.sqlContext
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ckpt_mid").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/checkpoint"
+
+    // fault injector: the FIRST attempt at epoch 1 dies after the
+    // staging parquet is fully written but before the atomic rename —
+    // the exact window where a naive sink would double-write on replay
+    @volatile var armed = true
+    val sink = new StreamingJobs.TransactionalDirSink(out,
+      beforeCommit = { epoch =>
+        if (epoch == 1 && armed) {
+          armed = false
+          throw new RuntimeException("injected mid-batch crash")
+        }
+      })
+
+    val input = MemoryStream[(Long, String)]
+    def start() = input.toDF().toDF("id", "v")
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], id: Long) => sink(b.toDF(), id))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData(Seq((1L, "a"), (2L, "b")))
+    q1.processAllAvailable()          // epoch 0 commits clean
+    input.addData(Seq((3L, "c")))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()        // epoch 1 crashes mid-batch
+      q1.awaitTermination()
+    }
+    assert(!q1.isActive)
+
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(out, "_staging-1")),
+      "crash must leave the staging dir behind")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out, "epoch=1")),
+      "nothing may commit before the rename")
+    // a reader between crash and restart sees ONLY committed epochs —
+    // the half-written staging dir is invisible, not a torn read
+    assert(spark.read.parquet(out).count() == 2)
+
+    val q2 = start()                  // replay against same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select(col("id"), col("v")).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"exactly-once violated across the mid-batch crash: $got")
+  }
+
   test("windowed-aggregation STATE survives a restart: an open " +
     "window accumulates across the stop, finalized windows never " +
     "re-emit") {
