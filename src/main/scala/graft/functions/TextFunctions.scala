@@ -103,8 +103,7 @@ object TextFunctions {
     * split is reproducible and stable under reprocessing.
     */
   def datasetSplit(id: Column): Column = {
-    val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = graft.plans.Md5PrefixLong(id.cast("string"), 8) % 100
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
   }
 

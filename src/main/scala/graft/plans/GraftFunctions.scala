@@ -19,5 +19,7 @@ object GraftFunctions {
       exprs => SortedIntersectCount(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "minhash_sig",
       exprs => MinHashSig(exprs.head, Dedup.MinhashSeeds))
+    Bridge.registerFunction(spark, "md5_prefix_long",
+      exprs => Md5PrefixLong(exprs.head, 15))
   }
 }

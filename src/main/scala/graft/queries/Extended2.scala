@@ -575,8 +575,7 @@ object Extended2 {
     import spark.implicits._
     def checksum(table: String, rowRepr: org.apache.spark.sql.Column) =
       Tables.load(spark, dir, table)
-        .select(conv(substring(md5(rowRepr), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        .select(graft.plans.Md5PrefixLong(rowRepr).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("xor_checksum"))
         .select(lit(table).as("table_name"), $"n_rows", $"xor_checksum")

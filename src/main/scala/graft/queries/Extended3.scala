@@ -363,8 +363,7 @@ object Extended3 {
       .orderBy($"priority", $"doc_id")
     Tables.load(spark, dir, "documents")
       .select($"source", $"doc_id",
-        conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long").as("_h"),
+        graft.plans.Md5PrefixLong($"doc_id".cast("string")).as("_h"),
         ($"n_chars" + 1).as("_w"))
       .select($"source", $"doc_id", expr("_h DIV _w").as("priority"))
       .withColumn("rn", row_number().over(w))

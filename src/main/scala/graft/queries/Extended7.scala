@@ -65,13 +65,14 @@ object Extended7 {
     val docs = Tables.loadParallel(spark, dir, "documents")
     // (doc, source, split, 60-bit shingle hash), staged once for both
     // split branches; explode_outer + attribute filter per PLANS.md
+    // hash the shingle array in one fused kernel call BEFORE the
+    // explode, so exploded rows carry 8-byte longs from the start
     val g = docs
       .select($"doc_id", $"source", datasetSplit($"doc_id").as("split"),
-        explode_outer(sortedShingles($"text", 5)).as("sh"))
-      .filter($"sh".isNotNull)
-      .select($"doc_id", $"source", $"split",
-        conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long")
+        explode_outer(
+          graft.plans.Md5PrefixLongs(sortedShingles($"text", 5)))
           .as("hv"))
+      .filter($"hv".isNotNull)
       .localCheckpoint()
     val trainSet = g.filter($"split" === "train").select($"hv").distinct()
     val hits = g.filter($"split" === "test")

@@ -56,13 +56,14 @@ object Extended8 {
     (spark, dir) =>
     import spark.implicits._
     import graft.functions.TextFunctions.sortedShingles
+    // hash the shingle array in one fused kernel call BEFORE the
+    // explode (the q189 discipline): exploded rows are 8-byte longs
     val g = Tables.loadParallel(spark, dir, "documents")
       .select($"doc_id", $"source",
-        explode_outer(sortedShingles($"text", 8)).as("sh"))
-      .filter($"sh".isNotNull)
-      .select($"doc_id", $"source",
-        conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long")
+        explode_outer(
+          graft.plans.Md5PrefixLongs(sortedShingles($"text", 8)))
           .as("hv"))
+      .filter($"hv".isNotNull)
       .localCheckpoint()
     // shingles are distinct WITHIN a doc already, so the document
     // frequency is a plain count per hash

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators._
@@ -477,9 +478,12 @@ object Patterns {
     val actives = Tables.load(spark, dir, "events")
       .select($"user_id", $"ts".cast("date").as("day"))
       .distinct()
-    val firsts = actives.groupBy($"user_id")
-      .agg(min($"day").as("first_day"))
-    actives.join(firsts, "user_id")
+    // first_day via an unordered window over user_id — one exchange
+    // of the actives frame, where the groupBy+self-join formulation
+    // moved it twice (the oracle keeps the join form; values match)
+    actives
+      .withColumn("first_day",
+        min($"day").over(Window.partitionBy($"user_id")))
       .groupBy(
         date_trunc("week", $"first_day").cast("date").as("cohort_week"),
         (datediff(date_trunc("week", $"day").cast("date"),

@@ -543,8 +543,8 @@ object TrainingData {
       |      FROM documents) t
       |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 8),
-      16, 10).cast("long") % 100
+    val bucket =
+      graft.plans.Md5PrefixLong($"doc_id".cast("string"), 8) % 100
     val rate = when($"source".isin(
       "src0", "src1", "src2", "src3", "src4"), 50).otherwise(10)
     Tables.load(spark, dir, "documents")
