@@ -60,6 +60,33 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("cos"))
   }
 
+  /** Hard-negative mining: for each query, the k highest-cosine
+    * candidates whose label DIFFERS from the query's (ties → lowest
+    * candidate id) — the contrastive-training counterpart of
+    * [[bruteForceTopK]]'s self-exclusion. Same scale shape: broadcast
+    * the (small) query side, stream candidates, hoist norms so each
+    * pair costs one fold.
+    *
+    * @param queries    (qid, qlabel, qvec)
+    * @param candidates (cid, clabel, cvec)
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.withColumn("_qnorm", norm(col("qvec")))
+    val c = candidates.withColumn("_cnorm", norm(col("cvec")))
+    val scored = q
+      .crossJoin(c)
+      .filter(col("qlabel") =!= col("clabel"))
+      .withColumn("cos",
+        dot(col("qvec"), col("cvec")) / (col("_qnorm") * col("_cnorm")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cos"))
+  }
+
   /** IVF cell assignment: each vector goes to its highest-cosine
     * centroid (ties → lowest centroid id). Centroids are broadcast; the
     * scan is embarrassingly parallel.

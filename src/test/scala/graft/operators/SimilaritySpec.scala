@@ -133,4 +133,25 @@ class SimilaritySpec extends SparkSpec {
     assert(h1.values.forall(_ % 2 == 0),
       "identical vectors must land in the same bucket")
   }
+
+  test("hardNegatives excludes same-label candidates, ranks by cosine") {
+    val labeled = vecs.withColumn("label", ($"vec_id" % 5).cast("int"))
+    val queries = labeled.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"embedding".as("qvec"))
+    val cands = labeled.select($"vec_id".as("cid"),
+      $"label".as("clabel"), $"embedding".as("cvec"))
+    val got = Similarity.hardNegatives(queries, cands, 4)
+    assert(got.count() == 12)
+    // no returned negative shares the query's label (qid ≡ qlabel mod 5)
+    val joined = got.join(
+      cands.select($"cid", $"clabel"), "cid")
+    assert(joined.filter($"qid" % 5 === $"clabel").count() == 0)
+    val rows = got.orderBy($"qid", $"rank")
+      .as[(Long, Int, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).toSeq == Seq(1, 2, 3, 4))
+      assert(rs.map(_._4).toSeq.reverse.sorted.reverse == rs.map(_._4).toSeq)
+    }
+  }
 }
