@@ -138,6 +138,131 @@ object Extended9 {
       .orderBy($"qid", $"rank")
   }
 
+  // distinct 5-gram shingles, DuckDB form (Extended7's convention —
+  // docs are ≥10 tokens, so the short-text guard never fires here)
+  private val Sh5Sql =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 4, 1) + 1),
+      |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+4], ' ')))""".stripMargin
+
+  /** Curriculum binning: quartile difficulty bins per language by
+    * document length (`ntile` over the total order (n_chars, doc_id),
+    * so bin edges are deterministic), with per-bin size stats — the
+    * staging a length-curriculum training schedule reads. One window
+    * exchange on `lang`, one hash aggregate; no joins.
+    */
+  val q200_curriculum_bins: Q = Q(
+    "q200_curriculum_bins",
+    """WITH b AS (SELECT lang, n_chars,
+      |    NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+      |  FROM documents)
+      |SELECT lang, CAST(bin AS INT) AS bin, COUNT(*) AS n_docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    Tables.loadParallel(spark, dir, "documents")
+      .select($"lang", $"n_chars", ntile(4).over(w).as("bin"))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang", $"bin")
+  }
+
+  /** Cross-source duplication matrix: for every source pair, how many
+    * distinct 5-gram shingles they share — the corpus-provenance
+    * heatmap that exposes mirrored / syndicated content BETWEEN
+    * sources before any pairwise doc dedup runs.
+    *
+    * Scale shape: one aggregate groups hashed shingles to their
+    * source set (`collect_set` is bounded by the source count, not
+    * the corpus), and the pair expansion is in-row combinatorics over
+    * that set — there is NO shingle self-join, so a boilerplate
+    * shingle in s sources costs C(s,2) rows instead of df² join rows.
+    * The oracle keeps the join form; both count each shared shingle
+    * once per pair.
+    */
+  val q201_source_overlap: Q = Q(
+    "q201_source_overlap",
+    s"""WITH g AS (SELECT DISTINCT source,
+      |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hv
+      |  FROM (SELECT source, unnest($Sh5Sql) AS sh FROM documents) t)
+      |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      |FROM g a JOIN g b ON a.hv = b.hv AND a.source < b.source
+      |GROUP BY src_a, src_b
+      |ORDER BY n_shared DESC, src_a, src_b LIMIT 25""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions.sortedShingles
+    val g = Tables.loadParallel(spark, dir, "documents")
+      .select($"source",
+        explode_outer(
+          graft.plans.Md5PrefixLongs(sortedShingles($"text", 5)))
+          .as("hv"))
+      .filter($"hv".isNotNull)
+    // collect_set dedups (source, hv) inside the aggregate — no
+    // separate distinct pass; sort_array makes the in-row pair
+    // expansion emit each unordered pair exactly once, ascending
+    val sets = g.groupBy($"hv")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+      .filter(size($"srcs") >= 2)
+    sets
+      .select(explode_outer(flatten(transform($"srcs", (a, i) =>
+        transform(slice($"srcs", i + 2, size($"srcs")),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .filter($"p".isNotNull)
+      .select($"p.src_a", $"p.src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"n_shared".desc, $"src_a", $"src_b")
+      .limit(25)
+  }
+
+  /** Tokenizer vocabulary coverage: induce the top-20 vocabulary by
+    * corpus frequency (count desc, token asc — deterministic), then
+    * measure each source's out-of-vocabulary token rate in basis
+    * points. The vocab is driver-bounded by construction (LIMIT k)
+    * and broadcast back as a left join; the token stream shuffles
+    * once into the frequency aggregate and never again.
+    */
+  val q202_oov_rate: Q = Q(
+    "q202_oov_rate",
+    """WITH tok AS (SELECT source,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |v AS (SELECT w FROM (SELECT w, COUNT(*) AS n FROM tok
+      |  GROUP BY w ORDER BY n DESC, w LIMIT 20) t)
+      |SELECT source, COUNT(*) AS n_toks,
+      |  CAST(SUM(CASE WHEN w NOT IN (SELECT w FROM v) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_oov,
+      |  10000 * CAST(SUM(CASE WHEN w NOT IN (SELECT w FROM v)
+      |    THEN 1 ELSE 0 END) AS BIGINT) // COUNT(*) AS oov_bp
+      |FROM tok GROUP BY source ORDER BY source""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions.lowerTokens
+    val tok = Tables.loadParallel(spark, dir, "documents")
+      .select($"source", explode_outer(lowerTokens($"text")).as("w"))
+      .filter($"w".isNotNull)
+      .localCheckpoint() // vocab induction + coverage rollup both read it
+    val vocab = tok.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(20)
+      .select($"w", lit(1).as("_inv"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when($"_inv".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"source", $"n_toks", $"n_oov",
+        expr("10000 * n_oov DIV n_toks").as("oov_bp"))
+      .orderBy($"source")
+  }
+
   val all: Seq[Q] = Seq(
-    q197_repetition_rules, q198_bpe_pairs, q199_hard_negatives)
+    q197_repetition_rules, q198_bpe_pairs, q199_hard_negatives,
+    q200_curriculum_bins, q201_source_overlap, q202_oov_rate)
 }
