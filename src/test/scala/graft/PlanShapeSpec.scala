@@ -256,4 +256,43 @@ class PlanShapeSpec extends SparkSpec {
       "within-cluster pairs must come from the centroid_id equi " +
         s"join, never an all-pairs product:\n$p")
   }
+
+  test("q197's repetition metrics shuffle hashed longs, never text, " +
+    "and plan no joins at all") {
+    val df = SparkEntry.queries("q197_repetition_rules")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"two-level agg needs no join:\n$p")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // loadParallel's round-robin input spread is the one deliberate
+    // whole-row move; the guard is about KEYED corpus-wide shuffles
+    val exchanges = fmt.split("\n\n").filter(s =>
+      s.contains("Exchange") && s.contains("hashpartitioning"))
+    assert(exchanges.forall(!_.contains("text#")),
+      "text must never reach a keyed exchange:\n" +
+        exchanges.mkString("\n"))
+  }
+
+  test("q199's probe side broadcasts against the candidate stream") {
+    val p = plan("q199_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"probes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"label exclusion must ride the broadcast join condition:\n$p")
+  }
+
+  test("q201's pair expansion is in-row: no self-join of the shingle " +
+    "relation ever plans") {
+    val p = plan("q201_source_overlap")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"source pairs must expand from the collect_set, not a join:\n$p")
+  }
+
+  test("q202's induced vocabulary broadcasts back over the token stream") {
+    val p = plan("q202_oov_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 20-row vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
