@@ -262,7 +262,129 @@ object Extended9 {
       .orderBy($"source")
   }
 
+  /** Collocation extraction: adjacent token pairs that co-occur far
+    * above chance — the association ratio `P(ab) / (P(a)·P(b))`
+    * (exp-PMI), computed from exact integer counts with ONE double
+    * expression at the end, written identically in both engines so
+    * the quotient is bit-reproducible (each operand is a single exact
+    * count, never an order-dependent float sum). Bigrams stay (wa,
+    * wb) pairs end-to-end — no split/re-parse round trip.
+    *
+    * Scale shape: two token-stream aggregates (bigrams, unigrams)
+    * with map-side combine; unigram counts are vocabulary-sized and
+    * broadcast back to the bigram relation twice (left word, right
+    * word). min-support 5 prunes the tail before the joins.
+    */
+  val q203_collocations: Q = Q(
+    "q203_collocations",
+    """WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS ts
+      |  FROM documents),
+      |big AS (SELECT ts[i] AS wa, ts[i+1] AS wb
+      |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks) t),
+      |uni AS (SELECT unnest(ts) AS w FROM toks),
+      |bc AS (SELECT wa, wb, COUNT(*) AS n_ab FROM big GROUP BY 1, 2),
+      |uc AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS tt FROM big),
+      |u AS (SELECT COUNT(*) AS uu FROM uni)
+      |SELECT wa, wb, n_ab,
+      |  CAST(n_ab AS DOUBLE) * uu * uu
+      |    / (CAST(tt AS DOUBLE) * ua.n * ub.n) AS assoc
+      |FROM bc JOIN uc ua ON ua.w = wa JOIN uc ub ON ub.w = wb
+      |CROSS JOIN t CROSS JOIN u
+      |WHERE n_ab >= 5
+      |ORDER BY assoc DESC, wa, wb LIMIT 20""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions.lowerTokens
+    import graft.functions.Let
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    // Let-bind the tokenizer so the bigram transform reads it once
+    // per row (PLANS.md: withColumn staging does not survive
+    // CollapseProject into HOF lambdas)
+    // the size guard keeps sequence() ascending on 1-token rows
+    // (sequence(1, 0) is a DESCENDING ramp, not empty)
+    val bigArr = Let(lowerTokens($"text")) { ts =>
+      when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - 1),
+          i => struct(element_at(ts, i).as("wa"),
+            element_at(ts, i + 1).as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
+    }
+    val big = docs.select(explode_outer(bigArr).as("p"))
+      .filter($"p".isNotNull)
+      .select($"p.wa", $"p.wb")
+      .localCheckpoint() // pair counts AND the bigram total read it
+    val uni = docs
+      .select(explode_outer(lowerTokens($"text")).as("w"))
+      .filter($"w".isNotNull)
+      .localCheckpoint() // unigram counts AND the token total read it
+    val bc = big.groupBy($"wa", $"wb").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 5)
+    val uc = uni.groupBy($"w").agg(count(lit(1)).as("n"))
+    val tt = big.agg(count(lit(1)).as("tt"))
+    val uu = uni.agg(count(lit(1)).as("uu"))
+    bc
+      .join(broadcast(uc.select($"w".as("wa"), $"n".as("na"))), "wa")
+      .join(broadcast(uc.select($"w".as("wb"), $"n".as("nb"))), "wb")
+      .crossJoin(broadcast(tt))
+      .crossJoin(broadcast(uu))
+      .select($"wa", $"wb", $"n_ab",
+        ($"n_ab".cast("double") * $"uu" * $"uu" /
+          ($"tt".cast("double") * $"na" * $"nb")).as("assoc"))
+      .orderBy($"assoc".desc, $"wa", $"wb")
+      .limit(20)
+  }
+
+  /** Per-source signature keywords by integer TF·IDF: idf is the
+    * log-free `(n_sources·10⁶) DIV source_df` (q159's convention), so
+    * every score is an exact long and the per-source top-3 is fully
+    * ordered (score desc, token asc). The (source, token) frequency
+    * aggregate feeds BOTH the tf side and the source-df side — one
+    * corpus-wide shuffle; everything after is vocabulary-sized.
+    */
+  val q204_tfidf_keywords: Q = Q(
+    "q204_tfidf_keywords",
+    """WITH tok AS (SELECT source,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |tf AS (SELECT source, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(*) AS dfs FROM tf GROUP BY 1),
+      |s AS (SELECT COUNT(DISTINCT source) AS ns FROM documents)
+      |SELECT source, w, CAST(score AS BIGINT) AS score,
+      |  CAST(rk AS INT) AS rk
+      |FROM (SELECT source, w, tf * ((ns * 1000000) // dfs) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY tf * ((ns * 1000000) // dfs) DESC, w) AS rk
+      |  FROM tf JOIN df USING (w) CROSS JOIN s) t
+      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions.lowerTokens
+    val tf = Tables.loadParallel(spark, dir, "documents")
+      .select($"source", explode_outer(lowerTokens($"text")).as("w"))
+      .filter($"w".isNotNull)
+      .groupBy($"source", $"w")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds tf AND the source-df aggregate
+    val dfs = tf.groupBy($"w").agg(count(lit(1)).as("dfs"))
+    val ns = Tables.load(spark, dir, "documents")
+      .select(countDistinct($"source").as("ns"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"score".desc, $"w")
+    tf.join(broadcast(dfs), "w")
+      .crossJoin(broadcast(ns))
+      // DIV, not Column./ (double division) — the idf must stay an
+      // exact integer to match the oracle's //
+      .select($"source", $"w",
+        expr("tf * ((ns * 1000000) DIV dfs)").as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"source", $"w", $"score", $"rk".cast("int").as("rk"))
+      .orderBy($"source", $"rk")
+  }
+
   val all: Seq[Q] = Seq(
     q197_repetition_rules, q198_bpe_pairs, q199_hard_negatives,
-    q200_curriculum_bins, q201_source_overlap, q202_oov_rate)
+    q200_curriculum_bins, q201_source_overlap, q202_oov_rate,
+    q203_collocations, q204_tfidf_keywords)
 }
