@@ -383,8 +383,94 @@ object Extended9 {
       .orderBy($"source", $"rk")
   }
 
+  /** Join-skew census: the diagnostic a salting decision reads BEFORE
+    * a big join runs — per-key multiplicity of lineitem's orderkey,
+    * the top-5 hottest keys, and how many keys exceed 2× the mean
+    * multiplicity (integer cross-multiplication, no division). One
+    * aggregate over the fact; everything downstream is key-count-sized
+    * and broadcast. Companion to q67's salted aggregation and q98's
+    * salted join, which are the REMEDY this census indicates.
+    */
+  val q205_skew_census: Q = Q(
+    "q205_skew_census",
+    """WITH m AS (SELECT l_orderkey AS k, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1),
+      |g AS (SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows,
+      |    MAX(n) AS max_mult FROM m),
+      |hot AS (SELECT COUNT(*) AS n_hot FROM m, g
+      |  WHERE m.n * g.n_keys >= 2 * g.n_rows)
+      |SELECT k AS hot_key, CAST(n AS BIGINT) AS mult, n_keys,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(max_mult AS BIGINT) AS max_mult, n_hot
+      |FROM (SELECT k, n, ROW_NUMBER() OVER (ORDER BY n DESC, k) AS rk
+      |      FROM m) t, g, hot
+      |WHERE rk <= 5 ORDER BY mult DESC, hot_key""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val m = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_orderkey".as("k"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // stats, hot count, and top-5 all read it
+    val g = m.agg(count(lit(1)).as("n_keys"), sum($"n").as("n_rows"),
+      max($"n").as("max_mult"))
+    val hot = m.crossJoin(broadcast(g))
+      .filter($"n" * $"n_keys" >= $"n_rows" * 2)
+      .agg(count(lit(1)).as("n_hot"))
+    m.orderBy($"n".desc, $"k").limit(5)
+      .crossJoin(broadcast(g))
+      .crossJoin(broadcast(hot))
+      .select($"k".as("hot_key"), $"n".as("mult"), $"n_keys",
+        $"n_rows", $"max_mult", $"n_hot")
+      .orderBy($"mult".desc, $"hot_key")
+  }
+
+  /** Last-touch attribution: each purchase credits the most recent
+    * click/view by the SAME user within 30 minutes, else 'none' — as
+    * ONE user-keyed window pass (`last(..., ignoreNulls)` over the
+    * preceding rows carries the candidate touch forward), never a
+    * self-join: the classic as-of shape collapsed into the exchange
+    * the sessionizer already needs. Timestamps go through
+    * `unix_micros` ≡ DuckDB `epoch_ns // 1000` (the ns-truncation
+    * pin); (us, event_id) totally orders each user's history.
+    */
+  val q206_attribution: Q = Q(
+    "q206_attribution",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+      |    event_type, event_id FROM events),
+      |t AS (SELECT user_id, us, event_type,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |      THEN struct_pack(tus := us, tet := event_type) END
+      |      IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS touch
+      |  FROM e)
+      |SELECT COALESCE(CASE WHEN touch.tus >= us - 1800000000
+      |    THEN touch.tet END, 'none') AS attributed,
+      |  COUNT(*) AS n_purchases
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"),
+        $"event_type", $"event_id")
+      .withColumn("touch",
+        last(when($"event_type".isin("click", "view"),
+          struct($"us".as("tus"), $"event_type".as("tet"))),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select(coalesce(when($"touch.tus" >= $"us" - 1800000000L,
+        $"touch.tet"), lit("none")).as("attributed"))
+      .groupBy($"attributed")
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy($"attributed")
+  }
+
   val all: Seq[Q] = Seq(
     q197_repetition_rules, q198_bpe_pairs, q199_hard_negatives,
     q200_curriculum_bins, q201_source_overlap, q202_oov_rate,
-    q203_collocations, q204_tfidf_keywords)
+    q203_collocations, q204_tfidf_keywords, q205_skew_census,
+    q206_attribution)
 }
