@@ -468,9 +468,60 @@ object Extended9 {
       .orderBy($"attributed")
   }
 
+  /** Intra-source self-similarity index: Σ C(df_s, 2) over each
+    * source's 3-gram shingle frequencies, normalized by C(n_docs, 2)
+    * in basis points — the self-BLEU-style redundancy score that
+    * ranks sources by internal near-duplication BEFORE any pairwise
+    * dedup runs (a high index says "dedup this source first").
+    * Complements q193 (per-doc dup spans) and q201 (cross-source
+    * overlap): same hashed-shingle stream, a different rollup.
+    *
+    * Scale shape: one (source, hv) frequency aggregate over 8-byte
+    * hashes; the pair count is computed from frequencies in place —
+    * C(df,2) per group — so nothing ever materializes pairs.
+    */
+  val q207_self_similarity: Q = Q(
+    "q207_self_similarity",
+    """WITH g AS (SELECT source, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hv
+      |  FROM (SELECT source, unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1) + 1),
+      |      i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS sh
+      |    FROM documents) t),
+      |c AS (SELECT source, hv, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      |d AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+      |  FROM documents GROUP BY 1)
+      |SELECT source, n_docs,
+      |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_dup_pairs,
+      |  CAST(10000 * SUM(c * (c - 1) // 2)
+      |    // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS selfsim_bp
+      |FROM c JOIN d USING (source)
+      |GROUP BY source, n_docs ORDER BY source""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions.sortedShingles
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val c = docs
+      .select($"source",
+        explode_outer(
+          graft.plans.Md5PrefixLongs(sortedShingles($"text", 3)))
+          .as("hv"))
+      .filter($"hv".isNotNull)
+      .groupBy($"source", $"hv")
+      .agg(count(lit(1)).as("c"))
+    val d = docs.groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    c.groupBy($"source")
+      .agg(sum(expr("c * (c - 1) DIV 2")).as("n_dup_pairs"))
+      .join(broadcast(d), "source")
+      .select($"source", $"n_docs", $"n_dup_pairs",
+        expr("10000 * n_dup_pairs DIV (n_docs * (n_docs - 1) DIV 2)")
+          .as("selfsim_bp"))
+      .orderBy($"source")
+  }
+
   val all: Seq[Q] = Seq(
     q197_repetition_rules, q198_bpe_pairs, q199_hard_negatives,
     q200_curriculum_bins, q201_source_overlap, q202_oov_rate,
     q203_collocations, q204_tfidf_keywords, q205_skew_census,
-    q206_attribution)
+    q206_attribution, q207_self_similarity)
 }
