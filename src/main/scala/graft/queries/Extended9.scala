@@ -519,9 +519,72 @@ object Extended9 {
       .orderBy($"source")
   }
 
+  /** Hourly rate-spike detection: hours whose event count sits more
+    * than 2σ ABOVE the mean, decided by exact integer cross-
+    * multiplication — `(n·x − S)² > 4·(n·SS − S²)` with S=Σx, SS=Σx²
+    * over hourly counts — so no float mean/stddev ever computes and
+    * both engines flag identical hours. (Distinct from q111's IQR
+    * fences: this is the z-score monitor an ops alert runs.)
+    * Overflow bound: n·x must stay ≪ 2³¹·√n for the square to fit a
+    * long — at 10¹⁰ events/hour move the compare to DECIMAL(38,0).
+    * One aggregate over events; the moment row broadcasts back.
+    */
+  val q208_rate_spikes: Q = Q(
+    "q208_rate_spikes",
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS x
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS ss FROM h)
+      |SELECT hour, CAST(x AS BIGINT) AS x,
+      |  CAST(n * x - s AS BIGINT) AS dev_n
+      |FROM h, g
+      |WHERE n * x > s
+      |  AND (n * x - s) * (n * x - s) > 4 * (n * ss - s * s)
+      |ORDER BY hour""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val h = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // moments and the flag scan both read it
+    val g = h.agg(count(lit(1)).as("n"), sum($"x").as("s"),
+      sum($"x" * $"x").as("ss"))
+    h.crossJoin(broadcast(g))
+      .filter($"n" * $"x" > $"s" &&
+        ($"n" * $"x" - $"s") * ($"n" * $"x" - $"s") >
+          ($"n" * $"ss" - $"s" * $"s") * 4)
+      .select($"hour", $"x", ($"n" * $"x" - $"s").as("dev_n"))
+      .orderBy($"hour")
+  }
+
+  /** Hour-of-day seasonality profile: traffic share per clock hour in
+    * basis points plus the peak rank — the load-shape fingerprint
+    * capacity planning reads. `hour()` is truncation-safe on the ns
+    * timestamps (both engines agree above microseconds).
+    */
+  val q209_seasonality: Q = Q(
+    "q209_seasonality",
+    """WITH h AS (SELECT EXTRACT(hour FROM ts) AS hod, COUNT(*) AS x
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT SUM(x) AS total FROM h)
+      |SELECT CAST(hod AS INT) AS hod, CAST(x AS BIGINT) AS x,
+      |  CAST(10000 * x // total AS BIGINT) AS share_bp,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY x DESC, hod) AS INT) AS rk
+      |FROM h, g ORDER BY hod""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val h = Tables.load(spark, dir, "events")
+      .groupBy(hour($"ts").cast("int").as("hod"))
+      .agg(count(lit(1)).as("x"))
+    val g = h.agg(sum($"x").as("total"))
+    h.crossJoin(broadcast(g))
+      .select($"hod", $"x", expr("10000 * x DIV total").as("share_bp"),
+        row_number().over(
+          Window.orderBy($"x".desc, $"hod")).cast("int").as("rk"))
+      .orderBy($"hod")
+  }
+
   val all: Seq[Q] = Seq(
     q197_repetition_rules, q198_bpe_pairs, q199_hard_negatives,
     q200_curriculum_bins, q201_source_overlap, q202_oov_rate,
     q203_collocations, q204_tfidf_keywords, q205_skew_census,
-    q206_attribution, q207_self_similarity)
+    q206_attribution, q207_self_similarity, q208_rate_spikes,
+    q209_seasonality)
 }
