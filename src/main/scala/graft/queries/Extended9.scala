@@ -581,10 +581,111 @@ object Extended9 {
       .orderBy($"hod")
   }
 
+  /** Cross-modal label profile: the first documents⋈embeddings join —
+    * per embedding label, corpus stats of the docs behind the vectors
+    * (count, chars, language diversity, dominant-language share).
+    * The label-side relation is (id, label) — two longs and an int —
+    * so the join shuffles metadata, never text or vectors; language
+    * dominance resolves with one |labels|×|langs|-bounded window.
+    */
+  val q210_label_profile: Q = Q(
+    "q210_label_profile",
+    """WITH j AS (SELECT e.label, d.lang, d.n_chars
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      |lc AS (SELECT label, lang, COUNT(*) AS n FROM j GROUP BY 1, 2),
+      |dom AS (SELECT label, lang AS top_lang, n AS top_n,
+      |    SUM(n) OVER (PARTITION BY label) AS tot,
+      |    COUNT(*) OVER (PARTITION BY label) AS n_langs
+      |  FROM (SELECT label, lang, n,
+      |      ROW_NUMBER() OVER (PARTITION BY label
+      |        ORDER BY n DESC, lang) AS rk FROM lc) t
+      |  QUALIFY rk = 1),
+      |s AS (SELECT label, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM j GROUP BY 1)
+      |SELECT s.label, s.n_docs, s.sum_chars,
+      |  CAST(d.n_langs AS BIGINT) AS n_langs, d.top_lang,
+      |  CAST(10000 * d.top_n // d.tot AS BIGINT) AS top_share_bp
+      |FROM s JOIN dom d ON s.label = d.label
+      |ORDER BY s.label""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val j = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+      .join(Tables.load(spark, dir, "embeddings")
+        .select($"vec_id", $"label"),
+        $"doc_id" === $"vec_id")
+      .select($"label", $"lang", $"n_chars")
+      .localCheckpoint() // stats and dominance both read it
+    val lc = j.groupBy($"label", $"lang").agg(count(lit(1)).as("n"))
+    val wL = Window.partitionBy($"label")
+    val dom = lc
+      .withColumn("rk", row_number().over(
+        wL.orderBy($"n".desc, $"lang")))
+      .withColumn("tot", sum($"n").over(wL))
+      .withColumn("n_langs", count(lit(1)).over(wL))
+      .filter($"rk" === 1)
+      .select($"label", $"lang".as("top_lang"), $"n".as("top_n"),
+        $"tot", $"n_langs")
+    j.groupBy($"label")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .join(broadcast(dom), "label")
+      .select($"label", $"n_docs", $"sum_chars",
+        $"n_langs".cast("long").as("n_langs"), $"top_lang",
+        expr("10000 * top_n DIV tot").as("top_share_bp"))
+      .orderBy($"label")
+  }
+
+  /** Attribution-window sensitivity: q206's last-touch credit swept
+    * over 5/30/120-minute windows in ONE pass — the window threshold
+    * moves to a post-window explode (3 rows per purchase), so the
+    * expensive user-keyed exchange happens once no matter how many
+    * windows the sweep evaluates.
+    */
+  val q211_attribution_windows: Q = Q(
+    "q211_attribution_windows",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+      |    event_type, event_id FROM events),
+      |t AS (SELECT user_id, us, event_type,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |      THEN struct_pack(tus := us, tet := event_type) END
+      |      IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS touch
+      |  FROM e),
+      |w AS (SELECT unnest([5, 30, 120]) AS window_min)
+      |SELECT window_min,
+      |  COALESCE(CASE WHEN touch.tus
+      |      >= us - window_min * CAST(60000000 AS BIGINT)
+      |    THEN touch.tet END, 'none') AS attributed,
+      |  COUNT(*) AS n_purchases
+      |FROM t CROSS JOIN w WHERE event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"),
+        $"event_type", $"event_id")
+      .withColumn("touch",
+        last(when($"event_type".isin("click", "view"),
+          struct($"us".as("tus"), $"event_type".as("tet"))),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"us", $"touch",
+        explode(array(lit(5), lit(30), lit(120))).as("window_min"))
+      .select($"window_min",
+        coalesce(when(
+          $"touch.tus" >= $"us" - $"window_min" * 60000000L,
+          $"touch.tet"), lit("none")).as("attributed"))
+      .groupBy($"window_min", $"attributed")
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy($"window_min", $"attributed")
+  }
+
   val all: Seq[Q] = Seq(
     q197_repetition_rules, q198_bpe_pairs, q199_hard_negatives,
     q200_curriculum_bins, q201_source_overlap, q202_oov_rate,
     q203_collocations, q204_tfidf_keywords, q205_skew_census,
     q206_attribution, q207_self_similarity, q208_rate_spikes,
-    q209_seasonality)
+    q209_seasonality, q210_label_profile, q211_attribution_windows)
 }
