@@ -323,9 +323,12 @@ object Extended9 {
     val uc = uni.groupBy($"w").agg(count(lit(1)).as("n"))
     val tt = big.agg(count(lit(1)).as("tt"))
     val uu = uni.agg(count(lit(1)).as("uu"))
+    // NO broadcast hint on the unigram side: it is VOCABULARY-sized
+    // (unbounded at corpus scale) — AQE broadcasts it when it is
+    // actually small, and falls back to a hash join when it is not
     bc
-      .join(broadcast(uc.select($"w".as("wa"), $"n".as("na"))), "wa")
-      .join(broadcast(uc.select($"w".as("wb"), $"n".as("nb"))), "wb")
+      .join(uc.select($"w".as("wa"), $"n".as("na")), "wa")
+      .join(uc.select($"w".as("wb"), $"n".as("nb")), "wb")
       .crossJoin(broadcast(tt))
       .crossJoin(broadcast(uu))
       .select($"wa", $"wb", $"n_ab",
@@ -371,7 +374,8 @@ object Extended9 {
       .select(countDistinct($"source").as("ns"))
     val w = Window.partitionBy($"source")
       .orderBy($"score".desc, $"w")
-    tf.join(broadcast(dfs), "w")
+    // dfs is vocabulary-sized — no forced broadcast (q203 rationale)
+    tf.join(dfs, "w")
       .crossJoin(broadcast(ns))
       // DIV, not Column./ (double division) — the idf must stay an
       // exact integer to match the oracle's //
