@@ -67,8 +67,10 @@ object Extended2 {
       .select($"s_suppkey", $"s_nationkey")
     val edges = li
       .join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
-      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      // customer/supplier grow with SF — unhinted joins let AQE pick
+      // broadcast vs hash by actual size (q11 rationale)
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(s, $"l_suppkey" === $"s_suppkey")
       .select($"c_nationkey".cast("long").as("src"),
         $"s_nationkey".cast("long").as("dst"))
       .filter($"src" =!= $"dst")

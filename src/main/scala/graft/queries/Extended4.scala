@@ -716,10 +716,11 @@ object Extended4 {
     val supp = items.groupBy($"p").agg(count(lit(1)).as("n"))
     val bigN = items.select(countDistinct($"o").as("big_n"))
     pairs
-      .join(broadcast(supp.select($"p".as("item_a"), $"n".as("na"))),
-        "item_a")
-      .join(broadcast(supp.select($"p".as("item_b"), $"n".as("nb"))),
-        "item_b")
+      // supports are PART-table-sized (grow with SF) — unhinted, AQE
+      // broadcasts while small and hash-joins at scale; pairs are
+      // already hash-partitioned on the item keys
+      .join(supp.select($"p".as("item_a"), $"n".as("na")), "item_a")
+      .join(supp.select($"p".as("item_b"), $"n".as("nb")), "item_b")
       .crossJoin(broadcast(bigN))
       .select($"item_a", $"item_b", $"n_ab",
         expr("(n_ab * big_n * 10000) DIV (na * nb)").as("lift_bp"))

@@ -73,7 +73,10 @@ object Joins {
           .as("_rev"),
         count(lit(1)).as("_n"))
     liPerOrder.join(orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      // customer grows with SF — no forced broadcast (AQE broadcasts it
+      // while small, hash-joins it when it is not); nation/region stay
+      // hinted: their cardinality is fixed by the schema
+      .join(customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
@@ -247,7 +250,10 @@ object Joins {
     val statuses = orders.select($"o_orderstatus".as("s")).distinct()
     val matrix = region.select($"r_name").crossJoin(statuses)
     val obs = orders
-      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      // customer grows with SF — no forced broadcast (AQE broadcasts it
+      // while small, hash-joins it when it is not); nation/region stay
+      // hinted: their cardinality is fixed by the schema
+      .join(customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name".as("obs_r"), $"o_orderstatus".as("obs_s"))
