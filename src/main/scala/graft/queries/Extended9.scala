@@ -686,10 +686,67 @@ object Extended9 {
       .orderBy($"window_min", $"attributed")
   }
 
+  /** Quantile normalization: map each document's within-source length
+    * rank onto the GLOBAL length distribution (value ← the ⌈r·N/n_s⌉-th
+    * smallest corpus value) and report how far each source moves —
+    * the batch-effect correction that makes per-source score
+    * distributions comparable before cross-source filtering. Order
+    * statistics are multiset-exact (the k-th smallest n_chars is
+    * well-defined under ties), ranks come from total orders, and the
+    * mapping index is exact-integer ceiling division — so both
+    * engines produce identical normalized values.
+    *
+    * Scale shape: two window passes (per-source rank; global rank —
+    * at true corpus scale the global ordinal comes from
+    * [[graft.operators.Percentiles]]-style range partitioning instead
+    * of one global window) and ONE integer-keyed equi join of
+    * corpus-sized relations, hash-partitioned on the rank index.
+    */
+  val q212_quantile_norm: Q = Q(
+    "q212_quantile_norm",
+    """WITH r AS (SELECT doc_id, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rs,
+      |    COUNT(*) OVER (PARTITION BY source) AS ns
+      |  FROM documents),
+      |g AS (SELECT n_chars AS g_val,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS g_rank
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS big_n FROM documents),
+      |m AS (SELECT r.source, r.n_chars, g.g_val
+      |  FROM r, n JOIN g ON g.g_rank = (r.rs * big_n + ns - 1) // ns)
+      |SELECT source,
+      |  CAST(SUM(ABS(g_val - n_chars)) AS BIGINT) AS total_shift,
+      |  CAST(SUM(g_val - n_chars) AS BIGINT) AS net_shift
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val wS = Window.partitionBy($"source")
+    val r = docs
+      .withColumn("rs",
+        row_number().over(wS.orderBy($"n_chars", $"doc_id")))
+      .withColumn("ns", count(lit(1)).over(wS))
+    val g = docs.select($"n_chars".as("g_val"),
+      row_number().over(Window.orderBy($"n_chars", $"doc_id"))
+        .as("g_rank"))
+    val bigN = docs.agg(count(lit(1)).as("big_n"))
+    r.crossJoin(broadcast(bigN))
+      .select($"source", $"n_chars",
+        expr("(rs * big_n + ns - 1) DIV ns").as("k"))
+      .join(g, $"k" === $"g_rank")
+      .groupBy($"source")
+      .agg(sum(abs($"g_val" - $"n_chars")).as("total_shift"),
+        sum($"g_val" - $"n_chars").as("net_shift"))
+      .orderBy($"source")
+  }
+
   val all: Seq[Q] = Seq(
     q197_repetition_rules, q198_bpe_pairs, q199_hard_negatives,
     q200_curriculum_bins, q201_source_overlap, q202_oov_rate,
     q203_collocations, q204_tfidf_keywords, q205_skew_census,
     q206_attribution, q207_self_similarity, q208_rate_spikes,
-    q209_seasonality, q210_label_profile, q211_attribution_windows)
+    q209_seasonality, q210_label_profile, q211_attribution_windows,
+    q212_quantile_norm)
 }
