@@ -742,11 +742,99 @@ object Extended9 {
       .orderBy($"source")
   }
 
+  /** Time-to-convert distribution: per user, first signup → first
+    * subsequent purchase, latency quartiles by DISCRETE percentile
+    * (an actual observed latency, exact in both engines — never an
+    * interpolated float). Latencies ride integer seconds derived
+    * from the µs pin; the quartiles come from
+    * [[graft.operators.Percentiles.exactDisc]] — distributed rank
+    * selection, bounded memory on any cohort size.
+    */
+  val q213_conversion_latency: Q = Q(
+    "q213_conversion_latency",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+      |    event_type FROM events),
+      |s AS (SELECT user_id, MIN(us) AS s_us FROM e
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN s USING (user_id)
+      |  WHERE event_type = 'purchase' AND us >= s_us GROUP BY 1),
+      |lat AS (SELECT p.user_id, (p_us - s_us) // 1000000 AS lat_s
+      |  FROM p JOIN s USING (user_id))
+      |SELECT COUNT(*) AS n_converted,
+      |  CAST(MIN(lat_s) AS BIGINT) AS min_s,
+      |  CAST(quantile_disc(lat_s, 0.25) AS BIGINT) AS p25_s,
+      |  CAST(quantile_disc(lat_s, 0.50) AS BIGINT) AS p50_s,
+      |  CAST(quantile_disc(lat_s, 0.75) AS BIGINT) AS p75_s,
+      |  CAST(MAX(lat_s) AS BIGINT) AS max_s
+      |FROM lat""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_type")
+      .localCheckpoint() // signup mins and purchase mins both read it
+    val s = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("s_us"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(s, Seq("user_id"))
+      .filter($"us" >= $"s_us")
+      .groupBy($"user_id").agg(min($"us").as("p_us"))
+    val lat = p.join(s, Seq("user_id"))
+      .select(expr("(p_us - s_us) DIV 1000000").as("lat_s"),
+        lit(1).as("_g"))
+      .localCheckpoint() // the quartile operator scans it three times
+    val qs = graft.operators.Percentiles
+      .exactDisc(lat.withColumn("lat_d", $"lat_s".cast("double")),
+        "_g", "lat_d", Seq(0.25, 0.5, 0.75))
+      .groupBy($"_g")
+      .agg(min(when($"p" === 0.25, $"value")).cast("long").as("p25_s"),
+        min(when($"p" === 0.5, $"value")).cast("long").as("p50_s"),
+        min(when($"p" === 0.75, $"value")).cast("long").as("p75_s"))
+    lat.groupBy($"_g")
+      .agg(count(lit(1)).as("n_converted"), min($"lat_s").as("min_s"),
+        max($"lat_s").as("max_s"))
+      .join(broadcast(qs), "_g")
+      .select($"n_converted", $"min_s", $"p25_s", $"p50_s", $"p75_s",
+        $"max_s")
+  }
+
+  /** CUSUM changepoint scan: the days where cumulative volume departs
+    * furthest from the uniform-rate line — `|k·S_n − n·S_k|` per day
+    * in exact integers (the scaled CUSUM statistic; the argmax is the
+    * classic single-changepoint estimate). One daily aggregate, one
+    * ordered cumulative window, top-5 deviations.
+    */
+  val q214_changepoint: Q = Q(
+    "q214_changepoint",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1),
+      |c AS (SELECT day, x, SUM(x) OVER (ORDER BY day) AS sk,
+      |    ROW_NUMBER() OVER (ORDER BY day) AS k FROM d),
+      |t AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM d)
+      |SELECT day, CAST(x AS BIGINT) AS x,
+      |  CAST(ABS(k * s - n * sk) AS BIGINT) AS dev
+      |FROM c, t ORDER BY dev DESC, day LIMIT 5""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "events")
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // cumulative walk and totals both read it
+    val w = Window.orderBy($"day")
+    val c = d
+      .withColumn("sk", sum($"x").over(w))
+      .withColumn("k", row_number().over(w))
+    val t = d.agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    c.crossJoin(broadcast(t))
+      .select($"day", $"x",
+        abs($"k" * $"s" - $"n" * $"sk").as("dev"))
+      .orderBy($"dev".desc, $"day")
+      .limit(5)
+  }
+
   val all: Seq[Q] = Seq(
     q197_repetition_rules, q198_bpe_pairs, q199_hard_negatives,
     q200_curriculum_bins, q201_source_overlap, q202_oov_rate,
     q203_collocations, q204_tfidf_keywords, q205_skew_census,
     q206_attribution, q207_self_similarity, q208_rate_spikes,
     q209_seasonality, q210_label_profile, q211_attribution_windows,
-    q212_quantile_norm)
+    q212_quantile_norm, q213_conversion_latency, q214_changepoint)
 }
