@@ -830,11 +830,57 @@ object Extended9 {
       .limit(5)
   }
 
+  /** Skip-gram co-occurrence counts: (word, context) pairs within a
+    * forward window of 2 — the word2vec/GloVe training-pair
+    * extraction, completing the embedding-prep trio beside q198's
+    * BPE pairs (adjacent chars) and q203's collocations (adjacent
+    * words + association). Pair arrays build in-row (one Let-bound
+    * tokenization, one explode); counts map-side combine into a
+    * vocabulary²-bounded aggregate.
+    */
+  val q215_skipgrams: Q = Q(
+    "q215_skipgrams",
+    """WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS ts
+      |  FROM documents),
+      |p AS (SELECT ts[i] AS w, ts[i+k] AS ctx
+      |  FROM (SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM toks) t,
+      |       (SELECT unnest([1, 2]) AS k) ks
+      |  WHERE i + k <= len(ts))
+      |SELECT w, ctx, COUNT(*) AS n FROM p
+      |GROUP BY w, ctx ORDER BY n DESC, w, ctx LIMIT 50""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions.lowerTokens
+    import graft.functions.Let
+    val pairArr = Let(lowerTokens($"text")) { ts =>
+      when(size(ts) >= 2,
+        flatten(transform(sequence(lit(1), size(ts) - 1), i =>
+          when(i <= size(ts) - 2, array(
+            struct(element_at(ts, i).as("w"),
+              element_at(ts, i + 1).as("ctx")),
+            struct(element_at(ts, i).as("w"),
+              element_at(ts, i + 2).as("ctx"))))
+            .otherwise(array(
+              struct(element_at(ts, i).as("w"),
+                element_at(ts, i + 1).as("ctx")))))))
+        .otherwise(array().cast("array<struct<w:string,ctx:string>>"))
+    }
+    Tables.loadParallel(spark, dir, "documents")
+      .select(explode_outer(pairArr).as("p"))
+      .filter($"p".isNotNull)
+      .select($"p.w", $"p.ctx")
+      .groupBy($"w", $"ctx")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w", $"ctx")
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(
     q197_repetition_rules, q198_bpe_pairs, q199_hard_negatives,
     q200_curriculum_bins, q201_source_overlap, q202_oov_rate,
     q203_collocations, q204_tfidf_keywords, q205_skew_census,
     q206_attribution, q207_self_similarity, q208_rate_spikes,
     q209_seasonality, q210_label_profile, q211_attribution_windows,
-    q212_quantile_norm, q213_conversion_latency, q214_changepoint)
+    q212_quantile_norm, q213_conversion_latency, q214_changepoint,
+    q215_skipgrams)
 }
