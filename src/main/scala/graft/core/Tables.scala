@@ -22,6 +22,14 @@ object Tables {
       // reader rejects outright. Read it as a raw long and truncate to
       // microseconds (TimestampType precision) — same floor-truncation
       // a ns→µs cast performs everywhere else.
+      //
+      // The conf must be in effect when the parquet footer schema is
+      // resolved. All of this repo's entry points (Verify/Bench/
+      // Explain/PlanScan/SparkSpec) pin it at session-build time —
+      // setting it only here races under concurrent loads on a shared
+      // session (another thread's read can resolve the events schema
+      // between set and read). The runtime set below is a best-effort
+      // fallback for external single-threaded sessions.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

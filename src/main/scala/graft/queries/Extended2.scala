@@ -53,7 +53,7 @@ object Extended2 {
       |    LEFT JOIN deg ON deg.src = e.src
       |    LEFT JOIN r2 ON r2.node = e.src
       |  GROUP BY v.node)
-      |SELECT n.n_name AS nation, r3.pr
+      |SELECT n.n_name AS nation, CAST(r3.pr AS BIGINT) AS pr
       |FROM r3 JOIN nation n ON n.n_nationkey = r3.node
       |ORDER BY pr DESC, nation""".stripMargin) { (spark, dir) =>
     import spark.implicits._

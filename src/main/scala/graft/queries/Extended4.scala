@@ -196,9 +196,9 @@ object Extended4 {
       |      UNBOUNDED FOLLOWING) AS nd
       |  FROM j)
       |SELECT user_id, day, cents IS NOT NULL AS observed,
-      |  CASE WHEN cents IS NOT NULL THEN cents
+      |  CAST(CASE WHEN cents IS NOT NULL THEN cents
       |    ELSE (pc * (nd - day) + nc * (day - pd)) // (nd - pd) END
-      |    AS interp_cents
+      |    AS BIGINT) AS interp_cents
       |FROM w ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val daily = Tables.load(spark, dir, "events")

@@ -319,7 +319,7 @@ object Extended6 {
       |  FROM tr GROUP BY 1, 2),
       |tot AS (SELECT from_state, SUM(n) AS t FROM cnt GROUP BY 1)
       |SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n,
-      |  (c.n * 10000) // t.t AS share_bp
+      |  CAST((c.n * 10000) // t.t AS BIGINT) AS share_bp
       |FROM cnt c JOIN tot t USING (from_state)
       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     import spark.implicits._
