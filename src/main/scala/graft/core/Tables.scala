@@ -1,7 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-provided synthetic tables (TESTDATA.md).
   *
@@ -17,25 +18,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects outright. Read it as a raw long and truncate to
-      // microseconds (TimestampType precision) — same floor-truncation
-      // a ns→µs cast performs everywhere else.
-      //
-      // The conf must be in effect when the parquet footer schema is
-      // resolved. All of this repo's entry points (Verify/Bench/
-      // Explain/PlanScan/SparkSpec) pin it at session-build time —
-      // setting it only here races under concurrent loads on a shared
-      // session (another thread's read can resolve the events schema
-      // between set and read). The runtime set below is a best-effort
-      // fallback for external single-threaded sessions.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
+      // events.ts has shipped with two physical encodings across
+      // testdata generations, so normalize to TimestampType by the
+      // dtype Spark actually resolved from the footer:
+      //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ;
+      //    cast reinterprets the wall-clock in the session zone (all
+      //    entry points pin UTC, making the cast value-identical).
+      //  - TIMESTAMP(NANOS) under the legacy nanos-as-long conf
+      //    → LongType; floor-truncate ns → µs.
+      df.schema("ts").dataType match {
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case _ => df // already TimestampType
+      }
+    } else df
   }
 
   /** Load + round-robin repartition to the session's parallelism.
