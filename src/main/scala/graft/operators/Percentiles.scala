@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -33,17 +34,30 @@ import org.apache.spark.sql.types._
   */
 object Percentiles {
 
+  /** Above this many distinct groups the per-partition-offset path —
+    * whose driver state is O(partitions × groups) — is refused and
+    * [[rankSelect]] falls back to a fully distributed windowed-rank
+    * plan (each group funnels through one task, which is exactly the
+    * right trade for MANY SMALL groups). Same pattern as
+    * `Graph.localSolveMaxEdges`.
+    */
+  val localSolveMaxGroups: Long = 65536L
+
   /** @param ps percentiles in [0,1], e.g. Seq(0.5, 0.9)
     * @return one row per (group, p): groupCol, `p`, `value` (exact
     *         interpolated percentile), `n_rows` (group population)
     */
   def exactCont(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double]): DataFrame =
-    rankSelect(df, groupCol, valueCol, ps) { (n, p) =>
+      ps: Seq[Double], maxGroups: Long = localSolveMaxGroups)
+      : DataFrame =
+    rankSelect(df, groupCol, valueCol, ps, maxGroups) { (n, p) =>
       // continuous position 1 + (n−1)p → interpolate the flanking rows
       val pos = 1.0 + (n - 1) * p
       (math.floor(pos).toLong, math.ceil(pos).toLong,
         pos - math.floor(pos))
+    } { (n, p) =>
+      val pos = lit(1.0) + (n - lit(1L)).cast("double") * lit(p)
+      (floor(pos).cast("long"), ceil(pos).cast("long"), pos - floor(pos))
     }
 
   /** PERCENTILE_DISC by the same distributed rank selection: the
@@ -55,8 +69,9 @@ object Percentiles {
     * slower than this at sf0.1, and it OOMs on a 10¹²-row group).
     */
   def exactDisc(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double]): DataFrame =
-    rankSelect(df, groupCol, valueCol, ps) { (n, p) =>
+      ps: Seq[Double], maxGroups: Long = localSolveMaxGroups)
+      : DataFrame =
+    rankSelect(df, groupCol, valueCol, ps, maxGroups) { (n, p) =>
       // ⌈p·n⌉ computed in DECIMAL, not IEEE: double products round UP
       // past integers (0.07 × 100 = 7.000000000000001, whose ceil is
       // 8 — but cume_dist 7/100 ≥ 0.07 demands rank 7).
@@ -68,19 +83,48 @@ object Percentiles {
           .setScale(0, java.math.RoundingMode.CEILING).longValueExact(),
         1L)
       (r, r, 0.0)
+    } { (n, p) =>
+      // same DECIMAL ceiling, expression-side: double→decimal cast in
+      // Spark goes through BigDecimal.valueOf, so the two paths agree
+      val r = greatest(
+        ceil(lit(p).cast(DecimalType(30, 15)) * n.cast(DecimalType(20, 0)))
+          .cast("long"),
+        lit(1L))
+      (r, r, lit(0.0))
     }
 
   private def rankSelect(df: DataFrame, groupCol: String,
-      valueCol: String, ps: Seq[Double])(
-      posOf: (Long, Double) => (Long, Long, Double)): DataFrame = {
+      valueCol: String, ps: Seq[Double], maxGroups: Long)(
+      posOf: (Long, Double) => (Long, Long, Double))(
+      posExprOf: (Column, Double) => (Column, Column, Column))
+      : DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must lie in [0,1], got $ps")
-    val spark = df.sparkSession
-    val nPart = spark.sessionState.conf.numShufflePartitions
     val data = df
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull)
+    // Driver-state guard: the offsets path collects O(partitions ×
+    // groups) counts, which is the right trade only for FEW groups
+    // with huge populations. Count groups first (one cheap partial-agg
+    // job) and route — above the cap, a windowed-rank plan keeps all
+    // state distributed.
+    val nGroups = data.select(col("g")).distinct().count()
+    if (nGroups <= maxGroups)
+      offsetsPlan(data, groupCol, ps, posOf)
+    else
+      windowedPlan(data, groupCol, ps, posExprOf)
+  }
+
+  /** Few-groups regime: per-partition counts → driver prefix offsets,
+    * then one streaming pass keeps only the flanking rows. Never
+    * funnels a group through a single task.
+    */
+  private def offsetsPlan(data: DataFrame, groupCol: String,
+      ps: Seq[Double],
+      posOf: (Long, Double) => (Long, Long, Double)): DataFrame = {
+    val spark = data.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
     // one materialized sorted layout feeds both passes (count + pick)
     val sorted = data
       .repartitionByRange(nPart, col("g"), col("v"))
@@ -161,6 +205,42 @@ object Percentiles {
       // different rounding path — Spark's Percentile (and DuckDB's
       // quantile_cont) use the two-product form, and the single-ulp
       // divergence of the other form fails the cross-engine hash
+      .select(col("g").as(groupCol), col("p"),
+        ((lit(1.0) - col("frac")) * col("vlo") +
+          col("frac") * col("vhi")).as("value"),
+        col("n_rows"))
+  }
+
+  /** Many-groups regime: fully distributed fallback — per-group
+    * `row_number` window (each group rides one task; groups are small
+    * in this regime by definition), target ranks computed as
+    * expressions over a per-group count frame, flanking rows picked by
+    * equi-join on (group, rank). Zero driver state.
+    */
+  private def windowedPlan(data: DataFrame, groupCol: String,
+      ps: Seq[Double],
+      posExprOf: (Column, Double) => (Column, Column, Column))
+      : DataFrame = {
+    val ranked = data
+      .withColumn("r",
+        row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v"))).cast("long"))
+    val gn = data.groupBy(col("g")).agg(count(lit(1)).as("n_rows"))
+    val targets = ps.map { p =>
+      val (lo, hi, frac) = posExprOf(col("n_rows"), p)
+      gn.select(col("g"), lit(p).as("p"), lo.as("lo"), hi.as("hi"),
+        frac.as("frac"), col("n_rows"))
+    }.reduce(_.union(_))
+    val loSide = ranked.select(col("g").as("_gl"), col("r").as("_rl"),
+      col("v").as("vlo"))
+    val hiSide = ranked.select(col("g").as("_gh"), col("r").as("_rh"),
+      col("v").as("vhi"))
+    // equi-joins on (group, rank): both ranks come from the same
+    // shuffle-by-g layout, so AQE plans plain hash joins; <=> keeps the
+    // legitimate NULL group (same reasoning as the offsets plan)
+    targets
+      .join(loSide, col("g") <=> col("_gl") && col("lo") === col("_rl"))
+      .join(hiSide, col("g") <=> col("_gh") && col("hi") === col("_rh"))
       .select(col("g").as(groupCol), col("p"),
         ((lit(1.0) - col("frac")) * col("vlo") +
           col("frac") * col("vhi")).as("value"),

@@ -41,13 +41,45 @@ object Upsert {
     * the snapshot. Idempotent: re-applying the same changelog is a
     * no-op (inserts re-delete-then-re-insert their own keys).
     *
+    * A changelog carrying several ops for one key would otherwise
+    * union several surviving images and silently duplicate the key, so
+    * multi-op keys are resolved FIRST: with `seqCol` the highest
+    * sequence wins per key (one window over the same key partitioning
+    * the join needs anyway); without it a multi-op key is a contract
+    * violation that fails loudly in-plan via `raise_error` rather than
+    * corrupting the snapshot.
+    *
     * @param changes same schema as `snapshot` plus the `op` column
+    * @param seqCol  optional ordering column in `changes`; the row
+    *                with the max value per key is the effective op
     */
   def applyChangelog(snapshot: DataFrame, changes: DataFrame,
-      keys: Seq[String], opCol: String = "op"): DataFrame = {
-    val touched = changes.select(keys.map(col): _*).distinct()
+      keys: Seq[String], opCol: String = "op",
+      seqCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val effective = seqCol match {
+      case Some(s) =>
+        changes
+          .withColumn("_rn",
+            row_number().over(byKey.orderBy(col(s).desc)))
+          .filter(col("_rn") === 1)
+          .drop("_rn", s)
+      case None =>
+        changes
+          .withColumn("_nops", count(lit(1)).over(byKey))
+          .withColumn(opCol,
+            when(col("_nops") > 1,
+              raise_error(concat(
+                lit("applyChangelog: multiple ops for key ("),
+                concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+                lit(") but no seqCol to order them"))))
+              .otherwise(col(opCol)))
+          .drop("_nops")
+    }
+    val touched = effective.select(keys.map(col): _*).distinct()
     snapshot.join(touched, keys, "left_anti")
-      .unionByName(changes
+      .unionByName(effective
         .filter(col(opCol).isin("I", "U"))
         .drop(opCol)
         .select(snapshot.columns.map(col).toSeq: _*))

@@ -55,6 +55,19 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+
+  // Array[Byte] equals/hashCode are reference-based, which would make
+  // two structurally identical probes compare unequal and defeat
+  // expression canonicalization (subexpression elimination, exchange
+  // reuse). Compare the serialized filter by VALUE.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child &&
+        java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }
 
 object BloomMightContain {

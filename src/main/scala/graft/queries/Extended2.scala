@@ -399,12 +399,17 @@ object Extended2 {
     * for the aggregate that has NO algebraic partial: each period
     * sketches only its own events, the union is a few KB per key
     * forever, and the estimate reads the maintained table. Estimates
-    * are engine-specific (DataSketches HLL here), so this is
-    * rows-only like q9/q66; the exact-equality law is spec-tested at
-    * small cardinalities instead.
+    * are engine-specific (DataSketches HLL here), so — same
+    * accuracy-envelope policy as q9/q66 — the query checks the merged
+    * estimate against the exact full-corpus COUNT(DISTINCT) within 5%
+    * and the oracle asserts TRUE; the exact-equality law is
+    * spec-tested at small cardinalities on top.
     */
-  val q110_hll_incremental: Q = Q.noOracle("q110_hll_incremental") {
-    (spark, dir) =>
+  val q110_hll_incremental: Q = Q(
+    "q110_hll_incremental",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+      |  TRUE AS approx_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
       .select($"event_type", $"user_id",
@@ -415,10 +420,16 @@ object Extended2 {
         .agg(hll_sketch_agg($"user_id").as("users_sk"))
     val base = sketch(ev.filter($"day" < cut))
     val delta = sketch(ev.filter($"day" >= cut))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users_exact"))
     IncrementalAgg.mergeSketches(base, delta, Seq("event_type"),
         Seq("users_sk"))
       .select($"event_type",
         hll_sketch_estimate($"users_sk").as("distinct_users"))
+      .join(exact, Seq("event_type"))
+      .select($"event_type", $"n_users_exact",
+        (abs($"distinct_users" - $"n_users_exact") <=
+          $"n_users_exact" * 0.05).as("approx_ok"))
       .orderBy($"event_type")
   }
 

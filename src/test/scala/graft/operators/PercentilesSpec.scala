@@ -98,6 +98,44 @@ class PercentilesSpec extends SparkSpec {
     got.values.foreach(v => assert(vals.contains(v)))
   }
 
+  test("windowed fallback (maxGroups=0) agrees with the offsets path") {
+    val rng = new scala.util.Random(23)
+    val rows = Seq.fill(4000)(
+      (s"g${rng.nextInt(5)}", rng.nextInt(50000) / 11.0))
+    val df = rows.toDF("grp", "x").repartition(7)
+    val ps = Seq(0.0, 0.1, 0.5, 0.93, 1.0)
+    def toMap(res: org.apache.spark.sql.DataFrame) = res
+      .select($"grp", $"p", $"value", $"n_rows")
+      .as[(String, Double, Double, Long)].collect()
+      .map { case (g, p, v, n) => (g, p) -> (v, n) }.toMap
+    val offsets = toMap(Percentiles.exactCont(df, "grp", "x", ps))
+    val windowed = toMap(
+      Percentiles.exactCont(df, "grp", "x", ps, maxGroups = 0L))
+    assert(offsets == windowed)
+    val offsetsD = toMap(Percentiles.exactDisc(df, "grp", "x", ps))
+    val windowedD = toMap(
+      Percentiles.exactDisc(df, "grp", "x", ps, maxGroups = 0L))
+    assert(offsetsD == windowedD)
+  }
+
+  test("group-count guard: 100k+ groups route to the distributed " +
+    "windowed plan, no O(partitions x groups) driver state") {
+    // 120,001 distinct groups of 1-2 rows — over localSolveMaxGroups,
+    // so the default call must take the windowed path and still return
+    // one row per (group, p)
+    val n = 120001
+    val df = spark.range(0, n * 2)
+      .selectExpr(s"concat('g', id % $n) AS grp",
+        "cast(id as double) / 3.0 AS x")
+    val got = Percentiles.exactCont(df, "grp", "x", Seq(0.5))
+    assert(n > Percentiles.localSolveMaxGroups)
+    assert(got.count() == n.toLong)
+    // spot-check one two-row group: g0 holds ids 0 and 120001
+    val g0 = got.filter($"grp" === "g0").select($"value")
+      .as[Double].head()
+    assert(g0 == (0.0 / 3.0 + n.toDouble / 3.0) / 2.0)
+  }
+
   test("exactDisc rank is decimal-exact: p=0.07 over 100 rows " +
     "selects rank 7, not the float-rounded 8") {
     import spark.implicits._
@@ -106,5 +144,10 @@ class PercentilesSpec extends SparkSpec {
       .select("value").head().getDouble(0)
     // 0.07*100 in IEEE is 7.000000000000001 — ceil must still be 7
     assert(got == 7.0, s"cume_dist 7/100 >= 0.07 demands rank 7: $got")
+    // the windowed plan's expression-side DECIMAL ceiling must agree
+    val gotW = Percentiles.exactDisc(df, "g", "v", Seq(0.07),
+        maxGroups = 0L)
+      .select("value").head().getDouble(0)
+    assert(gotW == 7.0, s"windowed path float-rounded the rank: $gotW")
   }
 }

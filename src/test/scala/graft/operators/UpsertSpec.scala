@@ -17,6 +17,45 @@ class UpsertSpec extends SparkSpec {
     assertDfEquality(got, expected)
   }
 
+  test("applyChangelog with seqCol: the highest-sequence op per key " +
+    "wins, no duplicated keys") {
+    val snapshot = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // key 2: updated then deleted → gone; key 3: inserted then
+    // updated → one row with the final image
+    val changes = Seq(
+      (2L, "B", "U", 1), (2L, "B", "D", 2),
+      (3L, "c", "I", 1), (3L, "C", "U", 2))
+      .toDF("id", "v", "op", "seq")
+    val got = Upsert.applyChangelog(snapshot, changes, Seq("id"),
+      seqCol = Some("seq"))
+    assertDfEquality(got, Seq((1L, "a"), (3L, "C")).toDF("id", "v"))
+  }
+
+  test("applyChangelog without seqCol fails loudly on a multi-op key " +
+    "instead of silently duplicating it") {
+    val snapshot = Seq((1L, "a")).toDF("id", "v")
+    val changes = Seq((1L, "x", "U"), (1L, "y", "U"))
+      .toDF("id", "v", "op")
+    val ex = intercept[Exception] {
+      Upsert.applyChangelog(snapshot, changes, Seq("id")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("multiple ops for key")),
+      s"unexpected error: $ex")
+  }
+
+  test("applyChangelog without seqCol: unique-key changelog applies " +
+    "as before") {
+    val snapshot = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("id", "v")
+    val changes = Seq((2L, "B", "U"), (3L, "c", "I"), (4L, "d", "D"))
+      .toDF("id", "v", "op")
+    val got = Upsert.applyChangelog(snapshot, changes, Seq("id"))
+    assertDfEquality(got,
+      Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v"))
+  }
+
   test("overwritePartitions replaces only the delta's partitions") {
     try {
       Seq((1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02"))

@@ -36,6 +36,31 @@ class BloomMightContainSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("structurally identical probes are semantically equal " +
+    "(canonicalization sees filter bytes by value, not reference)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // two independent serializations of the same filter → different
+    // Array[Byte] instances; the expression must still compare equal so
+    // subexpression elimination and exchange reuse can kick in
+    def bytes(bf: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val (b1, b2) = (bytes(bloom), bytes(bloom))
+    assert(b1 ne b2)
+    val child = Bridge.expression($"k")
+    val e1 = BloomMightContain(child, b1)
+    val e2 = BloomMightContain(child, b2)
+    assert(e1 == e2, "value-equal probes compared unequal")
+    assert(e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    // and a different filter must NOT compare equal
+    val other = BloomFilter.create(10, 0.01)
+    other.putLong(42L)
+    assert(e1 != BloomMightContain(child, bytes(other)))
+  }
+
   test("null keys yield null (nullIntolerant)") {
     val got = Seq(Some(1L), None).toDF("k")
       .select(BloomMightContain($"k", bloom).as("hit"))
