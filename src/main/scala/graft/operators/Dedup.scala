@@ -330,6 +330,30 @@ object Dedup {
     */
   def thresholdJoin(df: DataFrame, textCol: String, idCol: String,
       thresholdBp: Int = 7000): DataFrame = {
+    val (s, cand) = thresholdJoinStages(df, textCol, idCol, thresholdBp)
+    cand
+      .join(s.select(col("_id").as("id_a"), col("_sh").as("_sh_a")),
+        "id_a")
+      .join(s.select(col("_id").as("id_b"), col("_sh").as("_sh_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.plans.SortedIntersectCount(col("_sh_a"), col("_sh_b"))
+          .as("_i"),
+        (size(col("_sh_a")) + size(col("_sh_b"))).as("_s"))
+      .select(col("id_a"), col("id_b"),
+        expr("(_i * 10000) DIV (_s - _i)").as("j_bp"))
+      .filter(col("j_bp") >= thresholdBp)
+  }
+
+  /** The shingle staging + candidate stage of [[thresholdJoin]],
+    * exposed so specs can guard candidate inflation (the count here is
+    * the join's real cost driver; the final pair count is tiny).
+    * @return (staged shingle sets `(_id, _sh)`, candidates
+    *         `(id_a, id_b)`)
+    */
+  private[operators] def thresholdJoinStages(df: DataFrame,
+      textCol: String, idCol: String, thresholdBp: Int)
+      : (DataFrame, DataFrame) = {
     require(thresholdBp > 0 && thresholdBp <= 10000,
       s"thresholdBp must be 1..10000, got $thresholdBp")
     val s = df
@@ -359,33 +383,36 @@ object Dedup {
       .select(col("_id"),
         transform(col("_r"), x => x.getField("_t")).as("_rt"))
     val pref = ranked.select(col("_id"), size(col("_rt")).as("_n"),
-        explode(expr(s"slice(_rt, 1, size(_rt) " +
+        posexplode(expr(s"slice(_rt, 1, size(_rt) " +
           s"- ((size(_rt) * $thresholdBp + 9999) DIV 10000) + 1)"))
-          .as("_t"))
+          .as(Seq("_p", "_t")))
       .localCheckpoint() // self-joined: avoid re-running the ranking twice
-    // length band: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t (the intersection
-    // is at most the smaller set) — a free integer filter INSIDE the
-    // candidate join that prunes size-mismatched pairs before they
-    // reach the array-carrying verify joins
+    // Two candidate-stage prunes, both free integer arithmetic INSIDE
+    // the join before any array-carrying row is built:
+    //  - length band: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t (the
+    //    intersection is at most the smaller set);
+    //  - PPJoin positional filter: a shared token at 0-based prefix
+    //    positions (pa, pb) bounds the overlap by
+    //    min(pa,pb) + 1 + min(|A|−pa−1, |B|−pb−1) — at most min(pa,pb)
+    //    common tokens can precede it in the global order and at most
+    //    min of the remaining suffix lengths can follow — and J ≥ t
+    //    demands overlap ≥ t/(1+t)·(|A|+|B|). The bound holds for
+    //    EVERY shared token (not just the first), so dropping a
+    //    failing join row never loses a qualifying pair: a qualifying
+    //    pair's actual overlap satisfies every one of its rows'
+    //    bounds.
+    val posBound = least(col("a._p"), col("b._p")) + lit(1) +
+      least(col("a._n") - col("a._p") - 1, col("b._n") - col("b._p") - 1)
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a._t") === col("b._t") && col("a._id") < col("b._id") &&
           col("a._n") * 10000 >= col("b._n") * thresholdBp &&
-          col("b._n") * 10000 >= col("a._n") * thresholdBp)
+          col("b._n") * 10000 >= col("a._n") * thresholdBp &&
+          posBound * (10000 + thresholdBp) >=
+            (col("a._n") + col("b._n")) * thresholdBp)
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
-    cand
-      .join(s.select(col("_id").as("id_a"), col("_sh").as("_sh_a")),
-        "id_a")
-      .join(s.select(col("_id").as("id_b"), col("_sh").as("_sh_b")),
-        "id_b")
-      .select(col("id_a"), col("id_b"),
-        graft.plans.SortedIntersectCount(col("_sh_a"), col("_sh_b"))
-          .as("_i"),
-        (size(col("_sh_a")) + size(col("_sh_b"))).as("_s"))
-      .select(col("id_a"), col("id_b"),
-        expr("(_i * 10000) DIV (_s - _i)").as("j_bp"))
-      .filter(col("j_bp") >= thresholdBp)
+    (s, cand)
   }
 
   /** Priority keep-best over a verified near-dup pair relation — the
