@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Plan inspection utility: prints the formatted physical plan for one
   * or all queries — the `.explain()` discipline (reference X4).
@@ -12,13 +11,7 @@ object Explain {
     val sfDir =
       if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.core.Sessions.local(cpus, logLevel = "ERROR")
     SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     if (args.contains("--time")) {
       (1 to 3).foreach { i =>

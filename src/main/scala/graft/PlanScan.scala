@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: sweep every query's optimized plan and count occurrences
   * of expensive expression markers — a duplicated `split(`/`md5(`
@@ -10,13 +9,7 @@ object PlanScan {
   def main(args: Array[String]): Unit = {
     val sfDir =
       args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.core.Sessions.local("4", logLevel = "ERROR")
     val markers = Seq("split(", "md5(", "minhash_sig", "regexp_count",
       "transform(", "aggregate(", "vector_dot")
     SparkEntry.allQueries.sortBy(_.name).foreach { q =>

@@ -1,15 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev-only stage profiler (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.core.Sessions.local("32", logLevel = "ERROR")
     val dir = "/root/testdata/sf0.1"
 
     def time(label: String, n: Int = 3)(

@@ -106,32 +106,52 @@ object Percentiles {
       .where(col("v").isNotNull)
     // Driver-state guard: the offsets path collects O(partitions ×
     // groups) counts, which is the right trade only for FEW groups
-    // with huge populations. Count groups first (one cheap partial-agg
-    // job) and route — above the cap, a windowed-rank plan keeps all
-    // state distributed.
-    val nGroups = data.select(col("g")).distinct().count()
-    if (nGroups <= maxGroups)
-      offsetsPlan(data, groupCol, ps, posOf)
+    // with huge populations. The guard is folded into the sorted
+    // layout the offsets plan needs anyway: a per-partition distinct
+    // count (executor memory capped at maxGroups+1 by early exit,
+    // driver receives one long per partition). Above the cap the
+    // windowed-rank plan keeps all state distributed; the only cost of
+    // a wrong initial guess is the abandoned sort.
+    val spark = data.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    // one materialized sorted layout feeds all passes (guard + count +
+    // pick); sorted within partitions by (g, v), so per-partition
+    // distinct counting needs only a previous-key register
+    val sorted = data
+      .repartitionByRange(nPart, col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+      .localCheckpoint()
+    val rdd = sorted.rdd.map(r => (r.getString(0), r.getDouble(1)))
+    // range partitioning splits a group across at most adjacent
+    // partitions, so the sum of per-partition distincts over-counts
+    // the true total by < nPart — over-counting errs toward the safe
+    // (distributed) plan
+    val guardCap = maxGroups + nPart + 1
+    val nGroupsBound = rdd.mapPartitions { it =>
+      var n = 0L
+      var prev: String = null
+      var first = true
+      while (it.hasNext && n <= guardCap) {
+        val g = it.next()._1
+        if (first || g != prev) { n += 1; prev = g; first = false }
+      }
+      Iterator.single(n)
+    }.collect().sum
+    if (nGroupsBound - nPart <= maxGroups)
+      offsetsPlan(spark, rdd, groupCol, ps, posOf)
     else
       windowedPlan(data, groupCol, ps, posExprOf)
   }
 
   /** Few-groups regime: per-partition counts → driver prefix offsets,
     * then one streaming pass keeps only the flanking rows. Never
-    * funnels a group through a single task.
+    * funnels a group through a single task. Takes the already-sorted
+    * (group, value) RDD whose group count [[rankSelect]] has bounded.
     */
-  private def offsetsPlan(data: DataFrame, groupCol: String,
+  private def offsetsPlan(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[(String, Double)], groupCol: String,
       ps: Seq[Double],
       posOf: (Long, Double) => (Long, Long, Double)): DataFrame = {
-    val spark = data.sparkSession
-    val nPart = spark.sessionState.conf.numShufflePartitions
-    // one materialized sorted layout feeds both passes (count + pick)
-    val sorted = data
-      .repartitionByRange(nPart, col("g"), col("v"))
-      .sortWithinPartitions(col("g"), col("v"))
-      .localCheckpoint()
-    val rdd = sorted.rdd.map(r => (r.getString(0), r.getDouble(1)))
-
     // pass 1: per-partition group counts → driver-side prefix offsets
     val partCounts: Array[(Int, Seq[(String, Long)])] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
