@@ -34,16 +34,30 @@ object Graph {
     * prefix — never a self-join (which would materialize every pair
     * row through a sort-merge join) and never a per-element lambda
     * filter (higher-order functions are interpreted and rescan the
-    * array per element). The explicit repartition BEFORE the pair agg
-    * matters: pair keys are nearly distinct within a map partition, so
-    * map-side partial aggregation gets ~no reduction and only burns a
-    * hash-map build per task; shuffling raw (int, int) pairs and
-    * aggregating once co-located is ~40% faster, and the same trade
-    * holds at 100 TB (pair key space grows with item², per-partition
-    * reduction stays ~1×).
+    * array per element).
+    *
+    * The aggregation strategy is the caller's regime call, because the
+    * right answer flips with the DISTINCT PAIR-KEY SPACE, not the data
+    * size:
+    *  - `mapSideCombine = false` (default): explicit repartition of
+    *    raw (int, int) pairs, aggregate once co-located. Right when
+    *    pair keys are nearly distinct within a map partition (item
+    *    space grows with the data — e.g. market baskets over the part
+    *    catalog): partial aggregation would get ~no reduction and only
+    *    burn a hash-map build per task; measured ~40% faster there,
+    *    and the trade holds at 100 TB where pair space grows item².
+    *  - `mapSideCombine = true`: plain groupBy with Spark's partial
+    *    aggregation. Right when the item space is SMALL and fixed
+    *    (hundreds of items ⇒ pair keys in the thousands): generated
+    *    pair instances collapse map-side and the shuffle moves a few
+    *    thousand partials instead of every pair. Measured on q17's
+    *    shape (1000 suppliers, ~500k pair keys, 17× instances-per-key
+    *    at sf0.1) the two regimes tie — the combine win needs
+    *    instances-per-key well beyond the per-task key space.
     */
   def coPairs(df: DataFrame, group: Column, item: Column,
-      shufflePartitions: Int, packKey: Boolean = false): DataFrame = {
+      shufflePartitions: Int, packKey: Boolean = false,
+      mapSideCombine: Boolean = false): DataFrame = {
     val generated = df.groupBy(group)
       .agg(sort_array(collect_set(item)).as("_items"))
       .select(col("_items"), posexplode(col("_items")).as(Seq("_pos", "item_b")))
@@ -54,16 +68,19 @@ object Graph {
       .select(col("item_b"),
         explode_outer(slice(col("_items"), lit(1), col("_pos"))).as("item_a"))
       .filter(col("item_a").isNotNull)
-    if (packKey)
+    if (packKey) {
       // pack the pair into ONE long before the shuffle (valid only for
       // non-negative items fitting 32 bits, e.g. dictionary ids): the
       // wide exchange moves a single 8-byte key instead of two fields,
       // and the aggregate hashes one long — ~25% faster here, more at
       // scale where the pair shuffle IS the query
-      generated
+      val packed = generated
         .select(shiftleft(col("item_b").cast("long"), 32)
           .bitwiseOR(col("item_a").cast("long")).as("_pk"))
-        .repartition(shufflePartitions, col("_pk"))
+      val staged =
+        if (mapSideCombine) packed
+        else packed.repartition(shufflePartitions, col("_pk"))
+      staged
         .groupBy(col("_pk"))
         .agg(count(lit(1)).as("n"))
         .select(
@@ -73,11 +90,15 @@ object Graph {
           // back out as a negative id
           shiftrightunsigned(col("_pk"), 32).as("item_b"),
           col("n"))
-    else
-      generated
-        .repartition(shufflePartitions, col("item_a"), col("item_b"))
+    } else {
+      val staged =
+        if (mapSideCombine) generated
+        else generated
+          .repartition(shufflePartitions, col("item_a"), col("item_b"))
+      staged
         .groupBy(col("item_a"), col("item_b"))
         .agg(count(lit(1)).as("n"))
+    }
   }
 
   /** Triangle census of an undirected graph given canonical edges

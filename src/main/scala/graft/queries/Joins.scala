@@ -218,6 +218,9 @@ object Joins {
     // generated pairs instead of the reference's self-join — see
     // Graph.coPairs for the full shape + scale rationale
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // 1000 suppliers ⇒ ~500k distinct pair keys over 8.7M instances
+    // at sf0.1: measured neutral between the combine and
+    // repartition-first regimes — stay with the default
     Graph.coPairs(Tables.load(spark, dir, "lineitem"),
         $"l_partkey", $"l_suppkey", shufflePartitions, packKey = true)
       .select($"item_b".as("supp_a"), $"item_a".as("supp_b"),

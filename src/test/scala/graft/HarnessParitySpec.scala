@@ -42,4 +42,23 @@ class HarnessParitySpec extends SparkSpec {
     val df = SparkEntry.queries("q50_sessionize")(vanilla, sfDir)
     assert(df.count() > 0)
   }
+
+  test("EVERY query analyzes in a vanilla session against the real " +
+    "testdata (round-4's failure class, surface-wide)") {
+    // analysis alone (no execution) resolves schemas against the
+    // actual parquet footers and type-checks every expression — the
+    // exact layer where the regenerated events.parquet broke 67
+    // queries. Cheap enough to sweep the whole surface.
+    val failures = SparkEntry.allQueries.flatMap { q =>
+      try {
+        q.run(vanilla, sfDir).queryExecution.analyzed
+        None
+      } catch {
+        case e: Throwable => Some(s"${q.name}: ${e.getMessage.take(200)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail analysis in a vanilla session:\n" +
+        failures.mkString("\n"))
+  }
 }
