@@ -51,13 +51,19 @@ object Percentiles {
       ps: Seq[Double], maxGroups: Long = localSolveMaxGroups)
       : DataFrame =
     rankSelect(df, groupCol, valueCol, ps, maxGroups) { (n, p) =>
-      // continuous position 1 + (n−1)p → interpolate the flanking rows
-      val pos = 1.0 + (n - 1) * p
-      (math.floor(pos).toLong, math.ceil(pos).toLong,
+      // 0-BASED continuous position (n−1)p, exactly as Spark's
+      // Percentile and DuckDB's quantile_cont compute it; the +1 to
+      // the 1-based ranks happens on the INTEGER side only. Computing
+      // a 1-based position 1+(n−1)p first would absorb the low bits
+      // of (n−1)p at ulp(1) before the frac is extracted — measured
+      // ~3e-11 relative error against both engines on small p.
+      val pos = (n - 1) * p
+      (math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1,
         pos - math.floor(pos))
     } { (n, p) =>
-      val pos = lit(1.0) + (n - lit(1L)).cast("double") * lit(p)
-      (floor(pos).cast("long"), ceil(pos).cast("long"), pos - floor(pos))
+      val pos = (n - lit(1L)).cast("double") * lit(p)
+      (floor(pos).cast("long") + 1, ceil(pos).cast("long") + 1,
+        pos - floor(pos))
     }
 
   /** PERCENTILE_DISC by the same distributed rank selection: the
