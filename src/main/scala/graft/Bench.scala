@@ -33,19 +33,39 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     Thread.sleep(3000)
-    var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // 3 ALTERNATING full passes, reporting the per-query MEDIAN: a
+    // transient VM stall (noisy neighbor, GC storm) hits one contiguous
+    // stretch of ONE pass, so the median of three passes separated in
+    // time is immune — a single-run bench once reported 54 s for a query
+    // whose steady-state cost is 0.85 s. Alternating whole passes (not
+    // back-to-back repeats of each query) is what buys that time
+    // separation.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    val times =
+      scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    for (_ <- 1 to runs; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (a bare .count()
       // would let Catalyst prune all per-row computation away and
       // under-measure projection-heavy queries)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => errors ::= name; false }
-      // failed queries get a -1 sentinel so a crash is never mistaken
-      // for a fast success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+      } catch { case _: Throwable => () }
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // a query only counts as errored if it failed in EVERY pass; -1
+    // sentinel so a crash is never mistaken for a fast success
+    val results = names.map { name =>
+      val ts = times(name)
+      name -> (if (ts.nonEmpty) median(ts) else -1.0)
+    }
+    val errors = names.filter(times(_).isEmpty)
     // Locale.ROOT: a comma-decimal default locale would print "1,234"
     // and corrupt the machine-parsed JSON line
     def r3(v: Double): String =
@@ -53,8 +73,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
