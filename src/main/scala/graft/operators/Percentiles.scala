@@ -91,9 +91,16 @@ object Percentiles {
       (r, r, 0.0)
     } { (n, p) =>
       // same DECIMAL ceiling, expression-side: double→decimal cast in
-      // Spark goes through BigDecimal.valueOf, so the two paths agree
+      // Spark goes through BigDecimal.valueOf, so the two paths agree.
+      // p MUST be decimal(17,16): the product with decimal(20,0) is then
+      // decimal(38,16) — exactly at Spark's precision cap, so NO
+      // allowPrecisionLoss adjustment fires. A wider cast like (30,15)
+      // overflows the cap and Spark silently rescales the product to
+      // decimal(38,6), rounding p·n HALF_UP at 6 fractional digits
+      // BEFORE the ceil — for p=0.30000001, n=10 that picks rank 3
+      // where the driver-side exact BigDecimal ceiling picks 4.
       val r = greatest(
-        ceil(lit(p).cast(DecimalType(30, 15)) * n.cast(DecimalType(20, 0)))
+        ceil(lit(p).cast(DecimalType(17, 16)) * n.cast(DecimalType(20, 0)))
           .cast("long"),
         lit(1L))
       (r, r, lit(0.0))

@@ -45,9 +45,12 @@ object Upsert {
     * union several surviving images and silently duplicate the key, so
     * multi-op keys are resolved FIRST: with `seqCol` the highest
     * sequence wins per key (one window over the same key partitioning
-    * the join needs anyway); without it a multi-op key is a contract
-    * violation that fails loudly in-plan via `raise_error` rather than
-    * corrupting the snapshot.
+    * the join needs anyway), and a TIE on that max sequence fails
+    * loudly in-plan — row_number would pick an arbitrary survivor,
+    * making the snapshot nondeterministic across runs (a same-seq U
+    * and D for one key could flip the key's presence); without a
+    * `seqCol` ANY multi-op key is a contract violation that fails
+    * loudly via `raise_error` rather than corrupting the snapshot.
     *
     * @param changes same schema as `snapshot` plus the `op` column
     * @param seqCol  optional ordering column in `changes`; the row
@@ -60,11 +63,24 @@ object Upsert {
     val byKey = Window.partitionBy(keys.map(col): _*)
     val effective = seqCol match {
       case Some(s) =>
+        // _nmax counts rows TIED at the per-key max sequence (<=> so an
+        // all-NULL sequence column counts as tied rather than silently
+        // passing); all three windows share the byKey exchange
         changes
           .withColumn("_rn",
             row_number().over(byKey.orderBy(col(s).desc)))
+          .withColumn("_maxseq", max(col(s)).over(byKey))
+          .withColumn("_nmax",
+            count(when(col(s) <=> col("_maxseq"), 1)).over(byKey))
           .filter(col("_rn") === 1)
-          .drop("_rn", s)
+          .withColumn(opCol,
+            when(col("_nmax") > 1,
+              raise_error(concat(
+                lit(s"applyChangelog: ties on max $s for key ("),
+                concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+                lit(") - effective op is ambiguous"))))
+              .otherwise(col(opCol)))
+          .drop("_rn", "_maxseq", "_nmax", s)
       case None =>
         changes
           .withColumn("_nops", count(lit(1)).over(byKey))

@@ -232,6 +232,10 @@ object Relational {
         // ≤5% error, and a sketch whose TYPICAL error is 5% sits on
         // the boundary (measured: all five sf0.1 groups land outside).
         // At 1% rsd the 5% envelope is ~5σ of headroom at every SF.
+        // COST of that headroom (graft.functions.Sketches): 2^14
+        // registers ≈ 12.8 KiB/group vs the default's 0.4 KiB — ~32×,
+        // fine at 5 groups, NOT fine at a 10⁶-group GROUP BY; there
+        // use Sketches.rsdForBudget(nGroups) instead of a constant.
         approx_count_distinct($"user_id", rsd = 0.01)
           .as("n_users_approx"))
       .select($"event_type", $"n_users_exact",
@@ -270,6 +274,15 @@ object Relational {
     * approx value must land between the exact p±0.01 quantiles; the
     * sketch's own guarantee at accuracy=10000 is rank error ≤ 1e-4)
     * and the oracle asserts TRUE.
+    *
+    * The envelope bounds come from [[graft.operators.Percentiles
+    * .exactCont]] (distributed rank selection, bounded memory), NOT
+    * from four exact `percentile()` aggregates — those buffer every
+    * group value in one aggregation buffer, reintroducing exactly the
+    * O(group-size) memory this query exists to avoid and skewing its
+    * bench timing toward the exact path instead of the sketch being
+    * measured. The bounds side is |groups|·4 rows, broadcast into the
+    * sketch side's join.
     */
   val q66_approx_percentiles: Q = Q(
     "q66_approx_percentiles",
@@ -281,18 +294,25 @@ object Relational {
         lo: org.apache.spark.sql.Column,
         hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       approx >= lo && approx <= hi
-    Tables.load(spark, dir, "orders")
+    val orders = Tables.load(spark, dir, "orders")
+    val approx = orders
       .groupBy($"o_orderstatus")
       .agg(
         count(lit(1)).as("n_orders"),
         percentile_approx($"o_totalprice", lit(0.5), lit(10000))
           .as("median_approx"),
         percentile_approx($"o_totalprice", lit(0.9), lit(10000))
-          .as("p90_approx"),
-        percentile($"o_totalprice", lit(0.49)).as("p49"),
-        percentile($"o_totalprice", lit(0.51)).as("p51"),
-        percentile($"o_totalprice", lit(0.89)).as("p89"),
-        percentile($"o_totalprice", lit(0.91)).as("p91"))
+          .as("p90_approx"))
+    val bounds = graft.operators.Percentiles
+      .exactCont(orders, "o_orderstatus", "o_totalprice",
+        Seq(0.49, 0.51, 0.89, 0.91))
+      .groupBy($"o_orderstatus")
+      .agg(
+        max(when($"p" === 0.49, $"value")).as("p49"),
+        max(when($"p" === 0.51, $"value")).as("p51"),
+        max(when($"p" === 0.89, $"value")).as("p89"),
+        max(when($"p" === 0.91, $"value")).as("p91"))
+    approx.join(broadcast(bounds), Seq("o_orderstatus"))
       .select($"o_orderstatus", $"n_orders",
         within($"median_approx", $"p49", $"p51").as("median_ok"),
         within($"p90_approx", $"p89", $"p91").as("p90_ok"))

@@ -31,6 +31,34 @@ class UpsertSpec extends SparkSpec {
     assertDfEquality(got, Seq((1L, "a"), (3L, "C")).toDF("id", "v"))
   }
 
+  test("applyChangelog with seqCol fails loudly on a max-sequence TIE " +
+    "instead of picking a nondeterministic survivor") {
+    val snapshot = Seq((1L, "a")).toDF("id", "v")
+    // same seq for a U and a D on one key: whichever row_number picked
+    // would flip the key's presence run-to-run — must raise instead
+    val changes = Seq((1L, "x", "U", 5), (1L, "y", "D", 5))
+      .toDF("id", "v", "op", "seq")
+    val ex = intercept[Exception] {
+      Upsert.applyChangelog(snapshot, changes, Seq("id"),
+        seqCol = Some("seq")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("ties on max seq")),
+      s"unexpected error: $ex")
+  }
+
+  test("applyChangelog with seqCol: distinct sequences with a repeated " +
+    "lower value still resolve (ties below the max are harmless)") {
+    val snapshot = Seq((1L, "a")).toDF("id", "v")
+    val changes = Seq((1L, "x", "U", 1), (1L, "y", "U", 1), (1L, "z", "U", 3))
+      .toDF("id", "v", "op", "seq")
+    val got = Upsert.applyChangelog(snapshot, changes, Seq("id"),
+      seqCol = Some("seq"))
+    assertDfEquality(got, Seq((1L, "z")).toDF("id", "v"))
+  }
+
   test("applyChangelog without seqCol fails loudly on a multi-op key " +
     "instead of silently duplicating it") {
     val snapshot = Seq((1L, "a")).toDF("id", "v")
