@@ -153,4 +153,19 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int = 3): Column =
     shinglesOfTokens(lowerTokens(text), n)
+
+  /** POSITIONAL word n-gram shingles: one entry per starting token
+    * position, in document order and NOT deduplicated — the
+    * longest-duplicate-span unit (element i covers tokens i..i+n−1),
+    * where [[sortedShingles]] is the set-similarity unit. Empty array
+    * for texts shorter than n words. Same [[Let]] staging as
+    * [[sortedShinglesFold]]: the tokenizer evaluates once per row even
+    * after CollapseProject inlines the projection.
+    */
+  def positionalShingles(text: Column, n: Int): Column =
+    Let(lowerTokens(text))(toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
 }

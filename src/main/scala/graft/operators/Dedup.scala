@@ -580,4 +580,87 @@ object Dedup {
       .distinct()
     df.join(verified, col(idCol) === col("_drop_id"), "left_anti")
   }
+
+  /** EXACT longest duplicate token span per document pair — the
+    * precise companion to q193's sampled duplicated-span fraction:
+    * for every pair of documents sharing at least one k-token span,
+    * the exact length (in tokens) of their longest common contiguous
+    * token run. Pairs whose longest common run is shorter than k
+    * never become candidates and are absent from the output.
+    *
+    * The per-pair suffix-array formulation is re-expressed as a
+    * matching-diagonal scan, which IS the Spark-shaped equivalent of
+    * ordering suffixes: a common token span of length L ≥ k contains
+    * exactly L−k+1 k-shingles that match at CONSECUTIVE positions in
+    * both documents — i.e. a run of matches along one diagonal
+    * (pos_a − pos_b constant) of the match matrix. So:
+    *
+    *  1. explode each doc into (pos, hash(k-shingle)) — hashes are
+    *     60-bit md5 prefixes, so only 8-byte longs shuffle, never
+    *     span text ([[graft.plans.Md5PrefixLongs]], the q189/q193
+    *     discipline);
+    *  2. self-join on the shingle hash (this is the shingle
+    *     bucketing: candidate pairs are generated per shared hash,
+    *     NEVER all doc pairs);
+    *  3. longest run of consecutive pos_a per (pair, diagonal) via
+    *     the classic rownumber-difference grouping;
+    *  4. span = max run + k − 1.
+    *
+    * Equivalence to token-level longest-common-substring DP is
+    * property-tested (`LongestDupSpanProps`), modulo 60-bit hash
+    * collisions.
+    *
+    * Scale shape: the wide moves key on the shingle hash and on
+    * (doc_a, doc_b, diag) — both well-spread; no per-pair quadratic
+    * work exists anywhere (cost is Σ_hash df², like every
+    * shingle-bucketed dedup here). A boilerplate k-gram shared by
+    * thousands of docs inflates that sum quadratically — at corpus
+    * scale strip boilerplate first (q128) or cap document frequency
+    * with `maxDf`, which bounds the join fan-out at the cost of
+    * missing spans composed ENTIRELY of ultra-common shingles.
+    *
+    * @param k     span unit in tokens (candidates need a shared
+    *              k-gram; reported spans are ≥ k)
+    * @param maxDf drop shingle hashes appearing in more than this
+    *              many documents before pairing (None = exact)
+    * @return (doc_a, doc_b, span_tokens), doc_a < doc_b
+    */
+  def longestDupSpan(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, maxDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g0 = df
+      .select(col(idCol).as("doc"),
+        posexplode_outer(
+          graft.plans.Md5PrefixLongs(
+            TextFunctions.positionalShingles(col(textCol), k)))
+          .as(Seq("pos", "hv")))
+      .filter(col("hv").isNotNull)
+      .localCheckpoint() // self-joined: don't re-shingle both sides
+    val g = maxDf match {
+      case Some(cap) =>
+        // df-cap: one hash-keyed agg, broadcast-joined back as a
+        // semi-filter; drops only hashes shared by > cap docs
+        val rare = g0.groupBy(col("hv"))
+          .agg(countDistinct(col("doc")).as("_df"))
+          .filter(col("_df") <= cap)
+          .select(col("hv"))
+        g0.join(rare, Seq("hv"), "left_semi")
+      case None => g0
+    }
+    val matches = g.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
+        col("hv"))
+      .join(g.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
+        col("hv")), Seq("hv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((max(col("run")) + lit(k - 1)).cast("long").as("span_tokens"))
+  }
 }

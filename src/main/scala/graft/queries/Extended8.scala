@@ -256,7 +256,45 @@ object Extended8 {
         $"top_share_bp", $"hhi_bp")
   }
 
+  /** EXACT longest duplicate token span per overlapping document pair
+    * ([[graft.operators.Dedup.longestDupSpan]]) — q193 reports the
+    * corpus-level FRACTION of duplicated 8-gram spans; this reports,
+    * for each pair of documents sharing at least one 8-gram, the
+    * exact length of their longest common contiguous token run (the
+    * deduplication follow-up question: not "is there overlap" but
+    * "HOW MUCH contiguous overlap"). The oracle replays the same
+    * diagonal-run formulation in SQL, so the hash compare pins the
+    * full algorithm — candidate generation, diagonal grouping, run
+    * arithmetic — not just row counts.
+    */
+  val q216_longest_dup_span: Q = Q(
+    "q216_longest_dup_span",
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(text), '\s+') AS tk FROM documents),
+      |g0 AS (SELECT doc_id, tk,
+      |    unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS i FROM t),
+      |g AS (SELECT doc_id, i AS pos,
+      |    ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS hv
+      |  FROM g0),
+      |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+      |    a.pos - b.pos AS diag
+      |  FROM g a JOIN g b USING (hv) WHERE a.doc_id < b.doc_id),
+      |r AS (SELECT doc_a, doc_b, diag,
+      |    pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+      |      ORDER BY pos_a) AS grp FROM m),
+      |runs AS (SELECT doc_a, doc_b, COUNT(*) AS run
+      |  FROM r GROUP BY doc_a, doc_b, diag, grp)
+      |SELECT doc_a, doc_b, CAST(MAX(run) + 7 AS BIGINT) AS span_tokens
+      |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Dedup
+      .longestDupSpan(Tables.loadParallel(spark, dir, "documents"),
+        "doc_id", "text", k = 8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val all: Seq[Q] = Seq(
     q193_dup_span_fraction, q194_temperature_mix, q195_quota_sample,
-    q196_source_gini)
+    q196_source_gini, q216_longest_dup_span)
 }

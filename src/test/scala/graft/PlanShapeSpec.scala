@@ -295,4 +295,88 @@ class PlanShapeSpec extends SparkSpec {
       s"the 20-row vocab must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  private def fmtPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def keyedExchanges(name: String): Array[String] =
+    fmtPlan(name).split("\n\n").filter(s =>
+      s.contains("Exchange") && s.contains("hashpartitioning"))
+
+  test("q203/q204's token pipelines never move text through a keyed " +
+    "exchange, and the totals ride broadcasts (no cartesian)") {
+    Seq("q203_collocations", "q204_tfidf_keywords").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q: scalar totals must broadcast, never cartesian")
+      val bad = keyedExchanges(q).filter(_.contains("text#"))
+      assert(bad.isEmpty,
+        s"$q: text reached a keyed exchange:\n" + bad.mkString("\n"))
+    }
+  }
+
+  test("q208/q209/q214's moment/total rows broadcast back over the " +
+    "per-hour/per-day aggregate") {
+    Seq("q208_rate_spikes", "q209_seasonality", "q214_changepoint")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastExchange"),
+          s"$q: the single-row moment side must broadcast:\n$p")
+        assert(!p.contains("CartesianProduct"),
+          s"$q: no cartesian may plan:\n$p")
+      }
+  }
+
+  test("q210's cross-modal join shuffles metadata only — text and " +
+    "vectors never reach an exchange") {
+    val bad = keyedExchanges("q210_label_profile").filter(s =>
+      s.contains("text#") || s.contains("vec#"))
+    assert(bad.isEmpty,
+      "documents text / embedding vectors reached a keyed exchange:\n" +
+        bad.mkString("\n"))
+    assert(!plan("q210_label_profile").contains("CartesianProduct"))
+  }
+
+  test("q211's window sweep pays the user-keyed exchange ONCE for all " +
+    "three attribution windows") {
+    val userKeyed = keyedExchanges("q211_attribution_windows")
+      .filter(_.contains("user_id"))
+    assert(userKeyed.length == 1,
+      s"expected exactly one user_id exchange for the one-pass sweep, " +
+        s"got ${userKeyed.length}:\n" + userKeyed.mkString("\n"))
+  }
+
+  test("q212's rank mapping is an equi join — never a nested-loop " +
+    "over corpus-sized relations") {
+    val p = plan("q212_quantile_norm")
+    assert(p.contains("Join"), s"the k=g_rank mapping must join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus x corpus cartesian planned:\n$p")
+  }
+
+  test("q213's latency quartiles keep every latency move integer-keyed " +
+    "(no cartesian, no nested loop beyond the tiny p-targets)") {
+    val p = plan("q213_conversion_latency")
+    assert(!p.contains("CartesianProduct"),
+      s"exactDisc's flanking-row joins must stay equi/broadcast:\n$p")
+  }
+
+  test("q215's skip-gram pairs build in-row: no join plans at all") {
+    val p = plan("q215_skipgrams")
+    assert(!p.contains("Join"),
+      s"pair expansion must come from the in-row array, not a join:\n$p")
+  }
+
+  test("q216's span matching joins on 60-bit hashes: text never " +
+    "reaches an exchange, candidates never go all-pairs") {
+    val p = plan("q216_longest_dup_span")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay hash-equi (shingle-bucketed):\n$p")
+    val bad = keyedExchanges("q216_longest_dup_span")
+      .filter(_.contains("text#"))
+    assert(bad.isEmpty,
+      "span text reached a keyed exchange:\n" + bad.mkString("\n"))
+  }
 }
