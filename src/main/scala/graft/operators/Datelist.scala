@@ -61,4 +61,42 @@ object Datelist {
   /** Active at least once in the window — mask AND window != 0. */
   def activeInWindow(mask: Column, from: Int, n: Int): Column =
     mask.bitwiseAND(lit(windowMask(from, n))) =!= 0
+
+  /** The reference's datelist is BIT(32) (`user_datelist_int.sql:1-6`)
+    * rolled daily — `datelist_int << 1 | active` with bits past 32
+    * silently falling off — so it always holds exactly the trailing
+    * 32 days. This engine's BIGINT mask holds a FIXED 64-day window
+    * [anchor, anchor+63] instead: twice the reach, but the anchor
+    * must move explicitly. Width parity lives here.
+    */
+  val RefWidthDays: Int = 32
+
+  /** All-ones mask of the lowest `width` bits (width 64 = full long). */
+  def widthMask(width: Int): Long =
+    if (width >= 64) -1L else (1L << width) - 1L
+
+  /** Move the anchor forward `days` days and keep only a `width`-day
+    * window — the explicit-anchor mirror of the reference's BIT(32)
+    * wraparound: the `days` OLDEST bits roll off exactly as the
+    * reference's daily `<< 1` drops its oldest bit, and `width` caps
+    * the window exactly as BIT(32) caps the reference's. With
+    * `width = RefWidthDays` a mask re-anchored to (today − 31) is
+    * bit-for-bit the reference's trailing-32-day state.
+    *
+    * `shiftrightunsigned`, never `shiftright`: bit 63 (day
+    * anchor+63) makes the mask a negative long, and an arithmetic
+    * shift would 1-fill the vacated high bits — phantom active days.
+    *
+    * @param days non-negative anchor advance; ≥ 64 clears the mask
+    *             (the whole window rolled off)
+    */
+  def reanchor(mask: Column, days: Column, width: Int = 64): Column =
+    when(days >= 64, lit(0L))
+      .otherwise(call_function("shiftrightunsigned", mask, days))
+      .bitwiseAND(lit(widthMask(width)))
+
+  /** Trim a 64-day mask to the reference's BIT(32) width in place
+    * (keep days [anchor, anchor+31], drop the rest). */
+  def trimToRefWidth(mask: Column): Column =
+    mask.bitwiseAND(lit(widthMask(RefWidthDays)))
 }
