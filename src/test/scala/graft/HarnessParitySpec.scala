@@ -61,4 +61,33 @@ class HarnessParitySpec extends SparkSpec {
       s"${failures.size} queries fail analysis in a vanilla session:\n" +
         failures.mkString("\n"))
   }
+
+  test("a rotating ~20-query sample EXECUTES conf-free (runtime layer, " +
+    "not just analysis)") {
+    // Analysis catches schema/type divergence; codegen, shuffles, and
+    // expression evaluation only fail at execution. Executing all 217
+    // per `sbt test` is too slow, so a deterministic sample rotates
+    // with the build round (CORRECTNESS_r* files count the completed
+    // rounds) — over ~11 rounds every query executes conf-free at
+    // least once. noop-write, same as Bench, so every output column
+    // actually materializes.
+    val round = Option(new java.io.File("/root/repo").listFiles())
+      .map(_.count(_.getName.matches("CORRECTNESS_r\\d+\\.json")))
+      .getOrElse(0)
+    val names = SparkEntry.allQueries.map(_.name).sorted
+    val sample = new scala.util.Random(round.toLong)
+      .shuffle(names).take(20)
+    val failures = sample.flatMap { name =>
+      try {
+        SparkEntry.queries(name)(vanilla, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"round-$round sample: ${failures.size} queries fail execution " +
+        s"in a vanilla session:\n" + failures.mkString("\n"))
+  }
 }
