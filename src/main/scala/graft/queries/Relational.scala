@@ -224,10 +224,19 @@ object Relational {
       |  TRUE AS approx_ok
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.load(spark, dir, "events")
-      .groupBy($"event_type")
+    // The exact arm and the sketch arm are SEPARATE aggregations
+    // joined on the 5-row group key, never one mixed agg: a mixed
+    // (countDistinct + approx_count_distinct) aggregate triggers
+    // Spark's distinct-agg rewrite, which keys the partial on
+    // (event_type, user_id) — allocating one FULL HLL buffer per
+    // DISTINCT USER (~100k sketches × 12.8 KiB at sf0.1) instead of
+    // one per group. Measured 3.1 s mixed vs ~1 s split at sf0.1.
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_type", $"user_id")
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users_exact"))
+    val approx = ev.groupBy($"event_type")
       .agg(
-        countDistinct($"user_id").as("n_users_exact"),
         // rsd 0.01, not the 0.05 default: the envelope below asserts
         // ≤5% error, and a sketch whose TYPICAL error is 5% sits on
         // the boundary (measured: all five sf0.1 groups land outside).
@@ -238,6 +247,7 @@ object Relational {
         // use Sketches.rsdForBudget(nGroups) instead of a constant.
         approx_count_distinct($"user_id", rsd = 0.01)
           .as("n_users_approx"))
+    exact.join(broadcast(approx), Seq("event_type"))
       .select($"event_type", $"n_users_exact",
         (abs($"n_users_approx" - $"n_users_exact") <=
           $"n_users_exact" * 0.05).as("approx_ok"))

@@ -31,6 +31,21 @@ object DatelistProps extends Properties("Datelist") {
       row.getSeq[Date](0) == days && row.getInt(1) == idxs.size
     }
 
+  property("reanchor(mask, d, w) = encode against the advanced anchor " +
+    "restricted to its w-day window (the BIT(32) wraparound law)") =
+    forAll(daySets, Gen.choose(0, 70), Gen.oneOf(32, 64)) {
+      (idxs, adv, width) =>
+        val days = idxs.toSeq.sorted.map(d)
+        val df = Seq(Tuple1(days)).toDF("days")
+        val got = df.select(
+          Datelist.reanchor(Datelist.encode($"days", anchor),
+            lit(adv), width)).as[Long].head()
+        val expected = idxs
+          .filter(i => i >= adv && i - adv < width)
+          .foldLeft(0L)((m, i) => m | (1L << (i - adv)))
+        got == expected
+    }
+
   property("windowMask counts exactly the in-window days") =
     forAll(daySets, Gen.choose(0, 57)) { (idxs, from) =>
       val days = idxs.toSeq.sorted.map(d)
