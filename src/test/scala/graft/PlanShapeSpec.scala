@@ -368,6 +368,41 @@ class PlanShapeSpec extends SparkSpec {
       s"pair expansion must come from the in-row array, not a join:\n$p")
   }
 
+  test("q217's DSIR model broadcasts back over the token stream and " +
+    "text never reaches a keyed exchange") {
+    val p = plan("q217_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 4096-row LLR model must broadcast into the scoring pass:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the totals row must broadcast, never cartesian:\n$p")
+    val bad = keyedExchanges("q217_dsir_importance")
+      .filter(_.contains("text#"))
+    assert(bad.isEmpty,
+      "document text reached a keyed exchange:\n" + bad.mkString("\n"))
+  }
+
+  test("q218's charset²-bounded LM joins equi and shuffles no text") {
+    val p = plan("q218_surprisal_buckets")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"model scoring must stay an equi join on (lang, bigram):\n$p")
+    val bad = keyedExchanges("q218_surprisal_buckets")
+      .filter(_.contains("text#"))
+    assert(bad.isEmpty,
+      "document text reached a keyed exchange:\n" + bad.mkString("\n"))
+  }
+
+  test("q219's KL pair join is bucket-equi over the bounded grid — " +
+    "no cartesian, no text in any exchange") {
+    val p = plan("q219_source_kl")
+    assert(!p.contains("CartesianProduct"),
+      s"the source-pair expansion must ride the b-equi join:\n$p")
+    val bad = keyedExchanges("q219_source_kl")
+      .filter(_.contains("text#"))
+    assert(bad.isEmpty,
+      "document text reached a keyed exchange:\n" + bad.mkString("\n"))
+  }
+
   test("q216's span matching joins on 60-bit hashes: text never " +
     "reaches an exchange, candidates never go all-pairs") {
     val p = plan("q216_longest_dup_span")
