@@ -76,14 +76,16 @@ object Distributional {
   def surprisal(docs: DataFrame): DataFrame = {
     val bg = docs.filter(length(col("text")) >= 2)
       .select(col("doc_id"), col("lang"),
-        // text is a scan ATTRIBUTE: the lambda capture is a cheap
-        // field read per element (PLANS.md — the HOF re-eval trap is
-        // about COMPUTED children)
-        explode_outer(transform(
-          sequence(lit(1), length(col("text")) - 1),
-          i => col("text").substr(i, lit(2)))).as("g"))
+        // byte-walking kernel: the HOF form pays an interpreted
+        // lambda per character and an O(n) substr re-scan per call —
+        // CharBigramsSpec pins kernel ≡ HOF
+        explode_outer(graft.plans.CharBigrams(col("text"))).as("g"))
       .filter(col("g").isNotNull)
-      .localCheckpoint() // model counts AND doc scoring read it
+    // deliberately NOT checkpointed: the model pass and the scoring
+    // pass each re-run the O(n) bigram kernel off the scan — cheaper
+    // than materializing a bigram stream ~6× the corpus size (75 MB
+    // at sf0.1 per run; block-manager churn measured as 1.5-5.7 s
+    // swings), and the 100 TB-right call for the same reason
     val bc = bg.groupBy(col("lang"), col("g"))
       .agg(count(lit(1)).as("n"))
     val cc = bc.groupBy(col("lang").as("clang"),
@@ -95,8 +97,12 @@ object Distributional {
       .select(bc("lang"), col("g"),
         floor(log(col("cn").cast("double") / col("n").cast("double"))
           * 1e6).cast("long").as("mnat"))
-    // charset²-bounded model — AQE broadcasts it when small
-    bg.join(s, Seq("lang", "g"))
+    // EXPLICIT broadcast of the charset²-bounded model: the
+    // checkpointed bigram stream has UnknownPartitioning/no stats, and
+    // left to itself the planner picked BuildLeft — broadcasting the
+    // corpus-sized stream instead of the model (measured 3.3 s at
+    // sf0.1; scale-fatal at 100 TB)
+    bg.join(broadcast(s), Seq("lang", "g"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("mnat")).as("tot"), count(lit(1)).as("n_bg"))
       .select(col("doc_id"), col("lang"),

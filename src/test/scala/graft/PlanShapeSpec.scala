@@ -379,6 +379,21 @@ class PlanShapeSpec extends SparkSpec {
       .filter(_.contains("text#"))
     assert(bad.isEmpty,
       "document text reached a keyed exchange:\n" + bad.mkString("\n"))
+    assertModelSideBroadcasts("q217_dsir_importance")
+  }
+
+  /** The broadcast DIRECTION guard for the Distributional scorers: the
+    * bounded MODEL side must broadcast, never the per-document feature
+    * stream — the stream carries doc_id, the models never do. (The
+    * planner actually made this mistake once: a checkpointed bigram
+    * stream with unknown stats planned as BuildLeft broadcast.)
+    */
+  private def assertModelSideBroadcasts(name: String): Unit = {
+    val bad = fmtPlan(name).split("\n\n")
+      .filter(s => s.contains("BroadcastExchange") && s.contains("doc_id#"))
+    assert(bad.isEmpty,
+      s"$name: the doc-keyed stream is being broadcast:\n" +
+        bad.mkString("\n"))
   }
 
   test("q218's charset²-bounded LM joins equi and shuffles no text") {
@@ -390,6 +405,7 @@ class PlanShapeSpec extends SparkSpec {
       .filter(_.contains("text#"))
     assert(bad.isEmpty,
       "document text reached a keyed exchange:\n" + bad.mkString("\n"))
+    assertModelSideBroadcasts("q218_surprisal_buckets")
   }
 
   test("q219's KL pair join is bucket-equi over the bounded grid — " +
