@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Distributional, IncrementalAgg}
+
+/** Streaming distribution-drift monitor: every micro-batch of
+  * documents is scored against the ACCUMULATED reference model before
+  * being merged into it — the in-stream form of q219's source-KL
+  * check, and the guard a 100 TB ingestion pipeline runs so a
+  * crawler regression / source flip shows up as a KL spike in the
+  * drift ledger, not six weeks later in model evals.
+  *
+  * Composition, not new machinery: per-batch hashed-unigram counts are
+  * [[Distributional.bucketCounts]] (a B-bounded mergeable partial),
+  * the model accumulates via [[IncrementalAgg.mergePartials]], the
+  * divergence is the same order-free integer-KL as q219, and the
+  * exactly-once contract is [[StreamingJobs.IncrementalAggSink]]'s:
+  * the caller persists the epoch id atomically with the model and
+  * replayed epochs ≤ the watermark are skipped.
+  *
+  * Scale shape: the only distributed work per batch is one
+  * map-side-combined count aggregate over the batch; the KL compare
+  * runs on two ≤ B-row frames.
+  */
+object DriftMonitor {
+
+  /** Scaled integer KL(cur‖ref) plus cur's token total, computed over
+    * the dense B-bucket grid with add-one smoothing — bit-identical to
+    * q219's per-pair arithmetic (⌊ln·10⁶⌋ per bucket, integer sum).
+    * Both inputs are (b, n) bucket-count frames with ≤ B rows.
+    */
+  def klAndSize(cur: DataFrame, ref: DataFrame, b: Int): (Long, Long) = {
+    val spark = cur.sparkSession
+    val d = spark.range(b).select(col("id").as("b"))
+      .join(cur.select(col("b"), col("n").as("np")), Seq("b"), "left")
+      .join(ref.select(col("b"), col("n").as("nq")), Seq("b"), "left")
+      .select(coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nq"), lit(0L)).as("nq"))
+      .localCheckpoint() // totals pass + term pass on ≤ B rows
+    val t = d.agg(sum(col("np")), sum(col("nq"))).head()
+    val (tp, tq) = (t.getLong(0), t.getLong(1))
+    val kl = d.agg(sum((col("np") + 1L) * floor(log(
+        ((col("np") + 1L) * lit(tq + b)).cast("double") /
+          ((col("nq") + 1L) * lit(tp + b)).cast("double")) * 1e6)
+      .cast("long"))).head().getLong(0)
+    (kl, tp)
+  }
+
+  /** One drift-ledger row per committed epoch. kl_scaled is 0 for the
+    * epoch that initializes the model (nothing to compare against). */
+  final case class DriftRow(epoch_id: Long, n_toks: Long,
+      kl_scaled: Long)
+
+  /** foreachBatch sink. `load`/`save` persist the (b, n) model —
+    * `save` must persist the epoch id atomically with it and
+    * `loadLastEpoch` report it back on restart (the IncrementalAggSink
+    * contract); `record` appends to the drift ledger (replay-safe
+    * because guarded by the same epoch watermark).
+    */
+  class Sink(
+      b: Int,
+      load: () => Option[DataFrame],
+      save: (DataFrame, Long) => Unit,
+      record: DriftRow => Unit,
+      loadLastEpoch: () => Option[Long] = () => None) {
+    private var lastMerged: Long = -1L
+
+    def apply(batch: DataFrame, epochId: Long): Unit = synchronized {
+      if (lastMerged < 0) lastMerged = loadLastEpoch().getOrElse(-1L)
+      if (epochId > lastMerged) {
+        // checkpoint: the counts feed the KL compare AND the merge,
+        // and foreachBatch frames must not be recomputed across jobs
+        val counts = Distributional.bucketCounts(batch, b)
+          .localCheckpoint()
+        load() match {
+          case Some(model) =>
+            val (kl, nToks) = klAndSize(counts, model, b)
+            record(DriftRow(epochId, nToks, kl))
+            save(IncrementalAgg.mergePartials(model, counts,
+              Seq("b"), Seq("n")), epochId)
+          case None =>
+            val nToks = counts.agg(sum(col("n"))).head() match {
+              case r if r.isNullAt(0) => 0L
+              case r => r.getLong(0)
+            }
+            record(DriftRow(epochId, nToks, 0L))
+            save(counts, epochId)
+        }
+        lastMerged = epochId
+      }
+    }
+  }
+}
