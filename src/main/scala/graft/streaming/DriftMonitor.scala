@@ -25,12 +25,20 @@ import graft.operators.{Distributional, IncrementalAgg}
   */
 object DriftMonitor {
 
-  /** Scaled integer KL(cur‖ref) plus cur's token total, computed over
-    * the dense B-bucket grid with add-one smoothing — bit-identical to
-    * q219's per-pair arithmetic (⌊ln·10⁶⌋ per bucket, integer sum).
-    * Both inputs are (b, n) bucket-count frames with ≤ B rows.
+  /** Scaled integer KL(cur‖ref) and PSI(cur, ref) plus cur's token
+    * total, computed over the dense B-bucket grid with add-one
+    * smoothing. KL is bit-identical to q219's per-pair arithmetic
+    * (⌊ln·10⁶⌋ per bucket, weighted by raw counts, integer sum ≈
+    * KL·(tp+B)·10⁶). PSI — the industry-standard drift index
+    * Σ(p−q)·ln(p/q) — quantizes each probability to integer ppm
+    * (⌊(n+1)·10⁶ / (tot+B)⌋) before the difference, so its
+    * accumulation is integer and order-free too (≈ PSI·10¹²; every
+    * term is ≥ 0 since p−q and ln(p/q) share sign, so quantization
+    * never cancels wrongly). Both inputs are (b, n) bucket-count
+    * frames with ≤ B rows.
     */
-  def klAndSize(cur: DataFrame, ref: DataFrame, b: Int): (Long, Long) = {
+  def divergences(cur: DataFrame, ref: DataFrame, b: Int)
+      : (Long, Long, Long) = {
     val spark = cur.sparkSession
     val d = spark.range(b).select(col("id").as("b"))
       .join(cur.select(col("b"), col("n").as("np")), Seq("b"), "left")
@@ -40,17 +48,22 @@ object DriftMonitor {
       .localCheckpoint() // totals pass + term pass on ≤ B rows
     val t = d.agg(sum(col("np")), sum(col("nq"))).head()
     val (tp, tq) = (t.getLong(0), t.getLong(1))
-    val kl = d.agg(sum((col("np") + 1L) * floor(log(
-        ((col("np") + 1L) * lit(tq + b)).cast("double") /
-          ((col("nq") + 1L) * lit(tp + b)).cast("double")) * 1e6)
-      .cast("long"))).head().getLong(0)
-    (kl, tp)
+    val mnat = floor(log(
+      ((col("np") + 1L) * lit(tq + b)).cast("double") /
+        ((col("nq") + 1L) * lit(tp + b)).cast("double")) * 1e6)
+      .cast("long")
+    val pPpm = expr(s"(np + 1L) * 1000000L DIV ${tp + b}L")
+    val qPpm = expr(s"(nq + 1L) * 1000000L DIV ${tq + b}L")
+    val r = d.agg(
+      sum((col("np") + 1L) * mnat).as("kl"),
+      sum((pPpm - qPpm) * mnat).as("psi")).head()
+    (r.getLong(0), r.getLong(1), tp)
   }
 
-  /** One drift-ledger row per committed epoch. kl_scaled is 0 for the
+  /** One drift-ledger row per committed epoch. kl/psi are 0 for the
     * epoch that initializes the model (nothing to compare against). */
   final case class DriftRow(epoch_id: Long, n_toks: Long,
-      kl_scaled: Long)
+      kl_scaled: Long, psi_scaled: Long)
 
   /** foreachBatch sink. `load`/`save` persist the (b, n) model —
     * `save` must persist the epoch id atomically with it and
@@ -75,8 +88,8 @@ object DriftMonitor {
           .localCheckpoint()
         load() match {
           case Some(model) =>
-            val (kl, nToks) = klAndSize(counts, model, b)
-            record(DriftRow(epochId, nToks, kl))
+            val (kl, psi, nToks) = divergences(counts, model, b)
+            record(DriftRow(epochId, nToks, kl, psi))
             save(IncrementalAgg.mergePartials(model, counts,
               Seq("b"), Seq("n")), epochId)
           case None =>
@@ -84,7 +97,7 @@ object DriftMonitor {
               case r if r.isNullAt(0) => 0L
               case r => r.getLong(0)
             }
-            record(DriftRow(epochId, nToks, 0L))
+            record(DriftRow(epochId, nToks, 0L, 0L))
             save(counts, epochId)
         }
         lastMerged = epochId

@@ -26,14 +26,20 @@ class DriftMonitorSpec extends SparkSpec {
     texts.flatMap(_.toLowerCase.split("\\s+", -1)).map(bucket)
       .groupBy(identity).map { case (b, ws) => b -> ws.size.toLong }
 
-  private def klRef(cur: Map[Long, Long], ref: Map[Long, Long]): Long = {
+  /** (kl_scaled, psi_scaled) — the same integer arithmetic as
+    * DriftMonitor.divergences, folded sequentially. */
+  private def divRef(cur: Map[Long, Long], ref: Map[Long, Long])
+      : (Long, Long) = {
     val tp = cur.values.sum; val tq = ref.values.sum
     (0L until B).map { b =>
       val np = cur.getOrElse(b, 0L); val nq = ref.getOrElse(b, 0L)
-      (np + 1) * math.floor(math.log(
+      val mnat = math.floor(math.log(
         ((np + 1) * (tq + B)).toDouble /
           ((nq + 1) * (tp + B)).toDouble) * 1e6).toLong
-    }.sum
+      val pPpm = (np + 1) * 1000000L / (tp + B)
+      val qPpm = (nq + 1) * 1000000L / (tq + B)
+      ((np + 1) * mnat, (pPpm - qPpm) * mnat)
+    }.foldLeft((0L, 0L)) { case ((k, p), (dk, dp)) => (k + dk, p + dp) }
   }
 
   test("drift ledger: init, steady state matches the driver fold, " +
@@ -66,15 +72,20 @@ class DriftMonitorSpec extends SparkSpec {
     val Seq(r1, r2, r3) = ledger.toSeq
     assert(r1.kl_scaled == 0L && r1.n_toks == 80L, s"init row: $r1")
 
-    // steady state: EXACT match against the sequential fold
-    val expected2 = klRef(countsOf(batch2.map(_._2)),
+    // steady state: EXACT match against the sequential fold, both
+    // divergences
+    val (expKl2, expPsi2) = divRef(countsOf(batch2.map(_._2)),
       countsOf(batch1.map(_._2)))
-    assert(r2.kl_scaled == expected2 && r2.n_toks == 40L,
-      s"epoch-1 KL ${r2.kl_scaled} != fold $expected2")
+    assert(r2.kl_scaled == expKl2 && r2.psi_scaled == expPsi2 &&
+      r2.n_toks == 40L,
+      s"epoch-1 ($r2) != fold (kl=$expKl2, psi=$expPsi2)")
+    assert(r2.psi_scaled >= 0L, s"PSI terms are sign-aligned: $r2")
 
-    // vocab flip: divergence must dwarf the steady-state epoch
+    // vocab flip: both divergences must dwarf the steady-state epoch
     assert(r3.kl_scaled > 10 * math.max(1L, math.abs(r2.kl_scaled)),
-      s"vocab flip did not spike: $r3 vs $r2")
+      s"vocab flip did not spike KL: $r3 vs $r2")
+    assert(r3.psi_scaled > 10 * math.max(1L, r2.psi_scaled),
+      s"vocab flip did not spike PSI: $r3 vs $r2")
 
     // replay storm: re-delivering an already-merged epoch must change
     // neither the ledger nor the model
