@@ -8,6 +8,7 @@ package graft
 object PlanScan {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("broadcast")) return broadcastAudit(args)
+    if (args.headOption.contains("exchanges")) return exchangeLedger(args)
     val sfDir =
       args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = graft.core.Sessions.local("4", logLevel = "ERROR")
@@ -26,6 +27,72 @@ object PlanScan {
         case e: Throwable =>
           println(s"[scan] ${q.name} FAILED: ${e.getMessage.take(100)}")
       }
+    }
+    spark.stop()
+  }
+
+  /** Shuffle/broadcast exchange counts of a query's STATIC physical
+    * plan, subqueries included. Exchanges only exist after
+    * `EnsureRequirements`, so this walks `executedPlan` — but through
+    * AQE's `initialPlan` (the plan BEFORE any runtime re-optimization
+    * fires), keeping the count deterministic: AQE's runtime coalescing/
+    * demotion would make the ledger flap with partition sizes.
+    */
+  def exchangeCounts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeLike, ShuffleExchangeLike}
+    var sh = 0
+    var bc = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+      case other =>
+        other match {
+          case _: ShuffleExchangeLike => sh += 1
+          case _: BroadcastExchangeLike => bc += 1
+          case _ => ()
+        }
+        other.children.foreach(walk)
+        other.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    (sh, bc)
+  }
+
+  /** One ledger line per query, sorted by name. */
+  def exchangeLedgerLines(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[String] =
+    SparkEntry.allQueries.sortBy(_.name).map { q =>
+      try {
+        val (s, b) = exchangeCounts(q.run(spark, sfDir))
+        s"${q.name} shuffle=$s broadcast=$b"
+      } catch {
+        case e: Throwable =>
+          s"${q.name} ERROR ${e.getMessage.take(80).replace('\n', ' ')}"
+      }
+    }
+
+  /** `runMain graft.PlanScan exchanges [sfDir] [outFile]`: the
+    * per-query exchange-count ledger. Checked in as EXCHANGES.txt and
+    * pinned by ExchangeLedgerSpec, so any change that silently adds a
+    * shuffle (a lost bucketing, a dropped broadcast hint, an optimizer
+    * barrier sneaking in) fails `sbt test` with a named diff instead of
+    * surfacing as a bench regression three rounds later. Regenerate
+    * deliberately after reviewing the diff:
+    * `sbt "runMain graft.PlanScan exchanges /root/testdata/sf0.001 EXCHANGES.txt"`.
+    */
+  private def exchangeLedger(args: Array[String]): Unit = {
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val spark = graft.core.Sessions.local("4", logLevel = "ERROR")
+    val lines = exchangeLedgerLines(spark, sfDir)
+    args.lift(2) match {
+      case Some(f) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          (lines.mkString("\n") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"[exchanges] wrote ${lines.size} entries to $f")
+      case None => lines.foreach(l => println(s"[exchanges] $l"))
     }
     spark.stop()
   }

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Bpe
+
+/** Round-7 additions: the full BPE tokenizer loop — induction (q198
+  * computed one pair-count step; q220 runs the whole merge loop) and
+  * application (q221 encodes the corpus with the learned merges and
+  * reports per-source fertility). Kernels in [[graft.operators.Bpe]];
+  * the wrapped-symbol-string representation and the rank-order ≡
+  * greedy-encode equivalence are documented there and property-tested
+  * in BpeProps.
+  *
+  * Oracle shape: DuckDB has no iterative primitive, so the oracles
+  * carry the learning loop as a WITH RECURSIVE over a SINGLE-ROW list
+  * state (the whole word-frequency table as a LIST of structs, pair
+  * argmax via list lambdas — no aggregates in the recursive term) and
+  * the encode as a second recursive CTE applying `merges[i]` at step
+  * i. Both engines do literal left-to-right non-overlapping replace,
+  * so the hash compare is exact. Everything output is integer counts.
+  */
+object Extended11 {
+
+  private val R = 16
+
+  /** The shared learning-loop oracle prefix: `fin.merges` is the
+    * learned (a, b, cnt) list in rank order.
+    */
+  private val learnSql =
+    s"""wf AS (
+      |  SELECT w, COUNT(*)::BIGINT AS f
+      |  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+      |        FROM documents) t
+      |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY 1),
+      |init AS (
+      |  SELECT list(struct_pack(
+      |      s := '|' || array_to_string(string_split(w, ''), '||') || '|',
+      |      f := f) ORDER BY w) AS words
+      |  FROM wf),
+      |st AS (
+      |  SELECT 0 AS iter, words,
+      |    []::STRUCT(a VARCHAR, b VARCHAR, cnt BIGINT)[] AS merges
+      |  FROM init
+      |  UNION ALL
+      |  SELECT iter + 1,
+      |    list_transform(words, w -> struct_pack(
+      |      s := replace(w.s, '|' || best.a || '||' || best.b || '|',
+      |                   '|' || best.a || best.b || '|'),
+      |      f := w.f)),
+      |    list_append(merges, best)
+      |  FROM (
+      |    SELECT iter, words, merges,
+      |      (SELECT struct_pack(a := p.a, b := p.b, cnt := p.cnt) FROM (
+      |        SELECT cand.a, cand.b,
+      |          list_sum(list_transform(words, w ->
+      |            w.f * len(list_filter(
+      |              range(1, len(string_split(trim(w.s, '|'), '||'))),
+      |              i -> string_split(trim(w.s, '|'), '||')[i] = cand.a
+      |               AND string_split(trim(w.s, '|'), '||')[i+1] = cand.b))))
+      |            ::BIGINT AS cnt
+      |        FROM (SELECT DISTINCT unnest(flatten(list_transform(words, w ->
+      |                list_transform(
+      |                  range(1, len(string_split(trim(w.s, '|'), '||'))),
+      |                  i -> struct_pack(
+      |                    a := string_split(trim(w.s, '|'), '||')[i],
+      |                    b := string_split(trim(w.s, '|'), '||')[i+1])))))
+      |              AS p) c(cand)
+      |        ORDER BY cnt DESC, cand.a, cand.b LIMIT 1) p) AS best
+      |    FROM st WHERE iter < $R) t
+      |  WHERE best IS NOT NULL AND best.cnt > 0),
+      |fin AS (SELECT merges FROM st ORDER BY iter DESC LIMIT 1)""".stripMargin
+
+  /** BPE merge induction: the first $R merges learned from the corpus
+    * word-frequency table (count desc, pair asc tie-break — the exact
+    * sequence a tokenizer trainer would emit). One corpus pass builds
+    * the (word, freq) table; the R rounds aggregate only that
+    * persisted vocabulary table, each materializing a single argmax
+    * row on the driver.
+    */
+  val q220_bpe_learn: Q = Q(
+    "q220_bpe_learn",
+    s"""WITH RECURSIVE $learnSql
+      |SELECT CAST(rank AS INT) AS rank, m.a AS a, m.b AS b, m.cnt AS cnt
+      |FROM (SELECT unnest(merges) AS m, generate_subscripts(merges, 1) AS rank
+      |      FROM fin) t
+      |ORDER BY rank""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val merges = Bpe.learn(Bpe.wordFreq(docs, $"text"), R)
+    Bpe.mergesDf(spark, merges).orderBy($"rank")
+  }
+
+  /** BPE encode + fertility: learn the merge table, then encode every
+    * (source, word) with the rank-ordered sweep chain and report
+    * per-source token counts, tokens-per-100-words fertility, and
+    * post-encode vocabulary size. The encode is a chain of R codegen'd
+    * literal replaces inlined into the aggregate — at 100 TB the plan
+    * is: one corpus pass for learning's word-frequency table, one for
+    * the (source, word) counts, and bounded-vocabulary work everywhere
+    * else; no join carries the corpus.
+    */
+  val q221_bpe_encode_stats: Q = Q(
+    "q221_bpe_encode_stats",
+    s"""WITH RECURSIVE $learnSql,
+      |sw AS (
+      |  SELECT source, w, COUNT(*)::BIGINT AS n
+      |  FROM (SELECT source,
+      |          unnest(string_split_regex(lower(text), '\\s+')) AS w
+      |        FROM documents) t
+      |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY 1, 2),
+      |dw AS (SELECT DISTINCT w FROM sw),
+      |enc AS (
+      |  SELECT w,
+      |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS s,
+      |    0 AS i
+      |  FROM dw
+      |  UNION ALL
+      |  SELECT t.w,
+      |    replace(t.s, '|' || t.m.a || '||' || t.m.b || '|',
+      |            '|' || t.m.a || t.m.b || '|'),
+      |    t.i + 1
+      |  FROM (SELECT e.w, e.s, e.i, f.merges[e.i + 1] AS m
+      |        FROM enc e, fin f WHERE e.i < len(f.merges)) t),
+      |wt AS (SELECT e.w, string_split(trim(e.s, '|'), '||') AS toks
+      |       FROM enc e, fin f WHERE e.i = len(f.merges)),
+      |s1 AS (SELECT sw.source, SUM(sw.n) AS n_words,
+      |         SUM(sw.n * len(wt.toks)) AS n_tokens,
+      |         COUNT(*) AS n_distinct_words
+      |       FROM sw JOIN wt ON sw.w = wt.w GROUP BY 1),
+      |s2 AS (SELECT source, COUNT(DISTINCT t) AS n_distinct_tokens
+      |       FROM (SELECT sw.source AS source, unnest(wt.toks) AS t
+      |             FROM sw JOIN wt ON sw.w = wt.w) z GROUP BY 1)
+      |SELECT s1.source, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(100 * n_tokens // n_words AS BIGINT) AS tokens_per_100w,
+      |  CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+      |  CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens
+      |FROM s1 JOIN s2 USING (source) ORDER BY s1.source""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val merges = Bpe.learn(Bpe.wordFreq(docs, $"text"), R)
+    val sw = docs
+      .select($"source", explode_outer(split(lower($"text"), "\\s+")).as("w"))
+      .filter($"w".rlike(Bpe.WordPattern))
+      .groupBy($"source", $"w")
+      .agg(count(lit(1)).as("n"))
+    val enc = sw.withColumn("toks", Bpe.encodeTokens($"w", merges))
+    val stats = enc.groupBy($"source")
+      .agg(sum($"n").as("n_words"),
+        sum($"n" * size($"toks")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_words"))
+    val dtok = enc
+      .select($"source", explode($"toks").as("t"))
+      .groupBy($"source")
+      .agg(count_distinct($"t").as("n_distinct_tokens"))
+    stats.join(dtok, "source")
+      .select($"source", $"n_words", $"n_tokens",
+        expr("100 * n_tokens DIV n_words").as("tokens_per_100w"),
+        $"n_distinct_words", $"n_distinct_tokens")
+      .orderBy($"source")
+  }
+
+  val all: Seq[Q] = Seq(q220_bpe_learn, q221_bpe_encode_stats)
+}
