@@ -146,16 +146,24 @@ object Extended11 {
       .filter($"w".rlike(Bpe.WordPattern))
       .groupBy($"source", $"w")
       .agg(count(lit(1)).as("n"))
-    val enc = sw.withColumn("toks", Bpe.encodeTokens($"w", merges))
-    val stats = enc.groupBy($"source")
-      .agg(sum($"n").as("n_words"),
-        sum($"n" * size($"toks")).as("n_tokens"),
-        count(lit(1)).as("n_distinct_words"))
-    val dtok = enc
-      .select($"source", explode($"toks").as("t"))
-      .groupBy($"source")
-      .agg(count_distinct($"t").as("n_distinct_tokens"))
-    stats.join(dtok, "source")
+    // ONE downstream aggregate for all four statistics: explode the
+    // token array (vocabulary-bounded — this is post-aggregate), tag
+    // each word's stats onto its pos=0 row, and fold words + tokens in
+    // a single multi-distinct groupBy. The naive two-branch
+    // stats⋈distinct-tokens join re-scans the corpus: column pruning
+    // drops `n` from the token branch's aggregate, the two shuffle
+    // subtrees stop canonicalizing equal, and ReuseExchange never
+    // fires.
+    val ex = sw
+      .withColumn("toks", Bpe.encodeTokens($"w", merges))
+      .select($"source", $"w", $"n", size($"toks").as("tl"),
+        posexplode($"toks").as(Seq("pos", "t")))
+    ex.groupBy($"source")
+      .agg(
+        sum(when($"pos" === 0, $"n")).as("n_words"),
+        sum(when($"pos" === 0, $"n" * $"tl")).as("n_tokens"),
+        count_distinct($"w").as("n_distinct_words"),
+        count_distinct($"t").as("n_distinct_tokens"))
       .select($"source", $"n_words", $"n_tokens",
         expr("100 * n_tokens DIV n_words").as("tokens_per_100w"),
         $"n_distinct_words", $"n_distinct_tokens")

@@ -430,4 +430,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty,
       "span text reached a keyed exchange:\n" + bad.mkString("\n"))
   }
+
+  test("q221's encode rides expressions: one corpus scan, no joins, " +
+    "text never in a keyed exchange") {
+    val df = SparkEntry.queries("q221_bpe_encode_stats")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the two-branch stats⋈distinct-tokens formulation re-scans the
+    // corpus (pruning breaks exchange reuse); the fused multi-distinct
+    // aggregate must keep exactly one scan and zero joins
+    assert(!p.contains("Join"), s"fused aggregate needs no join:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
+    val bad = keyedExchanges("q221_bpe_encode_stats")
+      .filter(_.contains("text#"))
+    assert(bad.isEmpty,
+      "document text reached a keyed exchange:\n" + bad.mkString("\n"))
+  }
 }
