@@ -38,26 +38,32 @@ object PlanScan {
     * fires), keeping the count deterministic: AQE's runtime coalescing/
     * demotion would make the ledger flap with partition sizes.
     */
-  def exchangeCounts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
-    import org.apache.spark.sql.execution.SparkPlan
+  def exchangeCounts(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.{
       BroadcastExchangeLike, ShuffleExchangeLike}
     var sh = 0
     var bc = 0
+    var sc = 0
     def walk(p: SparkPlan): Unit = p match {
       case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
       case other =>
         other match {
           case _: ShuffleExchangeLike => sh += 1
           case _: BroadcastExchangeLike => bc += 1
+          // file scans counted too: a plan can regrow a second corpus
+          // scan with UNCHANGED exchange counts (q221's pre-fix shape
+          // minus its join) — pruning differences silently defeat
+          // ReuseExchange, and only the scan count sees it
+          case _: FileSourceScanExec => sc += 1
           case _ => ()
         }
         other.children.foreach(walk)
         other.subqueries.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
-    (sh, bc)
+    (sh, bc, sc)
   }
 
   /** One ledger line per query, sorted by name. */
@@ -65,8 +71,8 @@ object PlanScan {
       sfDir: String): Seq[String] =
     SparkEntry.allQueries.sortBy(_.name).map { q =>
       try {
-        val (s, b) = exchangeCounts(q.run(spark, sfDir))
-        s"${q.name} shuffle=$s broadcast=$b"
+        val (s, b, f) = exchangeCounts(q.run(spark, sfDir))
+        s"${q.name} shuffle=$s broadcast=$b scans=$f"
       } catch {
         case e: Throwable =>
           s"${q.name} ERROR ${e.getMessage.take(80).replace('\n', ' ')}"
