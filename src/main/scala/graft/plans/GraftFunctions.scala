@@ -10,6 +10,12 @@ import graft.operators.Dedup
   *   vector_dot(a, b)              — codegen'd float/double dot product
   *   sorted_intersect_count(a, b)  — merge-walk |A ∩ B| (sorted sets)
   *   minhash_sig(shingles)         — one-hash MinHash signature (k=16)
+  *   md5_prefix_long(s)            — 60-bit md5-prefix hash of a string
+  *   md5_prefix_longs(arr)         — the same, element-wise over an array
+  *   simhash_sig(tokens)           — 64-bit SimHash of a token array
+  *   sorted_shingles(text, n)      — distinct sorted n-token shingle
+  *                                   strings (n a literal int)
+  *   char_bigrams(s)               — code-point character bigram array
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -21,5 +27,18 @@ object GraftFunctions {
       exprs => MinHashSig(exprs.head, Dedup.MinhashSeeds))
     Bridge.registerFunction(spark, "md5_prefix_long",
       exprs => Md5PrefixLong(exprs.head, 15))
+    Bridge.registerFunction(spark, "md5_prefix_longs",
+      exprs => Md5PrefixLongs(exprs.head, 15))
+    Bridge.registerFunction(spark, "simhash_sig",
+      exprs => SimHashSig(exprs.head))
+    Bridge.registerFunction(spark, "sorted_shingles", exprs =>
+      SortedShinglesExpr(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n, _) =>
+          n.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"sorted_shingles n must be a literal int, got $other")
+      }))
+    Bridge.registerFunction(spark, "char_bigrams",
+      exprs => CharBigrams(exprs.head))
   }
 }

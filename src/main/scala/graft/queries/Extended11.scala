@@ -170,5 +170,91 @@ object Extended11 {
       .orderBy($"source")
   }
 
-  val all: Seq[Q] = Seq(q220_bpe_learn, q221_bpe_encode_stats)
+  /** Corpus tokenization to vocabulary ids — the artifact a training
+    * run actually consumes: vocabulary = corpus base characters
+    * (sorted, ids 1..C) plus the R learned merges (ids C+rank), and
+    * each document becomes its id sequence. The Spark side is
+    * join-free and shuffle-free up to the final sort: the vocabulary
+    * is a LITERAL map (chars + merges are both bounded and
+    * driver-known after learning), and per-doc encoding runs inside a
+    * `transform` lambda over the word array — at 100 TB that beats
+    * q112's explode→shuffle→reassemble shape because nothing but the
+    * finished id string ever leaves the scan stage. (HOF lambdas sit
+    * outside whole-stage codegen; the trade is interpreter-stepped
+    * expressions vs a corpus-wide exploded shuffle, and the shuffle
+    * loses by orders of magnitude.)
+    */
+  val q222_bpe_ids: Q = Q(
+    "q222_bpe_ids",
+    s"""WITH RECURSIVE $learnSql,
+      |chars AS (SELECT DISTINCT unnest(string_split(w, '')) AS c FROM wf),
+      |nch AS (SELECT COUNT(*) AS n FROM chars),
+      |vocab AS (
+      |  SELECT c AS tok, ROW_NUMBER() OVER (ORDER BY c) AS id FROM chars
+      |  UNION ALL
+      |  SELECT m.a || m.b AS tok, nch.n + rank AS id
+      |  FROM (SELECT unnest(merges) AS m,
+      |          generate_subscripts(merges, 1) AS rank FROM fin) t, nch),
+      |dw AS (SELECT DISTINCT w FROM wf),
+      |enc AS (
+      |  SELECT w,
+      |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS s,
+      |    0 AS i
+      |  FROM dw
+      |  UNION ALL
+      |  SELECT t.w,
+      |    replace(t.s, '|' || t.m.a || '||' || t.m.b || '|',
+      |            '|' || t.m.a || t.m.b || '|'),
+      |    t.i + 1
+      |  FROM (SELECT e.w, e.s, e.i, f.merges[e.i + 1] AS m
+      |        FROM enc e, fin f WHERE e.i < len(f.merges)) t),
+      |wt AS (SELECT e.w, string_split(trim(e.s, '|'), '||') AS toks
+      |       FROM enc e, fin f WHERE e.i = len(f.merges)),
+      |wi AS (SELECT w, list(id ORDER BY i) AS ids FROM (
+      |         SELECT z.w, z.i, vocab.id
+      |         FROM (SELECT wt.w, generate_subscripts(wt.toks, 1) AS i,
+      |                      unnest(wt.toks) AS t FROM wt) z
+      |         JOIN vocab ON vocab.tok = z.t) y
+      |       GROUP BY w),
+      |dtok AS (SELECT doc_id, pos, w
+      |  FROM (SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+      |          unnest(ws) AS w
+      |        FROM (SELECT doc_id,
+      |                list_filter(string_split_regex(lower(text), '\\s+'),
+      |                            x -> regexp_matches(x, '^[a-z0-9]+$$')) AS ws
+      |              FROM documents WHERE doc_id < 20) d) t)
+      |SELECT doc_id,
+      |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos, i) AS ids_csv
+      |FROM (SELECT dtok.doc_id, dtok.pos,
+      |        generate_subscripts(wi.ids, 1) AS i, unnest(wi.ids) AS id
+      |      FROM dtok JOIN wi ON wi.w = dtok.w) u
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val wf = Bpe.wordFreq(docs, $"text")
+    val merges = Bpe.learn(wf, R)
+    // base chars: bounded by the charset (collected like SRP's plane
+    // vectors — a labeled bounded driver solve, ≤ |alphabet| rows)
+    val chars = wf.select(explode(split($"w", "")).as("c"))
+      .filter($"c" =!= "").distinct().orderBy($"c")
+      .as[String].collect()
+    val vocab: Map[String, Int] =
+      chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap ++
+        merges.zipWithIndex.map { case (m, i) =>
+          (m.a + m.b) -> (chars.length + i + 1) }
+    val vocabMap = typedlit(vocab)
+    val words = filter(split(lower($"text"), "\\s+"),
+      w => w.rlike(Bpe.WordPattern))
+    docs.filter($"doc_id" < 20)
+      .select($"doc_id",
+        array_join(
+          transform(
+            flatten(transform(words, w => Bpe.encodeTokens(w, merges))),
+            t => element_at(vocabMap, t).cast("string")),
+          ",").as("ids_csv"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(q220_bpe_learn, q221_bpe_encode_stats, q222_bpe_ids)
 }

@@ -24,4 +24,33 @@ class GraftFunctionsSpec extends SparkSpec {
         org.apache.commons.codec.digest.DigestUtils.md5Hex("a")
           .substring(0, 15), 16))
   }
+
+  test("round-6/7 expressions are callable from SQL and agree with " +
+    "their Column-side kernels") {
+    GraftFunctions.register(spark)
+    Seq((Seq("a", "b", "c"), "abca"))
+      .toDF("toks", "s")
+      .createOrReplaceTempView("gf2")
+    val row = spark.sql(
+      """SELECT md5_prefix_longs(toks) AS hs,
+        |       simhash_sig(toks) AS sh,
+        |       sorted_shingles('a b c', 2) AS sg,
+        |       char_bigrams(s) AS bg
+        |FROM gf2""".stripMargin).head()
+    // element-wise md5_prefix_longs == scalar md5_prefix_long per token
+    val perTok = spark.sql(
+      "SELECT md5_prefix_long('a') AS a, md5_prefix_long('b') AS b, " +
+        "md5_prefix_long('c') AS c FROM gf2").head()
+    assert(row.getSeq[Long](0) ==
+      Seq(perTok.getLong(0), perTok.getLong(1), perTok.getLong(2)))
+    // simhash: deterministic, equal to the Column-path expression
+    val colSide = Seq(Seq("a", "b", "c")).toDF("toks")
+      .select(SimHashSig($"toks").as("sh"))
+      .head().getLong(0)
+    assert(row.getLong(1) == colSide)
+    // distinct sorted 2-shingles of "a b c"
+    assert(row.getSeq[String](2) == Seq("a b", "b c"))
+    // char bigrams of "abca": ab, bc, ca
+    assert(row.getSeq[String](3) == Seq("ab", "bc", "ca"))
+  }
 }
