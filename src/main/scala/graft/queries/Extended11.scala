@@ -255,6 +255,62 @@ object Extended11 {
       .orderBy($"doc_id")
   }
 
+  /** Tokenizer-budget evaluation: corpus fertility (tokens per 100
+    * words) under merge budgets 0/4/8/16 — the curve that tells a
+    * tokenizer trainer where extra vocabulary stops paying. Because a
+    * rank-k encode is exactly the first k sweeps of the rank-16 chain
+    * (merge prefixes are themselves valid merge tables), ONE learning
+    * run and ONE pass over the word-frequency table produce all four
+    * points: each word carries its token count under every budget as
+    * four expression columns, and the weighted sums unpivot to one row
+    * per budget. The oracle reads the same four states straight out of
+    * the recursive encode CTE's intermediate iterations.
+    */
+  val q223_fertility_curve: Q = Q(
+    "q223_fertility_curve",
+    s"""WITH RECURSIVE $learnSql,
+      |dw AS (SELECT w, f FROM wf),
+      |enc AS (
+      |  SELECT w,
+      |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS s,
+      |    0 AS i
+      |  FROM dw
+      |  UNION ALL
+      |  SELECT t.w,
+      |    replace(t.s, '|' || t.m.a || '||' || t.m.b || '|',
+      |            '|' || t.m.a || t.m.b || '|'),
+      |    t.i + 1
+      |  FROM (SELECT e.w, e.s, e.i, f.merges[e.i + 1] AS m
+      |        FROM enc e, fin f WHERE e.i < len(f.merges)) t)
+      |SELECT CAST(enc.i AS INT) AS budget,
+      |  CAST(SUM(dw.f) AS BIGINT) AS n_words,
+      |  CAST(SUM(dw.f * len(string_split(trim(enc.s, '|'), '||')))
+      |    AS BIGINT) AS n_tokens,
+      |  CAST(100 * SUM(dw.f * len(string_split(trim(enc.s, '|'), '||')))
+      |    // SUM(dw.f) AS BIGINT) AS tokens_per_100w
+      |FROM enc JOIN dw ON dw.w = enc.w
+      |WHERE enc.i IN (0, 4, 8, 16)
+      |GROUP BY enc.i ORDER BY budget""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val wf = Bpe.wordFreq(docs, $"text")
+    val merges = Bpe.learn(wf, R)
+    val budgets = Seq(0, 4, 8, R)
+    val sized = wf.select($"f" +: budgets.map(k =>
+      size(Bpe.encodeTokens($"w", merges.take(k))).as(s"t$k")): _*)
+    val agg = sized.agg(
+      sum($"f").as("n_words"),
+      struct(budgets.map(k => sum($"f" * col(s"t$k")).as(s"t$k")): _*)
+        .as("toks"))
+    agg.select(explode(array(budgets.map(k =>
+        struct(lit(k).as("budget"), $"toks".getField(s"t$k").as("n_tokens")))
+        : _*)).as("r"), $"n_words")
+      .select($"r.budget".as("budget"), $"n_words", $"r.n_tokens",
+        expr("100 * r.n_tokens DIV n_words").as("tokens_per_100w"))
+      .orderBy($"budget")
+  }
+
   val all: Seq[Q] =
-    Seq(q220_bpe_learn, q221_bpe_encode_stats, q222_bpe_ids)
+    Seq(q220_bpe_learn, q221_bpe_encode_stats, q222_bpe_ids,
+      q223_fertility_curve)
 }
