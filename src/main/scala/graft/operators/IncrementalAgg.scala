@@ -71,4 +71,40 @@ object IncrementalAgg {
     base.join(d, keys, "full_outer")
       .select(keys.map(col) ++ merged: _*)
   }
+
+  /** Incremental maintenance of an INNER equi-join view under
+    * append-only deltas — the join counterpart of [[mergePartials]]'
+    * aggregate maintenance.
+    *
+    * With A = A_old ∪ ΔA and B = B_old ∪ ΔB (multiset, append-only —
+    * updates/deletes need a changelog operator, see
+    * [[Upsert.applyChangelog]]), the new view decomposes into three
+    * DISJOINT match categories:
+    *
+    *   A ⋈ B = (A_old ⋈ B_old) ∪ (ΔA ⋈ B) ∪ (A_old ⋈ ΔB)
+    *         =  V_old           ∪ ΔV
+    *
+    * so a 100 TB maintained view is never re-joined: each batch
+    * computes only the delta terms, in which ONE side is always the
+    * (small) delta. With `broadcastDeltas` (default) the delta side
+    * carries an explicit broadcast hint — the maintained-side scan
+    * streams map-side through both delta joins with no shuffle at
+    * all; disable it when deltas can exceed broadcast size and let
+    * stats decide. Property-proven multiset-equal to the full re-join
+    * in IncrementalAggProps (keys missing on one side, duplicate
+    * keys, empty deltas).
+    */
+  def joinDelta(
+      view: DataFrame,
+      aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame,
+      keys: Seq[String],
+      broadcastDeltas: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastDeltas) broadcast(df) else df
+    val bNew = bOld.unionByName(bDelta)
+    view
+      .unionByName(bc(aDelta).join(bNew, keys))
+      .unionByName(aOld.join(bc(bDelta), keys))
+  }
 }

@@ -310,7 +310,52 @@ object Extended11 {
       .orderBy($"budget")
   }
 
+  /** Incremental JOIN view maintenance
+    * ([[graft.operators.IncrementalAgg.joinDelta]]): the orders ⋈
+    * customer view rebuilt incrementally from a historical snapshot
+    * plus append deltas on BOTH sides (recent orders; every 10th
+    * customer as new arrivals), then aggregated to a compact
+    * checksum. The oracle joins the full tables directly — hash
+    * equality proves ΔV = ΔA⋈B ∪ A_old⋈ΔB reconstructs the re-join
+    * exactly (key_sum over o_orderkey makes the compare sensitive to
+    * any multiset slip, not just counts). At 100 TB the maintained
+    * view is never re-joined: each batch's work is two joins where
+    * one side is the broadcast delta.
+    */
+  val q224_incremental_join: Q = Q(
+    "q224_incremental_join",
+    """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_spend
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.Exact._
+    import graft.operators.IncrementalAgg
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_custkey".as("custkey"), $"o_orderkey",
+        $"o_orderstatus", $"o_totalprice", $"o_orderdate")
+    val cust = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("custkey"), $"c_mktsegment")
+    val cut = lit("1999-01-01").cast("timestamp")
+    val view = orders.filter($"o_orderdate" < cut)
+      .join(cust.filter($"custkey" % 10 =!= 0), Seq("custkey"))
+    IncrementalAgg.joinDelta(
+        view,
+        aOld = orders.filter($"o_orderdate" < cut),
+        aDelta = orders.filter($"o_orderdate" >= cut),
+        bOld = cust.filter($"custkey" % 10 =!= 0),
+        bDelta = cust.filter($"custkey" % 10 === 0),
+        keys = Seq("custkey"))
+      .groupBy($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").as("key_sum"),
+        sum(money($"o_totalprice")).cast("double").as("total_spend"))
+      .orderBy($"c_mktsegment", $"o_orderstatus")
+  }
+
   val all: Seq[Q] =
     Seq(q220_bpe_learn, q221_bpe_encode_stats, q222_bpe_ids,
-      q223_fertility_curve)
+      q223_fertility_curve, q224_incremental_join)
 }

@@ -38,4 +38,36 @@ object IncrementalAggProps extends Properties("IncrementalAgg") {
         .as[(String, Long, Long, Long, Long)].collect().toSet
       merged == direct
     }
+
+  // joinDelta law: random two-sided tables with duplicate keys, keys
+  // present on one side only, and possibly-empty deltas — the
+  // incremental view must equal the full re-join as a MULTISET
+  private val joinGen: Gen[(List[(String, Long)], Int,
+      List[(String, Long)], Int)] = for {
+    as <- Gen.listOf(for {
+      k <- Gen.oneOf("a", "b", "c", "d", "e")
+      x <- Gen.chooseNum(0L, 99L)
+    } yield (k, x))
+    sa <- Gen.chooseNum(0, as.length)
+    bs <- Gen.listOf(for {
+      k <- Gen.oneOf("c", "d", "e", "f", "g")
+      y <- Gen.chooseNum(0L, 99L)
+    } yield (k, y))
+    sb <- Gen.chooseNum(0, bs.length)
+  } yield (as, sa, bs, sb)
+
+  property("joinDelta(V, ΔA, ΔB) == (A++ΔA) join (B++ΔB), multiset") =
+    forAll(joinGen) { case (as, sa, bs, sb) =>
+      val (aOld, aDelta) = as.splitAt(sa)
+      val (bOld, bDelta) = bs.splitAt(sb)
+      def dfA(r: Seq[(String, Long)]) = r.toDF("k", "x")
+      def dfB(r: Seq[(String, Long)]) = r.toDF("k", "y")
+      val view = dfA(aOld).join(dfB(bOld), Seq("k"))
+      val inc = IncrementalAgg.joinDelta(view,
+          dfA(aOld), dfA(aDelta), dfB(bOld), dfB(bDelta), Seq("k"))
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      val full = dfA(as).join(dfB(bs), Seq("k"))
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      inc == full
+    }
 }
