@@ -72,6 +72,51 @@ object IncrementalAgg {
       .select(keys.map(col) ++ merged: _*)
   }
 
+  /** Retract a batch of deleted rows from a maintained
+    * partial-aggregate table — the CDC-delete counterpart of
+    * [[mergePartials]]. Only SUM/COUNT partials retract algebraically
+    * (subtract the delta's partials); MIN/MAX have no inverse — a
+    * deleted row that WAS the extremum needs a per-key recompute from
+    * raw history, so this operator refuses those columns by design
+    * (maintain extremes with [[Upsert.applyChangelog]] snapshots or a
+    * keyed recompute instead).
+    *
+    * Contract guards, both loud and in-plan (no driver scan):
+    *  - a retraction for a key the base does not hold, or one that
+    *    drives `countCol` negative, raises — it means the delta was
+    *    not a subset of history (double-delete, replayed batch);
+    *  - keys whose count reaches zero are DROPPED, so
+    *    retract(merge(p(A), p(B)), p(B)) round-trips to exactly p(A)
+    *    (property-proven in IncrementalAggProps).
+    *
+    * @param countCol the COUNT partial among `sumCols` that defines
+    *                 key liveness (drop at zero, negative = error)
+    */
+  def retractPartials(base: DataFrame, deleted: DataFrame,
+      keys: Seq[String], sumCols: Seq[String], countCol: String)
+      : DataFrame = {
+    require(sumCols.contains(countCol),
+      s"countCol $countCol must be one of sumCols $sumCols")
+    val d = deleted.select(
+      (keys.map(col) ++ sumCols.map(c => col(c).as(s"_d_$c"))): _*)
+    val merged = sumCols.map { c =>
+      val out = coalesce(col(c) - col(s"_d_$c"), col(c)).as(c)
+      if (c == countCol)
+        when(col(s"_d_$c").isNotNull && col(c).isNull,
+          raise_error(concat(lit("retraction for absent key: "),
+            concat_ws(",", keys.map(col): _*))))
+          .when(col(c) - col(s"_d_$c") < 0,
+            raise_error(concat(lit("retraction below zero for key: "),
+              concat_ws(",", keys.map(col): _*))))
+          .otherwise(out)
+          .as(c)
+      else out
+    }
+    base.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ merged: _*)
+      .filter(col(countCol) > 0)
+  }
+
   /** Incremental maintenance of an INNER equi-join view under
     * append-only deltas — the join counterpart of [[mergePartials]]'
     * aggregate maintenance.

@@ -355,7 +355,44 @@ object Extended11 {
       .orderBy($"c_mktsegment", $"o_orderstatus")
   }
 
+  /** CDC-delete maintenance of a partial-aggregate view
+    * ([[graft.operators.IncrementalAgg.retractPartials]]): the
+    * per-customer order totals with one delete batch (all urgent
+    * orders) retracted algebraically — subtract the batch's own
+    * partials, drop keys whose count reaches zero, raise on any
+    * retraction that is not a subset of history. The oracle aggregates
+    * the post-delete rows directly; hash equality proves the
+    * subtract-and-drop reconstruction. At 100 TB the maintained table
+    * is never rebuilt: the delete batch aggregates only itself, and
+    * the merge shuffles partial-table cardinality.
+    */
+  val q225_retract_agg: Q = Q(
+    "q225_retract_agg",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_spend
+      |FROM orders WHERE o_orderpriority <> '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.Exact._
+    import graft.operators.IncrementalAgg
+    val orders = Tables.load(spark, dir, "orders")
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(money($"o_totalprice")).as("_spend"))
+    IncrementalAgg.retractPartials(
+        partials(orders),
+        partials(orders.filter($"o_orderpriority" === "1-URGENT")),
+        keys = Seq("o_custkey"),
+        sumCols = Seq("n_orders", "_spend"),
+        countCol = "n_orders")
+      .select($"o_custkey", $"n_orders",
+        $"_spend".cast("double").as("total_spend"))
+      .orderBy($"o_custkey")
+  }
+
   val all: Seq[Q] =
     Seq(q220_bpe_learn, q221_bpe_encode_stats, q222_bpe_ids,
-      q223_fertility_curve, q224_incremental_join)
+      q223_fertility_curve, q224_incremental_join, q225_retract_agg)
 }

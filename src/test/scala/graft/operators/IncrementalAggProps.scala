@@ -56,6 +56,21 @@ object IncrementalAggProps extends Properties("IncrementalAgg") {
     sb <- Gen.chooseNum(0, bs.length)
   } yield (as, sa, bs, sb)
 
+  property("retract(merge(p(A), p(B)), p(B)) round-trips to p(A)") =
+    forAll(rowsGen) { case (rows, split) =>
+      val (a, b) = rows.splitAt(split)
+      val merged = IncrementalAgg.mergePartials(
+        partials(a), partials(b), Seq("k"), sumCols = Seq("n", "s"))
+        .select($"k", $"n", $"s")
+      val back = IncrementalAgg.retractPartials(
+          merged, partials(b).select($"k", $"n", $"s"),
+          Seq("k"), sumCols = Seq("n", "s"), countCol = "n")
+        .as[(String, Long, Long)].collect().toSet
+      val direct = partials(a).select($"k", $"n", $"s")
+        .as[(String, Long, Long)].collect().toSet
+      back == direct
+    }
+
   property("joinDelta(V, ΔA, ΔB) == (A++ΔA) join (B++ΔB), multiset") =
     forAll(joinGen) { case (as, sa, bs, sb) =>
       val (aOld, aDelta) = as.splitAt(sa)

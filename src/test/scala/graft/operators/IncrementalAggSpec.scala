@@ -54,4 +54,38 @@ class IncrementalAggSpec extends SparkSpec {
     assert(merged ==
       base.as[(String, Long, Long, Long, Long)].collect().toSet)
   }
+
+  test("retract drops zero-count keys and subtracts the rest") {
+    def p(rows: Seq[(String, Long)]) =
+      rows.toDF("k", "x").groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val base = p(Seq(("a", 5L), ("a", 7L), ("b", 1L)))
+    val out = IncrementalAgg.retractPartials(
+        base, p(Seq(("a", 5L), ("b", 1L))), Seq("k"),
+        sumCols = Seq("n", "s"), countCol = "n")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a", 1L, 7L)), s"got $out")
+  }
+
+  test("retract raises on non-subset deletes (absent key, below zero)") {
+    def p(rows: Seq[(String, Long)]) =
+      rows.toDF("k", "x").groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val base = p(Seq(("a", 5L)))
+    val absent = intercept[Exception] {
+      IncrementalAgg.retractPartials(base, p(Seq(("z", 1L))),
+        Seq("k"), sumCols = Seq("n", "s"), countCol = "n").collect()
+    }
+    assert(absent.getMessage.contains("absent key") ||
+      Option(absent.getCause).exists(_.getMessage.contains("absent key")),
+      s"wrong error: $absent")
+    val below = intercept[Exception] {
+      IncrementalAgg.retractPartials(base,
+        p(Seq(("a", 5L), ("a", 6L))),
+        Seq("k"), sumCols = Seq("n", "s"), countCol = "n").collect()
+    }
+    assert(below.getMessage.contains("below zero") ||
+      Option(below.getCause).exists(_.getMessage.contains("below zero")),
+      s"wrong error: $below")
+  }
 }
