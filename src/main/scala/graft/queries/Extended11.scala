@@ -86,8 +86,7 @@ object Extended11 {
       |      FROM fin) t
       |ORDER BY rank""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val docs = Tables.loadParallel(spark, dir, "documents")
-    val merges = Bpe.learn(Bpe.wordFreq(docs, $"text"), R)
+    val merges = Bpe.learnCorpus(spark, dir, R)
     Bpe.mergesDf(spark, merges).orderBy($"rank")
   }
 
@@ -140,7 +139,7 @@ object Extended11 {
     (spark, dir) =>
     import spark.implicits._
     val docs = Tables.loadParallel(spark, dir, "documents")
-    val merges = Bpe.learn(Bpe.wordFreq(docs, $"text"), R)
+    val merges = Bpe.learnCorpus(spark, dir, R)
     val sw = docs
       .select($"source", explode_outer(split(lower($"text"), "\\s+")).as("w"))
       .filter($"w".rlike(Bpe.WordPattern))
@@ -232,7 +231,7 @@ object Extended11 {
     import spark.implicits._
     val docs = Tables.loadParallel(spark, dir, "documents")
     val wf = Bpe.wordFreq(docs, $"text")
-    val merges = Bpe.learn(wf, R)
+    val merges = Bpe.learnCorpus(spark, dir, R)
     // base chars: bounded by the charset (collected like SRP's plane
     // vectors — a labeled bounded driver solve, ≤ |alphabet| rows)
     val chars = wf.select(explode(split($"w", "")).as("c"))
@@ -292,9 +291,9 @@ object Extended11 {
       |WHERE enc.i IN (0, 4, 8, 16)
       |GROUP BY enc.i ORDER BY budget""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val docs = Tables.loadParallel(spark, dir, "documents")
-    val wf = Bpe.wordFreq(docs, $"text")
-    val merges = Bpe.learn(wf, R)
+    val wf = Bpe.wordFreq(
+      Tables.loadParallel(spark, dir, "documents"), $"text")
+    val merges = Bpe.learnCorpus(spark, dir, R)
     val budgets = Seq(0, 4, 8, R)
     val sized = wf.select($"f" +: budgets.map(k =>
       size(Bpe.encodeTokens($"w", merges.take(k))).as(s"t$k")): _*)
