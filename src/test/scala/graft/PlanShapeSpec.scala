@@ -431,6 +431,25 @@ class PlanShapeSpec extends SparkSpec {
       "span text reached a keyed exchange:\n" + bad.mkString("\n"))
   }
 
+  test("q222's id encode is join-free and text never hits a keyed " +
+    "exchange (literal vocab map, in-row transform)") {
+    val p = plan("q222_bpe_ids")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the literal vocab map must keep the encode join-free:\n$p")
+    val bad = keyedExchanges("q222_bpe_ids").filter(_.contains("text#"))
+    assert(bad.isEmpty,
+      "document text reached a keyed exchange:\n" + bad.mkString("\n"))
+  }
+
+  test("q224's delta terms ride broadcast joins, never a cartesian") {
+    val p = plan("q224_incremental_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta joins must broadcast the batch side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"every term is key-equi:\n$p")
+  }
+
   test("q221's encode rides expressions: one corpus scan, no joins, " +
     "text never in a keyed exchange") {
     val df = SparkEntry.queries("q221_bpe_encode_stats")(spark, sfDir)
