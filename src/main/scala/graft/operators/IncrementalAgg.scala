@@ -117,6 +117,91 @@ object IncrementalAgg {
       .filter(col(countCol) > 0)
   }
 
+  /** CDC-delete retraction INCLUDING MIN/MAX partials — the keyed-
+    * recompute companion to [[retractPartials]] (which refuses
+    * extremes because they have no algebraic inverse).
+    *
+    * SUM/COUNT columns retract by subtraction exactly as in
+    * [[retractPartials]]. For MIN/MAX the operator re-derives the
+    * extremum from raw history, but ONLY for the keys the delete
+    * batch touches: `remaining` (the post-delete raw rows) is
+    * left-semi-joined against the delete batch's key set — an
+    * explicitly broadcast dimension, so at 100 TB the recompute is a
+    * map-side filter on the history scan (runtime-filter/DPP-able on
+    * partitioned storage) followed by an aggregation over ONLY the
+    * touched keys' rows. Untouched keys never leave the maintained
+    * table: their extremes pass through column-identically, with no
+    * rescan and no per-key state.
+    *
+    * Contract guards, loud and in-plan like [[retractPartials]]:
+    * absent-key and negative-count retractions raise, and so does a
+    * deleted extremum that EXCEEDS the maintained one (`_d_max > max`
+    * or `_d_min < min` — impossible when the delete batch is a true
+    * subset of history, so it means a replayed or corrupted batch).
+    * Keys whose count reaches zero are dropped.
+    *
+    * @param base      maintained partials: keys ++ sumCols ++ maxCols
+    *                  ++ minCols
+    * @param deleted   the delete batch's OWN partials, same shape
+    * @param remaining raw post-delete history; must carry `keys` and,
+    *                  for each extreme column c, a raw column named c
+    *                  (a row is a group of size one)
+    */
+  def retractWithRecompute(base: DataFrame, deleted: DataFrame,
+      remaining: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      countCol: String, maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil): DataFrame = {
+    require(sumCols.contains(countCol),
+      s"countCol $countCol must be one of sumCols $sumCols")
+    val extremeCols = maxCols ++ minCols
+    val valueCols = sumCols ++ extremeCols
+    val d = deleted.select(
+      (keys.map(col) ++ valueCols.map(c => col(c).as(s"_d_$c"))): _*)
+    // fresh extremes for touched keys only — the delete batch's key
+    // set is the (small) driver of the recompute, broadcast into the
+    // history scan
+    require(extremeCols.nonEmpty,
+      "no extreme columns — use retractPartials for pure SUM/COUNT")
+    val recAggs = maxCols.map(c => max(col(c)).as(s"_r_$c")) ++
+      minCols.map(c => min(col(c)).as(s"_r_$c"))
+    val rec = remaining
+      .join(broadcast(d.select(keys.map(col): _*)), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(recAggs.head, recAggs.tail: _*)
+    val touched = col(s"_d_$countCol").isNotNull
+    val keyStr = concat_ws(",", keys.map(col): _*)
+    val merged = sumCols.map { c =>
+      val out = coalesce(col(c) - col(s"_d_$c"), col(c)).as(c)
+      if (c == countCol)
+        when(touched && col(c).isNull,
+          raise_error(concat(lit("retraction for absent key: "), keyStr)))
+          .when(col(c) - col(s"_d_$c") < 0,
+            raise_error(concat(
+              lit("retraction below zero for key: "), keyStr)))
+          .otherwise(out)
+          .as(c)
+      else out
+    } ++ maxCols.map { c =>
+      when(col(s"_d_$c") > col(c),
+        raise_error(concat(
+          lit(s"deleted $c above maintained max for key: "), keyStr)))
+        .when(touched, col(s"_r_$c"))
+        .otherwise(col(c))
+        .as(c)
+    } ++ minCols.map { c =>
+      when(col(s"_d_$c") < col(c),
+        raise_error(concat(
+          lit(s"deleted $c below maintained min for key: "), keyStr)))
+        .when(touched, col(s"_r_$c"))
+        .otherwise(col(c))
+        .as(c)
+    }
+    base.join(d, keys, "full_outer")
+      .join(broadcast(rec), keys, "left_outer")
+      .select(keys.map(col) ++ merged: _*)
+      .filter(col(countCol) > 0)
+  }
+
   /** Incremental maintenance of an INNER equi-join view under
     * append-only deltas — the join counterpart of [[mergePartials]]'
     * aggregate maintenance.

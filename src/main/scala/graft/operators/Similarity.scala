@@ -108,6 +108,69 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("cos"))
   }
 
+  /** Full Lloyd's k-means fit: `rounds` iterations of cosine
+    * assignment ([[ivfAssign]]) + centroid update, seeded from the
+    * vectors with `vec_id < k`.
+    *
+    * Each round is one distributed pass: centroids (k·d values)
+    * broadcast into the assignment scan, then ONE shuffle of
+    * (centroid, dim) partials for the update — the corpus is
+    * localCheckpointed once and never re-read from storage. Between
+    * rounds the driver collects exactly k·d fixed-point components
+    * (bounded, corpus-independent — the same O(1)-per-round
+    * discipline as Bpe.learn), so a 100 TB corpus costs `rounds`
+    * map-side-heavy passes and nothing else.
+    *
+    * Determinism across engines and retries: the update step sums
+    * floor(v·10⁶) micro-units as longs and takes FLOOR of the IEEE
+    * double quotient (see q139's rationale), so round-r centroids are
+    * bit-identical everywhere; assignments tie-break by centroid_id.
+    * Clusters that lose all members are dropped (deterministically,
+    * mirrored by the oracle).
+    *
+    * @param vectors (vec_id, embedding)
+    * @return (centroid_id, dim, comp_fp, n_members) for the final
+    *         round — comp_fp is the centroid component in 10⁻⁶ units
+    */
+  def kmeansFit(vectors: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val emb = vectors.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    def update(cents: DataFrame): DataFrame =
+      ivfAssign(emb, cents)
+        .select(col("vec_id"), col("centroid_id"))
+        .join(emb, "vec_id")
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(sum(floor(col("v").cast("double") * 1000000)).as("s"),
+          count(lit(1)).as("n_members"))
+        // FLOOR of the double quotient, not DIV — sums can be
+        // negative and DuckDB's // floors while Spark's DIV truncates
+        .select(col("centroid_id"), col("dim"),
+          floor(col("s").cast("double") / col("n_members"))
+            .as("comp_fp"),
+          col("n_members"))
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    var out = update(cents)
+    for (_ <- 2 to rounds) {
+      // k·d fixed-point components — the only driver state per round
+      val comps = out.select("centroid_id", "dim", "comp_fp").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val next = comps.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cid, ds) =>
+          (cid, ds.sortBy(_._2).map(_._3.toDouble / 1000000.0).toSeq)
+        }
+      cents = next.toDF("centroid_id", "centroid")
+      out = update(cents)
+    }
+    out
+  }
+
   /** Top-nprobe centroids per query vector — the IVF probe list.
     *
     * @param queries   (qid, qvec)

@@ -465,4 +465,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty,
       "document text reached a keyed exchange:\n" + bad.mkString("\n"))
   }
+
+  test("q226's extreme recompute is a broadcast semi-join into " +
+    "history — untouched keys never rescan") {
+    val p = plan("q226_retract_minmax")
+    assert(p.contains("LeftSemi"),
+      s"touched-key filter must be a semi-join:\n$p")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2,
+      "the delete-key set and the recomputed extremes must both " +
+        s"broadcast, saw $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all joins key-equi:\n$p")
+  }
+
+  test("q227's assignment broadcasts the k-row centroid table and " +
+    "plans partial top-1 pushdown") {
+    val p = plan("q227_kmeans_fit")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast into the scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast cross join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"argmax must push partial top-1 below the rank window:\n$p")
+  }
 }

@@ -71,6 +71,21 @@ object IncrementalAggProps extends Properties("IncrementalAgg") {
       back == direct
     }
 
+  property("retractWithRecompute(p(A++D), p(D), A) == p(A)") =
+    forAll(rowsGen) { case (rows, split) =>
+      val (keep, del) = rows.splitAt(split)
+      val remaining = keep.toDF("k", "x")
+        .select($"k", $"x".as("mx"), $"x".as("mn"))
+      val back = IncrementalAgg.retractWithRecompute(
+          partials(rows), partials(del), remaining,
+          keys = Seq("k"), sumCols = Seq("n", "s"), countCol = "n",
+          maxCols = Seq("mx"), minCols = Seq("mn"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val direct = partials(keep)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      back == direct
+    }
+
   property("joinDelta(V, ΔA, ΔB) == (A++ΔA) join (B++ΔB), multiset") =
     forAll(joinGen) { case (as, sa, bs, sb) =>
       val (aOld, aDelta) = as.splitAt(sa)

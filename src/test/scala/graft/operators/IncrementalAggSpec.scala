@@ -88,4 +88,42 @@ class IncrementalAggSpec extends SparkSpec {
       Option(below.getCause).exists(_.getMessage.contains("below zero")),
       s"wrong error: $below")
   }
+
+  private def remaining(rows: Seq[(String, Long)]) =
+    rows.toDF("k", "x").select($"k", $"x".as("mx"), $"x".as("mn"))
+
+  test("retractWithRecompute re-derives extremes for touched keys " +
+      "and passes untouched keys through") {
+    // a: max (9) deleted -> recompute finds 5; b: untouched; c: min
+    // (1) deleted -> recompute finds 4; d: fully deleted -> dropped
+    val all = Seq(("a", 9L), ("a", 5L), ("a", 2L), ("b", 3L),
+      ("c", 1L), ("c", 4L), ("d", 8L))
+    val del = Seq(("a", 9L), ("c", 1L), ("d", 8L))
+    val keep = all.diff(del)
+    val out = IncrementalAgg.retractWithRecompute(
+        partials(all), partials(del), remaining(keep),
+        keys = Seq("k"), sumCols = Seq("n", "s"), countCol = "n",
+        maxCols = Seq("mx"), minCols = Seq("mn"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val direct = partials(keep)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == direct, s"got $out")
+    assert(out.map(_._1) == Set("a", "b", "c"))
+  }
+
+  test("retractWithRecompute raises when a deleted extreme exceeds " +
+      "the maintained one (non-subset batch)") {
+    val all = Seq(("a", 5L), ("a", 2L))
+    val badDel = Seq(("a", 9L)) // 9 was never in history
+    val err = intercept[Exception] {
+      IncrementalAgg.retractWithRecompute(
+        partials(all), partials(badDel), remaining(all),
+        keys = Seq("k"), sumCols = Seq("n", "s"), countCol = "n",
+        maxCols = Seq("mx"), minCols = Seq("mn")).collect()
+    }
+    assert(err.getMessage.contains("above maintained max") ||
+      Option(err.getCause).exists(
+        _.getMessage.contains("above maintained max")),
+      s"wrong error: $err")
+  }
 }
