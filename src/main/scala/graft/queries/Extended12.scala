@@ -141,5 +141,79 @@ object Extended12 {
       .orderBy($"centroid_id", $"dim")
   }
 
-  val all: Seq[Q] = Seq(q226_retract_minmax, q227_kmeans_fit)
+  /** Leakage-safe dataset split: q58 buckets each doc independently,
+    * which lets two NEAR-DUPLICATES straddle train/test — the classic
+    * eval-contamination bug. Here the hash bucket is driven by the
+    * doc's near-dup GROUP representative (q88's SimHash pairs closed
+    * into components; singletons represent themselves), so a whole
+    * duplicate chain lands in one split BY CONSTRUCTION. The group
+    * map is post-LSH tiny and explicitly broadcast back over the
+    * corpus scan; the oracle replays pairs → recursive closure →
+    * COALESCE(comp, doc_id) → the same md5 bucket, so hash equality
+    * proves both the grouping and the assignment.
+    */
+  val q228_leakage_split: Q = Q(
+    "q228_leakage_split",
+    """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) t
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
+      |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+      |pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |sym AS (SELECT u AS a, v AS b FROM pairs
+      |  UNION ALL SELECT v, u FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT s.b, r.lab FROM reach r JOIN sym s ON r.id = s.a),
+      |cc AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+      |rep AS (SELECT d.doc_id, d.n_chars, cc.comp,
+      |    COALESCE(cc.comp, d.doc_id) AS rep
+      |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+      |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT rep) AS n_groups,
+      |  COUNT(comp) AS n_grouped_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (SELECT n_chars, comp, rep,
+      |        ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT
+      |          % 100 AS b
+      |      FROM rep) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.{Dedup, Graph}
+    import graft.functions.TextFunctions.datasetSplit
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        maxDist = 3, bands = 4)
+      .select($"id_a".as("u"), $"id_b".as("v"))
+    // post-LSH group map: tiny, checkpoint-derived → explicit
+    // broadcast (PLANS.md: stats can't see through a checkpoint)
+    val cc = Graph.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    docs.select($"doc_id", $"n_chars")
+      .join(broadcast(cc), Seq("doc_id"), "left_outer")
+      .select($"n_chars", $"comp",
+        coalesce($"comp", $"doc_id").as("rep"))
+      .groupBy(datasetSplit($"rep").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"rep").as("n_groups"),
+        count($"comp").as("n_grouped_docs"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"split")
+  }
+
+  val all: Seq[Q] =
+    Seq(q226_retract_minmax, q227_kmeans_fit, q228_leakage_split)
 }

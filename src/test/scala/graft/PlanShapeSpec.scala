@@ -479,6 +479,14 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"all joins key-equi:\n$p")
   }
 
+  test("q228's group map broadcasts back over the corpus scan") {
+    val p = plan("q228_leakage_split")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the post-LSH component map must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"banding keeps every join equi:\n$p")
+  }
+
   test("q227's assignment broadcasts the k-row centroid table and " +
     "plans partial top-1 pushdown") {
     val p = plan("q227_kmeans_fit")
