@@ -252,6 +252,66 @@ object Graph {
     labels
   }
 
+  /** Incremental connected-components maintenance — the IVM
+    * counterpart of [[connectedComponents]], for a dedup graph that
+    * keeps receiving near-dup edges (new documents arriving against a
+    * 100 TB labeled history).
+    *
+    * The maintained labeling is NEVER recomputed and never shuffled:
+    *  1. restrict the old labels to the delta's endpoints (broadcast
+    *     semi-join — a map-side filter over the label table);
+    *  2. contract each delta edge through those labels (an old
+    *     component participates as its single label node — valid
+    *     because the label is the component MINIMUM, so the contracted
+    *     min is the true merged min) and solve CC on the contracted
+    *     graph, whose size is bounded by the DELTA, not history;
+    *  3. broadcast the resulting relabel map back: old rows update by
+    *     joining on their component label (one map-side pass), and
+    *     delta-only vertices take their contracted label directly.
+    *
+    * Steady-state cost: O(|Δ|) for the contracted solve plus one
+    * map-side pass over the label table — the same discipline as
+    * [[IncrementalAgg.retractWithRecompute]]'s touched-key rescan.
+    *
+    * @param ccOld    a valid [[connectedComponents]] output (id,
+    *                 comp): comp is the component min and appears as
+    *                 its own row
+    * @param newEdges delta edge list with columns `u`, `v`
+    * @return (id, comp) over old ∪ delta vertices — equal to a full
+    *         recompute on the union graph (property-proven)
+    */
+  def incrementalComponents(ccOld: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 20, localSolveMaxEdges: Long = 1L << 21)
+      : DataFrame = {
+    val verts = newEdges.select(col("u").as("id"))
+      .unionByName(newEdges.select(col("v").as("id")))
+      .distinct()
+    // delta-endpoint labels: Δ-bounded, reused three times below
+    val touched = ccOld.join(broadcast(verts), Seq("id"), "left_semi")
+      .localCheckpoint()
+    val contracted = newEdges
+      .join(broadcast(touched.select(col("id").as("u"),
+        col("comp").as("_lu"))), Seq("u"), "left_outer")
+      .join(broadcast(touched.select(col("id").as("v"),
+        col("comp").as("_lv"))), Seq("v"), "left_outer")
+      .select(coalesce(col("_lu"), col("u")).as("u"),
+        coalesce(col("_lv"), col("v")).as("v"))
+    val remap = connectedComponents(contracted, maxIter,
+        localSolveMaxEdges)
+      .select(col("id").as("_old"), col("comp").as("_new"))
+    // joining on comp (not id) updates EVERY member of a touched old
+    // component through its label node; untouched components miss the
+    // Δ-bounded map and pass through
+    val updatedOld = ccOld
+      .join(broadcast(remap), col("comp") === col("_old"), "left_outer")
+      .select(col("id"), coalesce(col("_new"), col("comp")).as("comp"))
+    val newVerts = verts
+      .join(broadcast(touched.select(col("id"))), Seq("id"), "left_anti")
+      .join(broadcast(remap), col("id") === col("_old"), "left_outer")
+      .select(col("id"), coalesce(col("_new"), col("id")).as("comp"))
+    updatedOld.unionByName(newVerts)
+  }
+
   /** PageRank in exact fixed-point integer arithmetic. Ranks are longs
     * at `scale` (default 10¹²); each round distributes `rank DIV
     * out_degree` along edges and renews every vertex as

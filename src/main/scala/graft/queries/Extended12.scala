@@ -214,6 +214,66 @@ object Extended12 {
       .orderBy($"split")
   }
 
-  val all: Seq[Q] =
-    Seq(q226_retract_minmax, q227_kmeans_fit, q228_leakage_split)
+  /** Incremental dedup-group maintenance
+    * ([[graft.operators.Graph.incrementalComponents]]): documents
+    * whose id ends 0/1 play the NEWLY-ARRIVED batch — the old docs'
+    * pair graph is labeled once, then only the delta edges (any pair
+    * touching a new doc) are contracted through the old labels and
+    * solved; the maintained labeling updates through broadcast maps
+    * and never shuffles. The oracle closes ALL pairs declaratively,
+    * so hash equality proves incremental ≡ full recompute on real
+    * SimHash pairs (not just the property suite's random graphs).
+    */
+  val q229_incremental_cc: Q = Q(
+    "q229_incremental_cc",
+    """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) t
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
+      |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+      |pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |sym AS (SELECT u AS a, v AS b FROM pairs
+      |  UNION ALL SELECT v, u FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT s.b, r.lab FROM reach r JOIN sym s ON r.id = s.a),
+      |cc AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id)
+      |SELECT comp, COUNT(*) AS n_members,
+      |  COUNT(CASE WHEN id % 10 < 2 THEN 1 END) AS n_new_docs
+      |FROM cc GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.{Dedup, Graph}
+    def isNew(c: org.apache.spark.sql.Column) = c % 10 < 2
+    // checkpoint before the old/delta filters — each would otherwise
+    // re-run the whole LSH pipeline
+    val pairs = Dedup.simhashNearDupPairs(
+        Tables.loadParallel(spark, dir, "documents"), "text", "doc_id",
+        maxDist = 3, bands = 4)
+      .select($"id_a".as("u"), $"id_b".as("v"))
+      .localCheckpoint()
+    val ccOld = Graph.connectedComponents(
+      pairs.filter(!isNew($"u") && !isNew($"v")))
+    Graph.incrementalComponents(ccOld,
+        pairs.filter(isNew($"u") || isNew($"v")))
+      .groupBy($"comp")
+      .agg(count(lit(1)).as("n_members"),
+        count(when(isNew($"id"), 1)).as("n_new_docs"))
+      .filter($"n_members" >= 2)
+      .orderBy($"comp")
+  }
+
+  val all: Seq[Q] = Seq(q226_retract_minmax, q227_kmeans_fit,
+    q228_leakage_split, q229_incremental_cc)
 }

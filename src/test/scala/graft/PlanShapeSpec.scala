@@ -487,6 +487,16 @@ class PlanShapeSpec extends SparkSpec {
       s"banding keeps every join equi:\n$p")
   }
 
+  test("q229's label maintenance rides broadcast maps — the old " +
+    "labeling never shuffles") {
+    val p = plan("q229_incremental_cc")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "touched-label semi-join, contraction lookups, and the relabel " +
+        s"map must all broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"every join is key-equi:\n$p")
+  }
+
   test("q227's assignment broadcasts the k-row centroid table and " +
     "plans partial top-1 pushdown") {
     val p = plan("q227_kmeans_fit")

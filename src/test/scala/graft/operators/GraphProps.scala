@@ -63,3 +63,46 @@ object GraphProps extends Properties("Graph.boundedCost") {
       }
     }
 }
+
+/** ScalaCheck law for [[Graph.incrementalComponents]]: on a random
+  * edge list with a random old/delta split point, maintaining the old
+  * labeling incrementally must equal a full recompute on the union
+  * graph — through BOTH the driver union-find and the distributed
+  * min-label loop (threshold 0 forces the latter). The split
+  * generator hits empty-old (bootstrap), empty-delta (identity
+  * update), deltas that bridge several old components, and deltas
+  * whose new vertex undercuts an old component's min label.
+  */
+object IncrementalCcProps
+    extends Properties("Graph.incrementalComponents") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private val gen: Gen[(List[(Long, Long)], Int)] = for {
+    nEdges <- Gen.choose(1, 16)
+    edges <- Gen.listOfN(nEdges, for {
+      u <- Gen.choose(0L, 9L)
+      v <- Gen.choose(0L, 9L)
+    } yield (u, v))
+    split <- Gen.choose(0, nEdges)
+  } yield (edges, split)
+
+  property("incremental update ≡ full recompute on the union graph") =
+    forAll(gen) { case (edges, split) =>
+      val (old, delta) = edges.splitAt(split)
+      def df(e: Seq[(Long, Long)]) = e.toDF("u", "v")
+      val full = Graph.connectedComponents(df(edges))
+        .as[(Long, Long)].collect().toSet
+      Seq(1L << 21, 0L).forall { thr =>
+        val ccOld = Graph.connectedComponents(df(old),
+          localSolveMaxEdges = thr)
+        Graph.incrementalComponents(ccOld, df(delta),
+            localSolveMaxEdges = thr)
+          .as[(Long, Long)].collect().toSet == full
+      }
+    }
+}
