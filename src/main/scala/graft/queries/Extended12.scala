@@ -12,6 +12,30 @@ import graft.operators.{IncrementalAgg, Similarity}
   */
 object Extended12 {
 
+  private val simhashPairsSql =
+    """tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) t
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
+      |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+      |pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3)""".stripMargin
+
+  /** The q58/q228 md5 split bucket as DuckDB SQL over expression e. */
+  private def splitSql(e: String): String =
+    s"""CASE WHEN ('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+       |     WHEN ('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   /** CDC-delete maintenance of a view that carries MIN/MAX partials
     * ([[IncrementalAgg.retractWithRecompute]]): per-customer order
     * count / spend / max / min with the urgent-order batch retracted.
@@ -154,22 +178,7 @@ object Extended12 {
     */
   val q228_leakage_split: Q = Q(
     "q228_leakage_split",
-    """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
-      |  FROM documents),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
-      |bits AS (SELECT doc_id, j,
-      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) t
-      |  GROUP BY 1, 2),
-      |sig AS (SELECT doc_id,
-      |    CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh
-      |  FROM bits GROUP BY doc_id),
-      |banded AS (SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
-      |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
-      |pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-      |  FROM banded a JOIN banded b
-      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+    s"""WITH RECURSIVE $simhashPairsSql,
       |sym AS (SELECT u AS a, v AS b FROM pairs
       |  UNION ALL SELECT v, u FROM pairs),
       |reach(id, lab) AS (
@@ -226,22 +235,7 @@ object Extended12 {
     */
   val q229_incremental_cc: Q = Q(
     "q229_incremental_cc",
-    """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
-      |  FROM documents),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
-      |bits AS (SELECT doc_id, j,
-      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) t
-      |  GROUP BY 1, 2),
-      |sig AS (SELECT doc_id,
-      |    CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh
-      |  FROM bits GROUP BY doc_id),
-      |banded AS (SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
-      |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
-      |pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-      |  FROM banded a JOIN banded b
-      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+    s"""WITH RECURSIVE $simhashPairsSql,
       |sym AS (SELECT u AS a, v AS b FROM pairs
       |  UNION ALL SELECT v, u FROM pairs),
       |reach(id, lab) AS (
@@ -274,6 +268,105 @@ object Extended12 {
       .orderBy($"comp")
   }
 
+  /** Split STABILITY under corpus growth — the follow-on problem q228
+    * creates: when a new batch's near-dup edges merge groups, the
+    * merged group's representative (component min) can change, so a
+    * rep-hash split would silently reassign OLD documents — moving
+    * already-trained-on text into the eval side, the retroactive
+    * contamination failure. The sticky rule: a group containing old
+    * members inherits the split of its MINIMUM old member (computed
+    * from the OLD labeling — the assignment history), and only
+    * genuinely-all-new groups hash fresh; the query reports exactly
+    * how many old docs still churned (groups merged ACROSS old splits
+    * — the irreducible minimum). All sticky machinery is
+    * pairs-bounded; unpaired docs stay a pure map-side hash.
+    */
+  val q230_sticky_split: Q = Q(
+    "q230_sticky_split",
+    s"""WITH RECURSIVE $simhashPairsSql,
+      |op AS (SELECT u, v FROM pairs WHERE u % 10 >= 2 AND v % 10 >= 2),
+      |so AS (SELECT u AS a, v AS b FROM op UNION ALL SELECT v, u FROM op),
+      |ro(id, lab) AS (
+      |  SELECT DISTINCT a, a FROM so
+      |  UNION
+      |  SELECT s.b, r.lab FROM ro r JOIN so s ON r.id = s.a),
+      |cco AS (SELECT id, MIN(lab) AS comp FROM ro GROUP BY id),
+      |sa AS (SELECT u AS a, v AS b FROM pairs
+      |  UNION ALL SELECT v, u FROM pairs),
+      |ra(id, lab) AS (
+      |  SELECT DISTINCT a, a FROM sa
+      |  UNION
+      |  SELECT s.b, r.lab FROM ra r JOIN sa s ON r.id = s.a),
+      |cca AS (SELECT id, MIN(lab) AS comp FROM ra GROUP BY id),
+      |mem AS (SELECT a.id AS doc_id, a.comp,
+      |    a.id % 10 < 2 AS is_new,
+      |    CASE WHEN a.id % 10 >= 2 THEN COALESCE(o.comp, a.id) END
+      |      AS rep_old
+      |  FROM cca a LEFT JOIN cco o ON a.id = o.id),
+      |anch AS (SELECT comp, MIN(doc_id) AS anchor_id FROM mem
+      |  WHERE NOT is_new GROUP BY 1),
+      |anchrep AS (SELECT n.comp, m.rep_old AS anchor_rep
+      |  FROM anch n JOIN mem m ON n.anchor_id = m.doc_id),
+      |paired AS (SELECT m.doc_id, m.is_new,
+      |    ${splitSql("COALESCE(ar.anchor_rep, m.comp)")} AS split,
+      |    (NOT m.is_new) AND
+      |      ${splitSql("COALESCE(ar.anchor_rep, m.comp)")}
+      |        <> ${splitSql("m.rep_old")} AS churn
+      |  FROM mem m LEFT JOIN anchrep ar ON m.comp = ar.comp),
+      |unpaired AS (SELECT d.doc_id, d.doc_id % 10 < 2 AS is_new,
+      |    ${splitSql("d.doc_id")} AS split, FALSE AS churn
+      |  FROM documents d
+      |  WHERE d.doc_id NOT IN (SELECT doc_id FROM mem)),
+      |allrows AS (SELECT * FROM paired UNION ALL SELECT * FROM unpaired)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN is_new THEN 1 END) AS n_new_docs,
+      |  COUNT(CASE WHEN churn THEN 1 END) AS n_churned
+      |FROM allrows GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.{Dedup, Graph}
+    import graft.functions.TextFunctions.datasetSplit
+    def isNew(c: org.apache.spark.sql.Column) = c % 10 < 2
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        maxDist = 3, bands = 4)
+      .select($"id_a".as("u"), $"id_b".as("v"))
+      .localCheckpoint()
+    val ccOld = Graph.connectedComponents(
+      pairs.filter(!isNew($"u") && !isNew($"v")))
+    val ccAll = Graph.incrementalComponents(ccOld,
+      pairs.filter(isNew($"u") || isNew($"v")))
+    // pairs-bounded membership with each member's OLD representative
+    val members = ccAll.withColumnRenamed("id", "doc_id")
+      .join(broadcast(ccOld.select($"id".as("doc_id"),
+        $"comp".as("comp_old"))), Seq("doc_id"), "left_outer")
+      .withColumn("is_new", isNew($"doc_id"))
+      .withColumn("rep_old",
+        when(!$"is_new", coalesce($"comp_old", $"doc_id")))
+      .localCheckpoint()
+    val anchorRep = broadcast(members.filter(!$"is_new")
+        .groupBy($"comp").agg(min($"doc_id").as("anchor_id")))
+      .join(members.select($"doc_id".as("anchor_id"),
+        $"rep_old".as("anchor_rep")), Seq("anchor_id"))
+      .select($"comp", $"anchor_rep")
+    val paired = members
+      .join(broadcast(anchorRep), Seq("comp"), "left_outer")
+      .select($"is_new",
+        datasetSplit(coalesce($"anchor_rep", $"comp")).as("split"),
+        (!$"is_new" && datasetSplit(coalesce($"anchor_rep", $"comp"))
+          =!= datasetSplit($"rep_old")).as("churn"))
+    val unpaired = docs.select($"doc_id")
+      .join(broadcast(members.select($"doc_id")), Seq("doc_id"),
+        "left_anti")
+      .select(isNew($"doc_id").as("is_new"),
+        datasetSplit($"doc_id").as("split"), lit(false).as("churn"))
+    paired.unionByName(unpaired)
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"is_new", 1)).as("n_new_docs"),
+        count(when($"churn", 1)).as("n_churned"))
+      .orderBy($"split")
+  }
+
   val all: Seq[Q] = Seq(q226_retract_minmax, q227_kmeans_fit,
-    q228_leakage_split, q229_incremental_cc)
+    q228_leakage_split, q229_incremental_cc, q230_sticky_split)
 }

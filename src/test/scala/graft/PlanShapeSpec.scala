@@ -497,6 +497,16 @@ class PlanShapeSpec extends SparkSpec {
       s"every join is key-equi:\n$p")
   }
 
+  test("q230's sticky machinery is pairs-bounded broadcasts; " +
+    "unpaired docs stay map-side") {
+    val p = plan("q230_sticky_split")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "old-label, anchor, and membership maps must broadcast — the " +
+        s"corpus never shuffles for them:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"every join is key-equi:\n$p")
+  }
+
   test("q227's assignment broadcasts the k-row centroid table and " +
     "plans partial top-1 pushdown") {
     val p = plan("q227_kmeans_fit")
