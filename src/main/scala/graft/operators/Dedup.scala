@@ -236,6 +236,30 @@ object Dedup {
   def incrementalNearDup(historyIndex: DataFrame, delta: DataFrame,
       textCol: String, idCol: String, jaccardThreshold: Double = 0.8,
       k: Int = 16, bands: Int = 4): DataFrame = {
+    val verified =
+      incrementalNearDupPairs(historyIndex, delta, textCol, idCol,
+        jaccardThreshold, k, bands)
+      .groupBy(col("u").as("_did"))
+      .agg(min(col("v")).as("dup_of"))
+    delta.select(col(idCol).as("id"))
+      .join(verified, col("id") === col("_did"), "left")
+      .select(col("id"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** The verified near-dup PAIRS behind [[incrementalNearDup]] —
+    * (u = delta doc, v = history doc or earlier delta doc) for every
+    * band-colliding pair whose exact Jaccard clears the threshold.
+    * This is the edge feed for incremental GROUP maintenance
+    * ([[Graph.incrementalComponents]] closes them against an existing
+    * labeling): the union of these pair sets over arriving batches is
+    * exactly the batch-mode pair set, because each pair surfaces in
+    * the epoch its later member arrives. Same cost shape as the
+    * verdict form — ids shuffle, arrays attach post-dedup.
+    */
+  def incrementalNearDupPairs(historyIndex: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String, jaccardThreshold: Double = 0.8,
+      k: Int = 16, bands: Int = 4): DataFrame = {
     val d = bandIndex(delta, textCol, idCol, k, bands)
       .localCheckpoint() // joined against history AND itself
     // candidate generation moves IDS ONLY: the band join and its
@@ -266,17 +290,12 @@ object Dedup {
       .select(col("id").as("_oid"), col("sh").as("_osh"))
       .unionByName(
         dSh.select(col("_did").as("_oid"), col("_dsh").as("_osh")))
-    val verified = cand
+    cand
       .join(dSh, "_did")
       .join(oSh, "_oid")
       .filter(jaccardSorted(col("_dsh"), col("_osh"))
         >= jaccardThreshold)
-      .groupBy(col("_did"))
-      .agg(min(col("_oid")).as("dup_of"))
-    delta.select(col(idCol).as("id"))
-      .join(verified, col("id") === col("_did"), "left")
-      .select(col("id"), col("dup_of"),
-        col("dup_of").isNotNull.as("is_dup"))
+      .select(col("_did").as("u"), col("_oid").as("v"))
   }
 
   /** Word n-gram Jaccard similarity between two shingle-set columns.
