@@ -312,6 +312,56 @@ object Graph {
     updatedOld.unionByName(newVerts)
   }
 
+  /** Component RETRACTION — the delete-side counterpart of
+    * [[incrementalComponents]]. Removing vertices can SPLIT a
+    * component (connectivity may have run through them), which has no
+    * algebraic inverse — exactly MIN/MAX retraction's problem
+    * ([[IncrementalAgg.retractWithRecompute]]), and the same answer:
+    * recompute from retained detail, but ONLY where the delete batch
+    * touches.
+    *
+    *  1. affected components = labels of the deleted ids (broadcast
+    *     the batch into the label table — map-side);
+    *  2. their surviving membership is batch-groups-bounded; the
+    *     retained edge log filters to edges between surviving members
+    *     of affected components via broadcast semi-joins (history
+    *     never shuffles);
+    *  3. CC re-solves that bounded subgraph; untouched components
+    *     pass through column-identically.
+    *
+    * Survivors that lose their last edge drop out of the labeling —
+    * matching a full recompute, which never sees isolated vertices.
+    *
+    * @param labels  a valid [[connectedComponents]] labeling (id, comp)
+    * @param edges   the retained pair log (u, v) the labeling was
+    *                built from
+    * @param deleted ids to remove, with column `id`
+    * @return (id, comp) ≡ connectedComponents(edges minus every edge
+    *         touching a deleted id) — property-proven
+    */
+  def retractComponents(labels: DataFrame, edges: DataFrame,
+      deleted: DataFrame, maxIter: Int = 20,
+      localSolveMaxEdges: Long = 1L << 21): DataFrame = {
+    val del = deleted.select(col("id")).distinct()
+    val affected = labels.join(broadcast(del), Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    // surviving members of affected components: batch-groups-bounded
+    val members = labels
+      .join(broadcast(affected), Seq("comp"), "left_semi")
+      .join(broadcast(del), Seq("id"), "left_anti")
+      .localCheckpoint()
+    val mu = members.select(col("id").as("u"))
+    val mv = members.select(col("id").as("v"))
+    val subEdges = edges
+      .join(broadcast(mu), Seq("u"), "left_semi")
+      .join(broadcast(mv), Seq("v"), "left_semi")
+    val resolved = connectedComponents(subEdges, maxIter,
+      localSolveMaxEdges)
+    labels.join(broadcast(affected), Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+      .unionByName(resolved)
+  }
+
   /** PageRank in exact fixed-point integer arithmetic. Ranks are longs
     * at `scale` (default 10¹²); each round distributes `rank DIV
     * out_degree` along edges and renews every vertex as

@@ -367,6 +367,49 @@ object Extended12 {
       .orderBy($"split")
   }
 
+  /** Dedup-group RETRACTION
+    * ([[graft.operators.Graph.retractComponents]]): q229's narrative
+    * run backwards — the id-ends-0/1 batch is DELETED from the full
+    * labeling, and only the components it touches re-solve from the
+    * retained pair log (batch-groups-bounded broadcast filters;
+    * untouched components pass through). The oracle closes only the
+    * pairs among surviving docs, so hash equality proves
+    * retract(labels(all), batch) ≡ labels(all − batch) on real
+    * SimHash pairs — the add/retract round-trip q229+q231 pin from
+    * both directions.
+    */
+  val q231_retract_group: Q = Q(
+    "q231_retract_group",
+    s"""WITH RECURSIVE $simhashPairsSql,
+      |op AS (SELECT u, v FROM pairs WHERE u % 10 >= 2 AND v % 10 >= 2),
+      |sym AS (SELECT u AS a, v AS b FROM op
+      |  UNION ALL SELECT v, u FROM op),
+      |reach(id, lab) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT s.b, r.lab FROM reach r JOIN sym s ON r.id = s.a),
+      |cc AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id)
+      |SELECT comp, COUNT(*) AS n_members FROM cc
+      |GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.{Dedup, Graph}
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        maxDist = 3, bands = 4)
+      .select($"id_a".as("u"), $"id_b".as("v"))
+      .localCheckpoint() // labeling AND retained edge log
+    val labels = Graph.connectedComponents(pairs)
+    val deleted = docs.select($"doc_id".as("id"))
+      .filter($"id" % 10 < 2)
+    Graph.retractComponents(labels, pairs, deleted)
+      .groupBy($"comp")
+      .agg(count(lit(1)).as("n_members"))
+      .filter($"n_members" >= 2)
+      .orderBy($"comp")
+  }
+
   val all: Seq[Q] = Seq(q226_retract_minmax, q227_kmeans_fit,
-    q228_leakage_split, q229_incremental_cc, q230_sticky_split)
+    q228_leakage_split, q229_incremental_cc, q230_sticky_split,
+    q231_retract_group)
 }

@@ -507,6 +507,19 @@ class PlanShapeSpec extends SparkSpec {
       s"every join is key-equi:\n$p")
   }
 
+  test("q231's retraction filters history through broadcast " +
+    "semi/anti joins — untouched components never re-solve") {
+    val p = plan("q231_retract_group")
+    // the membership/edge semi-joins live inside the sub-solve, which
+    // the bounded local path consumes eagerly at this SF — the final
+    // plan keeps the affected-component semi and pass-through anti
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "affected-component and pass-through filters " +
+        s"must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"every join is key-equi:\n$p")
+  }
+
   test("q227's assignment broadcasts the k-row centroid table and " +
     "plans partial top-1 pushdown") {
     val p = plan("q227_kmeans_fit")

@@ -106,3 +106,44 @@ object IncrementalCcProps
       }
     }
 }
+
+/** ScalaCheck law for [[Graph.retractComponents]]: deleting a random
+  * vertex subset from a random labeled graph must equal a full
+  * recompute over the surviving edges — through both solve paths.
+  * Covers deletes that split a component, wipe one entirely, hit
+  * nothing (unknown ids), and the empty delete.
+  */
+object RetractCcProps extends Properties("Graph.retractComponents") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private val gen: Gen[(List[(Long, Long)], List[Long])] = for {
+    nEdges <- Gen.choose(1, 16)
+    edges <- Gen.listOfN(nEdges, for {
+      u <- Gen.choose(0L, 9L)
+      v <- Gen.choose(0L, 9L)
+    } yield (u, v))
+    del <- Gen.listOf(Gen.choose(0L, 11L)) // 10/11 hit nothing
+  } yield (edges, del)
+
+  property("retraction ≡ full recompute on the surviving edges") =
+    forAll(gen) { case (edges, del) =>
+      val delSet = del.toSet
+      val surviving = edges.filterNot { case (u, v) =>
+        delSet(u) || delSet(v)
+      }
+      val want = Graph.connectedComponents(surviving.toDF("u", "v"))
+        .as[(Long, Long)].collect().toSet
+      Seq(1L << 21, 0L).forall { thr =>
+        val labels = Graph.connectedComponents(edges.toDF("u", "v"),
+          localSolveMaxEdges = thr)
+        Graph.retractComponents(labels, edges.toDF("u", "v"),
+            del.toDF("id"), localSolveMaxEdges = thr)
+          .as[(Long, Long)].collect().toSet == want
+      }
+    }
+}
