@@ -237,4 +237,34 @@ object IncrementalAgg {
       .unionByName(bc(aDelta).join(bNew, keys))
       .unionByName(aOld.join(bc(bDelta), keys))
   }
+
+  /** Retract CDC-deleted source rows from a maintained INNER-join view
+    * — the delete counterpart of [[joinDelta]], closing the join-IVM
+    * family the way [[retractPartials]]/[[retractWithRecompute]] close
+    * the aggregate one.
+    *
+    * The naive identity V_new = V − ΔA⋈B − A⋈ΔB + ΔA⋈ΔB needs
+    * multiset EXCEPT over the full view — a 100 TB shuffle per delete
+    * batch. The production design is LINEAGE: every view row carries
+    * its contributing source-row ids (`aRid`, `bRid` — primary keys or
+    * synthesized ingest ids, written once at view build/append time by
+    * [[joinDelta]]'s projections), and retraction becomes two
+    * broadcast anti-joins on those ids — the maintained view streams
+    * map-side past the (small) delete batches, with no shuffle and no
+    * recompute of surviving matches. A view row dies exactly when
+    * EITHER parent row dies, which is precisely inner-join semantics;
+    * duplicate source rows need distinct rids (lineage ids, not value
+    * keys) or a delete takes all duplicates with it.
+    *
+    * Property-proven ≡ (A − ΔA) ⋈ (B − ΔB) re-joined from scratch
+    * (IncrementalAggProps), including deletes hitting multi-match
+    * keys and rows absent from the view.
+    */
+  def joinRetract(
+      view: DataFrame,
+      aDeleted: DataFrame, aRid: String,
+      bDeleted: DataFrame, bRid: String): DataFrame =
+    view
+      .join(broadcast(aDeleted.select(col(aRid))), Seq(aRid), "left_anti")
+      .join(broadcast(bDeleted.select(col(bRid))), Seq(bRid), "left_anti")
 }

@@ -277,6 +277,48 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("cos"))
   }
 
+  /** kNN label-consistency audit — mislabeled-example mining, the
+    * data-quality gate run before a labeled corpus trains anything:
+    * each vector's k nearest neighbors vote with their labels, and a
+    * vector whose neighborhood disagrees with its own label is a
+    * suspect (noisy label, outlier, or leaked class).
+    *
+    * Neighbors come from the vector's own SRP bucket (the q70 index),
+    * so the all-vs-all search is a bucket-keyed EQUI self-join — one
+    * shuffle per side, never a cross join; plane count bounds the
+    * expected bucket size (≈ n/2^planes), which at 100 TB is the knob
+    * that keeps per-bucket candidate generation quadratic only in a
+    * bounded bucket. The top-k cut is a rank window per vector
+    * (WindowGroupLimit pushes the partial top-k below the shuffle);
+    * cosine ties break on neighbor id, and the fold is the
+    * bit-deterministic [[graft.plans.VectorDot]], so the selected
+    * neighbor set is engine-exact.
+    *
+    * @param vectors (vec_id, embedding, label)
+    * @return per SCORED vector (≥1 same-bucket neighbor):
+    *         vec_id, label, n_nb (≤ k), n_agree
+    */
+  def labelConsistency(vectors: DataFrame, planes: Seq[Seq[Double]],
+      k: Int): DataFrame = {
+    val v = vectors
+      .withColumn("_bucket", srpBucket(col("embedding"), planes))
+      .withColumn("_n", norm(col("embedding")))
+    val nb = v.select(col("_bucket"), col("vec_id").as("nb_id"),
+      col("embedding").as("nb_emb"), col("label").as("nb_label"),
+      col("_n").as("_nbn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nb_id"))
+    v.join(nb, Seq("_bucket"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .withColumn("cos",
+        dot(col("embedding"), col("nb_emb")) / (col("_n") * col("_nbn")))
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_nb"),
+        count(when(col("nb_label") === col("label"), 1)).as("n_agree"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded). */
   def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -530,4 +530,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"argmax must push partial top-1 below the rank window:\n$p")
   }
+
+  test("q232 packs with ONE shuffle — the shard group-by; the fold " +
+    "is pure expression work") {
+    val p = plan("q232_shard_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly one exchange (the shard group-by):\n$p")
+    assert(!p.toLowerCase.contains("join"),
+      s"no join may appear — the fold is per-row expression eval:\n$p")
+  }
+
+  test("q233's retraction is two broadcast ANTI joins — the " +
+    "maintained view never shuffles for the delete batches") {
+    val p = plan("q233_join_retract")
+    val anti = "BroadcastHashJoin.*LeftAnti".r.findAllIn(p).length
+    assert(anti == 2,
+      s"both delete sets must anti-join via broadcast, saw $anti:\n$p")
+    assert("LeftAnti".r.findAllIn(p).length == anti,
+      s"no anti join may run shuffled:\n$p")
+  }
+
+  test("q235's all-vs-all search is a bucket EQUI self-join with " +
+    "partial top-k pushdown — never a cross join") {
+    val p = plan("q235_label_consistency")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the SRP bucket must key the self-join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must push below the rank window:\n$p")
+  }
+
+  test("q234's rate table broadcasts back over the corpus scan") {
+    val p = plan("q234_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-language rate dim must broadcast:\n$p")
+    val shuffled = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffled == 0,
+      s"the corpus must never shuffle for the rate lookup:\n$p")
+  }
 }

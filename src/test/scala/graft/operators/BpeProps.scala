@@ -109,4 +109,16 @@ object BpeProps extends Properties("Bpe") {
       got(w).toList == greedyEncode(w, merges.map(m => (m.a, m.b)))
     }
   }
+
+  property("encode is lossless: tokens concatenate back to the word") =
+    forAll(corpusGen, Gen.choose(1, 6), Gen.listOfN(6, word)) {
+    (wf, rounds, unseen) =>
+    import spark.implicits._
+    val merges = Bpe.learn(wf.toSeq.toDF("w", "f"), rounds)
+    val words = (wf.keySet ++ unseen).toSeq.sorted
+    words.toDF("w")
+      .select($"w", Bpe.encodeTokens($"w", merges).as("t"))
+      .as[(String, Seq[String])].collect()
+      .forall { case (w, t) => t.mkString == w }
+  }
 }

@@ -100,4 +100,26 @@ object IncrementalAggProps extends Properties("IncrementalAgg") {
         .as[(String, Long, Long)].collect().toSeq.sorted
       inc == full
     }
+
+  // joinRetract law: lineage rids are the row indices, so deletes can
+  // hit multi-match keys, rows with no match in the view, and empty
+  // batches — the retracted view must equal re-joining the survivors
+  property("joinRetract(A⋈B, ΔA, ΔB) == (A−ΔA) join (B−ΔB), multiset") =
+    forAll(joinGen) { case (as, sa, bs, sb) =>
+      val aRows = as.zipWithIndex.map { case ((k, x), i) => (i.toLong, k, x) }
+      val bRows = bs.zipWithIndex.map { case ((k, y), i) => (i.toLong, k, y) }
+      val a = aRows.toDF("a_rid", "k", "x")
+      val b = bRows.toDF("b_rid", "k", "y")
+      val view = a.join(b, Seq("k"))
+      val aDel = aRows.take(sa).map(_._1).toDF("a_rid")
+      val bDel = bRows.take(sb).map(_._1).toDF("b_rid")
+      val inc = IncrementalAgg.joinRetract(view, aDel, "a_rid", bDel, "b_rid")
+        .select($"k", $"a_rid", $"x", $"b_rid", $"y")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+      val full = aRows.drop(sa).toDF("a_rid", "k", "x")
+        .join(bRows.drop(sb).toDF("b_rid", "k", "y"), Seq("k"))
+        .select($"k", $"a_rid", $"x", $"b_rid", $"y")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+      inc == full
+    }
 }

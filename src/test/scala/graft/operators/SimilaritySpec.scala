@@ -154,4 +154,31 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.map(_._4).toSeq.reverse.sorted.reverse == rs.map(_._4).toSeq)
     }
   }
+
+  test("labelConsistency flags the planted mislabeled point") {
+    // two tight clusters on opposite axes; id 4 sits in cluster A but
+    // wears cluster B's label — its whole neighborhood disagrees.
+    // (A-cluster points may draw id 4 as one of their 3 neighbors, so
+    // their agreement is 2 or 3 — still a majority; only id 4 is a
+    // minority-agreement suspect.)
+    def jitter(base: Seq[Float], i: Int): Seq[Float] =
+      base.zipWithIndex.map { case (x, j) =>
+        x + (if (j == i % 4) 0.01f else 0f) }
+    val rows =
+      (0L to 3L).map(i => (i, jitter(Seq(1f, 0f, 0f, 0f), i.toInt), 0)) ++
+        Seq((4L, jitter(Seq(1f, 0f, 0f, 0f), 4), 1)) ++
+        (5L to 9L).map(i => (i, jitter(Seq(0f, 1f, 0f, 0f), i.toInt), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // one plane separating the clusters → 2 buckets
+    val got = Similarity.labelConsistency(
+        df, planes = Seq(Seq(1.0, -1.0, 0.0, 0.0)), k = 3)
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got.keySet == (0L to 9L).toSet)
+    assert(got.values.forall(_._1 == 3L), "4-point buckets give k=3")
+    assert(got(4L)._2 == 0L, "planted point: zero agreement")
+    val suspects = got.collect {
+      case (id, (nb, agree)) if 2 * agree < nb => id }
+    assert(suspects.toSet == Set(4L), s"only the plant is a suspect")
+  }
 }
