@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TDigest
+
+/** Round-6 final tranche: the t-digest mergeable quantile state
+  * ([[graft.functions.TDigest]]) exercised end-to-end — per-batch
+  * digests maintained per key, merged across batches, estimates
+  * checked against the exact rank envelope.
+  */
+object Extended14 {
+
+  /** Incremental QUANTILES via mergeable t-digests — q110's
+    * maintenance story (per-batch HLL sketches for COUNT DISTINCT)
+    * extended to the other aggregate family with no algebraic
+    * partial. Spark's own `percentile_approx` sketch is not exposed
+    * as a reusable partial, so [[TDigest]] reimplements the published
+    * t-digest algorithm (Dunning & Ertl 2019): each month digests
+    * only its own orders into ≤~δ (mean, weight) centroids, the
+    * per-key state in a maintained table stays a few KB forever, and
+    * any period's p50/p95 reads back by re-clustering the union of
+    * centroid sets — raw history is never rescanned. That is the
+    * 100 TB design: the full-history alternative re-sorts every value
+    * per refresh.
+    *
+    * Estimates are engine-specific and (sub-ε) merge-order-specific,
+    * so — the q9/q66/q110 accuracy-envelope policy — the query emits
+    * rank-envelope booleans: the merged estimate must land between
+    * the exact p±0.05 continuous quantiles (p90..p99 for the p95
+    * probe). The width is calibrated, not guessed: TDigestProps'
+    * 30k-case adversarial sweep measured worst merged-digest rank
+    * error 0.035 on continuous data at δ=100 — mid-range k₁ cluster
+    * width 2π√(q(1−q))/δ, doubled across a merge — so ±0.02 would
+    * flake and ±0.05 holds with headroom. The envelope bounds come
+    * from [[graft.operators.Percentiles.exactCont]] (distributed rank
+    * selection, bounded memory — NOT a value-buffering exact
+    * `percentile()` aggregate) and broadcast into the sketch side.
+    */
+  val q236_tdigest_quantiles: Q = Q(
+    "q236_tdigest_quantiles",
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderstatus",
+        date_trunc("month", $"o_orderdate").as("batch"),
+        $"o_totalprice".cast("double").as("price"))
+    // maintenance layer: one digest per (key, batch) — what a real
+    // pipeline would persist and append to, per refresh
+    val perBatch = orders
+      .groupBy($"o_orderstatus", $"batch")
+      .agg(TDigest.sketch(100)($"price").as("sk"),
+        count(lit(1)).as("n"))
+    // read layer: merge the maintained digests per key
+    val merged = perBatch
+      .groupBy($"o_orderstatus")
+      .agg(
+        TDigest.mergeQuantiles(100, Seq(0.5, 0.95))($"sk").as("est"),
+        sum($"n").as("n_orders"))
+    val bounds = graft.operators.Percentiles
+      .exactCont(orders, "o_orderstatus", "price",
+        Seq(0.45, 0.55, 0.90, 0.99))
+      .groupBy($"o_orderstatus")
+      .agg(
+        max(when($"p" === 0.45, $"value")).as("p45"),
+        max(when($"p" === 0.55, $"value")).as("p55"),
+        max(when($"p" === 0.90, $"value")).as("p90"),
+        max(when($"p" === 0.99, $"value")).as("p99"))
+    merged.join(broadcast(bounds), Seq("o_orderstatus"))
+      .select($"o_orderstatus", $"n_orders",
+        ($"est".getItem(0) >= $"p45" && $"est".getItem(0) <= $"p55")
+          .as("p50_ok"),
+        ($"est".getItem(1) >= $"p90" && $"est".getItem(1) <= $"p99")
+          .as("p95_ok"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val all: Seq[Q] = Seq(q236_tdigest_quantiles)
+}
