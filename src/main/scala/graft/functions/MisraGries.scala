@@ -89,4 +89,33 @@ object MisraGries {
     */
   def candidates(k: Int)(item: Column): Column =
     udaf(new MisraGries(k), Encoders.STRING).apply(item)
+
+  /** `agg`-ready summary map — see [[MisraGriesSummary]]. */
+  def summary(k: Int)(item: Column): Column =
+    udaf(new MisraGriesSummary(k), Encoders.STRING).apply(item)
+}
+
+/** The same algorithm finishing to its counter MAP instead of the
+  * candidate keys — the maintainable state for cross-batch
+  * heavy-hitter tracking ([[graft.streaming.HeavyHittersMonitor]]):
+  * per-batch summaries merge with the Agarwal-trim exactly like
+  * partial buffers do inside one aggregation, so the n/(k+1)
+  * candidate guarantee holds over the whole stream regardless of
+  * how epochs split it.
+  */
+class MisraGriesSummary(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  private val inner = new MisraGries(k)
+  override def zero: Map[String, Long] = inner.zero
+  override def reduce(b: Map[String, Long], x: String)
+      : Map[String, Long] = inner.reduce(b, x)
+  override def merge(a: Map[String, Long], b: Map[String, Long])
+      : Map[String, Long] = inner.merge(a, b)
+  override def finish(b: Map[String, Long]): Map[String, Long] = b
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Map[String, Long]]()
 }

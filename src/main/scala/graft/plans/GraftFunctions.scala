@@ -16,9 +16,27 @@ import graft.operators.Dedup
   *   sorted_shingles(text, n)      — distinct sorted n-token shingle
   *                                   strings (n a literal int)
   *   char_bigrams(s)               — code-point character bigram array
+  *
+  * plus the t-digest aggregates (`graft.functions.TDigest`, δ=100 and
+  * the p50/p95 probes fixed at registration — `spark.udf.register`
+  * binds an Aggregator instance, not a parameterized builder):
+  *
+  *   tdigest_p50_p95(v)                  — array(p50, p95) estimates
+  *   tdigest_sketch(v)                   — the mergeable centroid state
+  *   tdigest_merge_p50_p95(means, ws)    — union quantiles over sketches
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    import graft.functions.TDigest
+    spark.udf.register("tdigest_p50_p95",
+      F.udaf(new TDigest.QuantilesAgg(100, Seq(0.5, 0.95)),
+        Encoders.scalaDouble))
+    spark.udf.register("tdigest_sketch",
+      F.udaf(new TDigest.SketchAgg(100), Encoders.scalaDouble))
+    spark.udf.register("tdigest_merge_p50_p95",
+      F.udaf(new TDigest.MergeAgg(100, Seq(0.5, 0.95)),
+        Encoders.product[TDigest.Sketch]))
     Bridge.registerFunction(spark, "vector_dot",
       exprs => VectorDot(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "sorted_intersect_count",

@@ -53,4 +53,33 @@ class GraftFunctionsSpec extends SparkSpec {
     // char bigrams of "abca": ab, bc, ca
     assert(row.getSeq[String](3) == Seq("ab", "bc", "ca"))
   }
+
+  test("t-digest aggregates are callable from SQL: direct and " +
+    "sketch->merge routes agree with the Column-side kernels") {
+    GraftFunctions.register(spark)
+    spark.range(0, 3000)
+      .selectExpr("id % 3 AS b",
+        "CAST((id * 2654435761) % 10000 AS DOUBLE) AS v")
+      .createOrReplaceTempView("gf3")
+    val direct = spark.sql(
+      "SELECT tdigest_p50_p95(v) AS est FROM gf3").head().getSeq[Double](0)
+    val merged = spark.sql(
+      """SELECT tdigest_merge_p50_p95(sk.means, sk.weights) AS est
+        |FROM (SELECT tdigest_sketch(v) AS sk FROM gf3 GROUP BY b)
+        |""".stripMargin).head().getSeq[Double](0)
+    // both estimates land inside the exact ±0.03/±0.06 rank envelopes
+    val sorted = spark.sql("SELECT v FROM gf3 ORDER BY v")
+      .collect().map(_.getDouble(0))
+    def env(q: Double, eps: Double): (Double, Double) = {
+      val n = sorted.length
+      (sorted(math.max(0, math.floor((q - eps) * n).toInt - 1)),
+        sorted(math.min(n - 1, math.ceil((q + eps) * n).toInt + 1)))
+    }
+    Seq((direct, 0.03), (merged, 0.06)).foreach { case (est, eps) =>
+      val (lo50, hi50) = env(0.5, eps)
+      val (lo95, hi95) = env(0.95, eps)
+      assert(est(0) >= lo50 && est(0) <= hi50, s"p50 $est eps=$eps")
+      assert(est(1) >= lo95 && est(1) <= hi95, s"p95 $est eps=$eps")
+    }
+  }
 }
