@@ -560,6 +560,20 @@ class PlanShapeSpec extends SparkSpec {
       s"top-k must push below the rank window:\n$p")
   }
 
+  test("q236's digests aggregate as object-hash partials and the " +
+    "exact envelope broadcasts back over the sketch side") {
+    val p = plan("q236_tdigest_quantiles")
+    // both digest layers must plan as ObjectHashAggregate (typed
+    // Aggregator state) with a partial stage — the map-side combine
+    // is what keeps per-batch digest building one-pass at 100 TB
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 4,
+      s"sketch + merge layers must each plan partial+final:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-row bounds side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no loop joins:\n$p")
+  }
+
   test("q234's rate table broadcasts back over the corpus scan") {
     val p = plan("q234_temperature_sample")
     assert(p.contains("BroadcastHashJoin"),
