@@ -53,6 +53,26 @@ class TDigestSpec extends SparkSpec {
     assert(math.abs(p50 - exactRank(vs, 0.5)) / 100000.0 <= 0.05)
   }
 
+  test("100k-group digest aggregation survives the object-hash " +
+    "sort-based fallback") {
+    // far past spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    // (128 in-memory keys per partition): the aggregation must spill
+    // to the sort-based path and still finish with sane estimates —
+    // the hazard a data-dependent GROUP BY hits at scale
+    val got = spark.range(0, 200000)
+      .select(($"id" % 100000).as("g"),
+        ($"id" % 1000).cast("double").as("v"))
+      .repartition(16)
+      .groupBy($"g")
+      .agg(TDigest.quantiles(50, Seq(0.5))($"v").as("est"))
+      .as[(Long, Seq[Double])]
+    assert(got.count() == 100000L)
+    // each group holds exactly {g%1000, (g+100000)%1000} = two equal
+    // values mod 1000 → the digest returns their midpoint = the value
+    val sample = got.filter($"g" === 777L).head()
+    assert(sample._2 == Seq(777.0), s"g=777: $sample")
+  }
+
   test("single-value groups return that value exactly") {
     val got = Seq((1L, 42.5)).toDF("g", "v")
       .groupBy($"g")
