@@ -67,17 +67,30 @@ object TDigest {
     var cumLeft = 0L // weight wholly left of the open cluster
     var curW = 0L
     var curSum = 0.0
+    // value-uniform clusters emit the exact value, not curSum/curW:
+    // (m·w)/w loses an ulp, which matters when the cluster is a
+    // single weighted point or one repeated atom — the estimate must
+    // reproduce such values EXACTLY (a 1-ulp-low mean ranks below
+    // every copy of the atom it summarizes)
+    var curFirst = 0.0
+    var curUniform = true
+    def emit(): Unit = {
+      ms += (if (curUniform) curFirst else curSum / curW)
+      ws += curW
+    }
     sorted.foreach { case (m, w) =>
-      if (curW == 0L) { curW = w; curSum = m * w }
-      else if (k((cumLeft + curW + w) / n) - k(cumLeft / n) <= 1.0) {
+      if (curW == 0L) {
+        curW = w; curSum = m * w; curFirst = m; curUniform = true
+      } else if (k((cumLeft + curW + w) / n) - k(cumLeft / n) <= 1.0) {
         curW += w; curSum += m * w
+        if (m != curFirst) curUniform = false
       } else {
-        ms += curSum / curW; ws += curW
+        emit()
         cumLeft += curW
-        curW = w; curSum = m * w
+        curW = w; curSum = m * w; curFirst = m; curUniform = true
       }
     }
-    ms += curSum / curW; ws += curW
+    emit()
     (ms.result(), ws.result())
   }
 
@@ -180,6 +193,56 @@ object TDigest {
         .ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Weighted-point buffer for the weighted aggregator (parallel
+    * value/weight arrays for the uncompressed tail).
+    */
+  final case class WBuf(means: Seq[Double], weights: Seq[Long],
+      bufM: Seq[Double], bufW: Seq[Long])
+
+  /** (value, weight) pairs → weighted quantile estimates. The digest
+    * treats each row as a point of mass `weight` — the estimator for
+    * "what does the median TOKEN see" questions where per-document
+    * values are weighted by token counts. A single row heavier than a
+    * cluster's k₁ budget stays one centroid (a digest cannot split a
+    * point), so rank resolution near such an atom degrades to its
+    * mass — the same caveat as duplicate atoms in the unweighted
+    * case. Non-positive weights are ignored.
+    */
+  class WeightedQuantilesAgg(delta: Int, qs: Seq[Double])
+      extends Aggregator[(Double, Long), WBuf, Seq[Double]] {
+    private val cap = 4 * delta
+    override def zero: WBuf = WBuf(Nil, Nil, Nil, Nil)
+    private def flushW(b: WBuf): WBuf =
+      if (b.bufM.isEmpty) b
+      else {
+        val (ms, ws) = compress(
+          b.means.zip(b.weights) ++ b.bufM.zip(b.bufW), delta)
+        WBuf(ms, ws, Nil, Nil)
+      }
+    override def reduce(b: WBuf, x: (Double, Long)): WBuf =
+      if (x._2 <= 0L) b
+      else {
+        val nb = b.copy(bufM = x._1 +: b.bufM, bufW = x._2 +: b.bufW)
+        if (nb.bufM.size >= cap) flushW(nb) else nb
+      }
+    override def merge(a: WBuf, b: WBuf): WBuf = {
+      val (fa, fb) = (flushW(a), flushW(b))
+      val (ms, ws) = compress(
+        fa.means.zip(fa.weights) ++ fb.means.zip(fb.weights), delta)
+      WBuf(ms, ws, Nil, Nil)
+    }
+    override def finish(b: WBuf): Seq[Double] = {
+      val f = flushW(b)
+      val (ms, ws) = (f.means.toIndexedSeq, f.weights.toIndexedSeq)
+      qs.map(estimate(ms, ws, _))
+    }
+    override def bufferEncoder: Encoder[WBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[WBuf]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Double]]()
+  }
+
   /** `agg`-ready: quantile estimates of a double column. */
   def quantiles(delta: Int, qs: Seq[Double])(col: Column): Column =
     udaf(new QuantilesAgg(delta, qs), Encoders.scalaDouble).apply(col)
@@ -187,6 +250,13 @@ object TDigest {
   /** `agg`-ready: the digest of a double column, as a struct. */
   def sketch(delta: Int)(col: Column): Column =
     udaf(new SketchAgg(delta), Encoders.scalaDouble).apply(col)
+
+  /** `agg`-ready: weighted quantiles of (value, weight) columns. */
+  def weightedQuantiles(delta: Int, qs: Seq[Double])(
+      value: Column, weight: Column): Column =
+    udaf(new WeightedQuantilesAgg(delta, qs),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .apply(value, weight)
 
   /** `agg`-ready: quantiles of the union behind a sketch column.
     * `udaf` with a product input encoder flattens the case class into

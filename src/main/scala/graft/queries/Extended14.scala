@@ -77,5 +77,65 @@ object Extended14 {
       .orderBy($"o_orderstatus")
   }
 
-  val all: Seq[Q] = Seq(q236_tdigest_quantiles)
+  /** TOKEN-weighted quantiles via the weighted t-digest
+    * ([[TDigest.weightedQuantiles]]) — the sketch companion to q152's
+    * exact weighted median, answering the question per-doc quantiles
+    * get wrong: "what does the median TOKEN see", where each
+    * document's chars-per-token density counts with its token mass.
+    * One map-side-combined aggregate per language carries ≤~δ
+    * centroids regardless of corpus size; the exact alternative
+    * (q152's cumulative-weight window) re-sorts every distinct value
+    * per refresh.
+    *
+    * Envelope policy (q236's, weighted): the estimate must land
+    * between the exact weighted quantiles at p±0.07 — calibrated as
+    * the weighted digest's measured 0.012 error beyond one atom plus
+    * the heaviest document's token share (≤ 2.8% across SFs) plus
+    * margin. The bounds side computes exact weighted quantiles by
+    * q152's integer cross-multiply (cw·10⁴ ≥ bp·tw — no division),
+    * pre-aggregated per (lang, value) so the cumulative window runs
+    * over value cardinality; p95's upper bound caps at the maximum
+    * value (p+0.07 > 1). All-integer verdict inputs except the
+    * deterministic per-doc ratio itself.
+    */
+  val q237_weighted_digest: Q = Q(
+    "q237_weighted_digest",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+      |    AS total_tokens,
+      |  TRUE AS wp50_ok, TRUE AS wp95_ok
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.loadParallel(spark, dir, "documents")
+      .select($"lang", length($"text").cast("long").as("chars"),
+        size(split(lower($"text"), "\\s+")).cast("long").as("w"))
+      .select($"lang", $"w",
+        ($"chars".cast("double") / $"w").as("v"))
+    val approx = docs.groupBy($"lang")
+      .agg(
+        TDigest.weightedQuantiles(100, Seq(0.5, 0.95))($"v", $"w")
+          .as("est"),
+        count(lit(1)).as("n_docs"),
+        sum($"w").as("total_tokens"))
+    val perVal = docs.groupBy($"lang", $"v").agg(sum($"w").as("w"))
+    val wc = Window.partitionBy($"lang").orderBy($"v")
+    val wt = Window.partitionBy($"lang")
+    val cum = perVal.select($"lang", $"v",
+      sum($"w").over(wc).as("cw"), sum($"w").over(wt).as("tw"))
+    def wq(bp: Int) =
+      min(when($"cw" * 10000 >= lit(bp.toLong) * $"tw", $"v"))
+    val bounds = cum.groupBy($"lang").agg(
+      wq(4300).as("lo50"), wq(5700).as("hi50"),
+      wq(8800).as("lo95"), max($"v").as("vmax"))
+    approx.join(broadcast(bounds), Seq("lang"))
+      .select($"lang", $"n_docs", $"total_tokens",
+        ($"est".getItem(0) >= $"lo50" && $"est".getItem(0) <= $"hi50")
+          .as("wp50_ok"),
+        ($"est".getItem(1) >= $"lo95" && $"est".getItem(1) <= $"vmax")
+          .as("wp95_ok"))
+      .orderBy($"lang")
+  }
+
+  val all: Seq[Q] = Seq(q236_tdigest_quantiles, q237_weighted_digest)
 }

