@@ -251,10 +251,37 @@ object TDigest {
   def sketch(delta: Int)(col: Column): Column =
     udaf(new SketchAgg(delta), Encoders.scalaDouble).apply(col)
 
+  /** (value, weight) pairs → the digest itself — the weighted
+    * maintainable state; merges through [[MergeAgg]]/[[mergeQuantiles]]
+    * exactly like the unweighted [[SketchAgg]] output.
+    */
+  class WeightedSketchAgg(delta: Int)
+      extends Aggregator[(Double, Long), WBuf, Sketch] {
+    private val inner = new WeightedQuantilesAgg(delta, Nil)
+    override def zero: WBuf = inner.zero
+    override def reduce(b: WBuf, x: (Double, Long)): WBuf =
+      inner.reduce(b, x)
+    override def merge(a: WBuf, b: WBuf): WBuf = inner.merge(a, b)
+    override def finish(b: WBuf): Sketch = {
+      val f = inner.merge(b, zero) // flush via merge with empty
+      Sketch(f.means, f.weights)
+    }
+    override def bufferEncoder: Encoder[WBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[WBuf]()
+    override def outputEncoder: Encoder[Sketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Sketch]()
+  }
+
   /** `agg`-ready: weighted quantiles of (value, weight) columns. */
   def weightedQuantiles(delta: Int, qs: Seq[Double])(
       value: Column, weight: Column): Column =
     udaf(new WeightedQuantilesAgg(delta, qs),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .apply(value, weight)
+
+  /** `agg`-ready: the weighted digest of (value, weight) columns. */
+  def weightedSketch(delta: Int)(value: Column, weight: Column): Column =
+    udaf(new WeightedSketchAgg(delta),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
       .apply(value, weight)
 

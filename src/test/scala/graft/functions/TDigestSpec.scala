@@ -73,6 +73,29 @@ class TDigestSpec extends SparkSpec {
     assert(sample._2 == Seq(777.0), s"g=777: $sample")
   }
 
+  test("weighted sketch feeds the same mergeQuantiles route") {
+    // weight w ≡ w duplicate rows: the weighted sketch of (v, 3)
+    // must estimate like the unweighted digest of v repeated 3x
+    val weighted = spark.range(0, 2000)
+      .select((($"id" * 2654435761L) % 100000).cast("double").as("v"),
+        lit(3L).as("w"),
+        ($"id" % 5).as("batch"))
+      .groupBy($"batch")
+      .agg(TDigest.weightedSketch(100)($"v", $"w").as("sk"))
+      .agg(TDigest.mergeQuantiles(100, Seq(0.5, 0.95))($"sk").as("est"))
+      .as[Seq[Double]].head()
+    val vs = spark.range(0, 2000)
+      .select((($"id" * 2654435761L) % 100000).cast("double").as("v"))
+      .as[Double].collect()
+    val Seq(p50, p95) = weighted
+    // uniform weights change nothing about ranks: same envelope as
+    // the unweighted merged route
+    assert(math.abs(vs.count(_ <= p50).toDouble / vs.length - 0.5)
+      <= 0.06, s"weighted merged p50=$p50")
+    assert(math.abs(vs.count(_ <= p95).toDouble / vs.length - 0.95)
+      <= 0.06, s"weighted merged p95=$p95")
+  }
+
   test("single-value groups return that value exactly") {
     val got = Seq((1L, 42.5)).toDF("g", "v")
       .groupBy($"g")
