@@ -243,6 +243,28 @@ object TDigest {
         .ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Sketch column → the merged Sketch — the MAINTENANCE-side merge
+    * (base ∪ delta digests → the new maintained state), completing
+    * the q110 `mergeSketches` analogue for quantiles: a digest table
+    * updates per refresh by unioning base and delta frames and
+    * aggregating this per key; [[MergeAgg]] is the read side of the
+    * same state.
+    */
+  class MergeSketchAgg(delta: Int)
+      extends Aggregator[Sketch, Buf, Sketch] {
+    private val inner = new MergeAgg(delta, Nil)
+    override def zero: Buf = inner.zero
+    override def reduce(b: Buf, s: Sketch): Buf = inner.reduce(b, s)
+    override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
+    override def finish(b: Buf): Sketch = {
+      val f = mergeBufs(b, Buf(Nil, Nil, Nil), delta)
+      Sketch(f.means, f.weights)
+    }
+    override def bufferEncoder: Encoder[Buf] = bufEncoder
+    override def outputEncoder: Encoder[Sketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Sketch]()
+  }
+
   /** `agg`-ready: quantile estimates of a double column. */
   def quantiles(delta: Int, qs: Seq[Double])(col: Column): Column =
     udaf(new QuantilesAgg(delta, qs), Encoders.scalaDouble).apply(col)
@@ -284,6 +306,11 @@ object TDigest {
     udaf(new WeightedSketchAgg(delta),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
       .apply(value, weight)
+
+  /** `agg`-ready: merged Sketch of a sketch column (maintenance). */
+  def mergeSketch(delta: Int)(col: Column): Column =
+    udaf(new MergeSketchAgg(delta), Encoders.product[Sketch])
+      .apply(col.getField("means"), col.getField("weights"))
 
   /** `agg`-ready: quantiles of the union behind a sketch column.
     * `udaf` with a product input encoder flattens the case class into

@@ -96,6 +96,32 @@ class TDigestSpec extends SparkSpec {
       <= 0.06, s"weighted merged p95=$p95")
   }
 
+  test("maintained digest table: base+delta mergeSketch then read " +
+    "estimates like a direct digest of the union") {
+    // the q110 maintenance choreography: per-key base and delta
+    // digest frames union, mergeSketch re-compresses the state, the
+    // read side answers from the maintained column only
+    val base = df.filter($"g" < 2).groupBy($"g")
+      .agg(TDigest.sketch(100)($"v").as("sk"))
+    val delta = df.filter($"g" >= 2)
+      .withColumn("g", $"g" - 2) // collide keys so merging happens
+      .groupBy($"g").agg(TDigest.sketch(100)($"v").as("sk"))
+    val maintained = base.union(delta).groupBy($"g")
+      .agg(TDigest.mergeSketch(100)($"sk").as("sk"))
+    val got = maintained
+      .agg(TDigest.mergeQuantiles(100, Seq(0.5, 0.95))($"sk").as("est"))
+      .as[Seq[Double]].head()
+    val vs = df.select($"v").as[Double].collect()
+    val Seq(p50, p95) = got
+    assert(math.abs(vs.count(_ <= p50).toDouble / vs.length - 0.5)
+      <= 0.06, s"maintained p50=$p50")
+    assert(math.abs(vs.count(_ <= p95).toDouble / vs.length - 0.95)
+      <= 0.06, s"maintained p95=$p95")
+    // the state stays bounded after the merge
+    val sk = maintained.select($"sk.means").as[Seq[Double]].collect()
+    assert(sk.forall(m => m.nonEmpty && m.size <= 200))
+  }
+
   test("single-value groups return that value exactly") {
     val got = Seq((1L, 42.5)).toDF("g", "v")
       .groupBy($"g")
