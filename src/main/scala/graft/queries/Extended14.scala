@@ -137,5 +137,56 @@ object Extended14 {
       .orderBy($"lang")
   }
 
-  val all: Seq[Q] = Seq(q236_tdigest_quantiles, q237_weighted_digest)
+  /** INCREMENTALLY-MAINTAINED exact heavy hitters — q127's two-pass
+    * answer produced from per-period Misra–Gries summaries instead of
+    * a fresh corpus-wide pass 1: each period persists only its
+    * 512-counter map ([[graft.functions.MisraGries.summary]], one
+    * map-side-combined aggregate over that period's tokens), the
+    * periods' summaries merge with the Agarwal trim (driver-side here
+    * — periods × 512 entries), and the merged candidate set keeps the
+    * global n/(k+1) superset guarantee for ANY period split
+    * (mergeable-summaries law, MisraGriesProps-proven). The exact
+    * recount then touches only the ≤ 512 candidates, so the final
+    * answer is EXACT and shares q127's direct full-vocabulary oracle
+    * — the maintenance changed the work, not the result. At 100 TB: a
+    * new period tokenizes only its own documents; history contributes
+    * bounded summaries, never text.
+    */
+  val q238_mg_incremental: Q = Q(
+    "q238_mg_incremental",
+    """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |tot AS (SELECT COUNT(*) AS n FROM t)
+      |SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1
+      |HAVING COUNT(*) * 100 > (SELECT n FROM tot)
+      |ORDER BY cnt DESC, tok""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.{MisraGries, MisraGriesSummary}
+    val toks = Tables.loadParallel(spark, dir, "documents")
+      .select(($"doc_id" % 4).as("period"),
+        explode(graft.functions.TextFunctions.lowerTokens($"text"))
+          .as("tok"))
+      .localCheckpoint()
+    val total = toks.count()
+    // maintenance layer: one bounded summary per period
+    val perPeriod = toks.groupBy($"period")
+      .agg(MisraGries.summary(512)($"tok").as("mg"))
+      .select($"mg").collect()
+    // merge the maintained summaries (periods × 512 entries, driver)
+    val mg = new MisraGriesSummary(512)
+    val merged = perPeriod.foldLeft(Map.empty[String, Long]) { (acc, r) =>
+      mg.merge(acc, r.getMap[String, Long](0).toMap)
+    }
+    val cands = merged.keys.toSeq.sorted
+    // exact recount of candidates only, real threshold
+    toks.filter($"tok".isin(cands: _*))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * 100 > total)
+      .orderBy($"cnt".desc, $"tok")
+  }
+
+  val all: Seq[Q] =
+    Seq(q236_tdigest_quantiles, q237_weighted_digest,
+      q238_mg_incremental)
 }
