@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling — the "give me N documents,
+  * spread fairly across strata, reproducibly" primitive every
+  * training-data pipeline needs for eval-set carving, human-review
+  * draws, and per-source quota enforcement (reference analogue: the
+  * curriculum's train/test splitting in `assignment_3_spark.py` and
+  * the md5-bucket split of q58, which assign FRACTIONS; this operator
+  * assigns an EXACT total budget).
+  *
+  * Two pieces, both integer-exact and rerun-stable:
+  *
+  *  1. '''Largest-remainder (Hamilton) apportionment''' of an integer
+  *     budget across strata proportional to any integer mass (doc
+  *     count, byte mass, token mass): floor quotas `S·n_h div N` first,
+  *     then the `S − Σ floor` leftover seats go to the largest
+  *     remainders `S·n_h mod N` (ties broken by stratum key). Pure
+  *     integer arithmetic — no double division whose rounding could
+  *     diverge between engines — and the allocation error per stratum
+  *     is provably < 1 seat (SamplingProps pins Σ = S and
+  *     |alloc − S·n/N| < 1).
+  *  2. '''Deterministic take''': within each stratum keep the
+  *     `n_alloc` rows with the smallest `md5(id)` hex digest (doc-id
+  *     tie-break). The md5 order is uniform-but-frozen — statistically
+  *     a uniform random sample, yet identical across reruns, engines,
+  *     partitionings, and (critically for growing corpora) STABLE
+  *     under stratum growth in the md5-prefix sense the q58 split
+  *     relies on: a doc's digest never changes, so re-sampling after
+  *     appends only swaps rows at the quota boundary.
+  *
+  * Scale shape: the strata table is aggregate-bounded (one row per
+  * stratum — thousands, not billions), so the apportionment runs in a
+  * SINGLE-PARTITION window over that bounded table and broadcasts back
+  * into the corpus-wide take. The take itself is one keyed exchange
+  * (partitionBy strata) + rank — and on a bucketed-by-strata layout
+  * even that exchange vanishes. Nothing corpus-sized ever sorts
+  * globally.
+  */
+object Sampling {
+
+  /** Hamilton/largest-remainder apportionment of `budget` across the
+    * rows of `counts` proportional to `massCol`.
+    *
+    * @param counts  one row per stratum (aggregate-bounded)
+    * @param keyCols stratum key columns (also the remainder tie-break)
+    * @param massCol non-negative integer mass column
+    * @param budget  total seats to hand out (Σ n_alloc == budget,
+    *                provided budget ≤ Σ mass when sampling without
+    *                replacement is intended — callers cap per-stratum
+    *                takes at the stratum size anyway)
+    * @return `counts` + `n_alloc`
+    */
+  def allocateLargestRemainder(counts: DataFrame, keyCols: Seq[String],
+      massCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    // single-partition windows over the stratum table: bounded by
+    // construction (one row per stratum), same discipline as
+    // Packing's shard bound — document, don't shuffle corpus rows
+    val all = Window.partitionBy()
+    val byRem = Window.partitionBy()
+      .orderBy(col("_rem").desc +: keyCols.map(col): _*)
+    counts
+      .withColumn("_tot", sum(col(massCol)).over(all))
+      .withColumn("_num", lit(budget) * col(massCol))
+      // integer `div`, never `/`: long division through a double
+      // rounds above 2^53 and the engines could round differently
+      .withColumn("_fl", expr("_num div _tot"))
+      .withColumn("_rem", col("_num") % col("_tot"))
+      .withColumn("_extra", lit(budget) - sum(col("_fl")).over(all))
+      .withColumn("_rk", row_number().over(byRem))
+      .withColumn("n_alloc",
+        col("_fl") + when(col("_rk") <= col("_extra"), 1L).otherwise(0L))
+      .drop("_tot", "_num", "_fl", "_rem", "_extra", "_rk")
+  }
+
+  /** Keep, per stratum, the `n_alloc` rows with the smallest
+    * `(md5(idCol), idCol)` — `alloc` is the (broadcastable) output of
+    * [[allocateLargestRemainder]]. Strata smaller than their
+    * allocation yield all their rows.
+    */
+  def takeStratified(df: DataFrame, keyCols: Seq[String], idCol: String,
+      alloc: DataFrame): DataFrame = {
+    val byStratum = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(alloc.select(
+        keyCols.map(col) :+ col("n_alloc"): _*)), keyCols)
+      .withColumn("_rn", row_number().over(byStratum))
+      .filter(col("_rn") <= col("n_alloc"))
+      .drop("_rn", "n_alloc")
+  }
+}

@@ -24,6 +24,12 @@ import graft.operators.Dedup
   *   tdigest_p50_p95(v)                  — array(p50, p95) estimates
   *   tdigest_sketch(v)                   — the mergeable centroid state
   *   tdigest_merge_p50_p95(means, ws)    — union quantiles over sketches
+  *
+  * and the count-min aggregates (`graft.functions.CountMin`, width
+  * fixed at the 512 default — same instance-binding note):
+  *
+  *   countmin_sketch(item)               — flattened 4×512 counter grid
+  *   countmin_merge(sk)                  — exact union grid (linearity)
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -37,6 +43,14 @@ object GraftFunctions {
     spark.udf.register("tdigest_merge_p50_p95",
       F.udaf(new TDigest.MergeAgg(100, Seq(0.5, 0.95)),
         Encoders.product[TDigest.Sketch]))
+    spark.udf.register("countmin_sketch",
+      F.udaf(new graft.functions.CountMinSketch(
+        graft.functions.CountMin.DefaultWidth), Encoders.STRING))
+    spark.udf.register("countmin_merge",
+      F.udaf(new graft.functions.CountMinMerge(
+        graft.functions.CountMin.DefaultWidth),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[Long]]()))
     Bridge.registerFunction(spark, "vector_dot",
       exprs => VectorDot(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "sorted_intersect_count",

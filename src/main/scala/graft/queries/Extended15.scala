@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Sampling
+
+/** Round-6 final additions: the curation primitives between "score the
+  * corpus" and "ship the dataset" — exact-budget stratified sampling,
+  * a word-level backoff LM whose scoring is integer end to end, and
+  * the linear (retractable) frequency sketch.
+  */
+object Extended15 {
+
+  /** Exact-budget stratified sample: 97 documents apportioned across
+    * sources by largest-remainder ([[Sampling.allocateLargestRemainder]]
+    * — floor quotas, leftover seats to the largest integer remainders)
+    * and drawn per-stratum in frozen md5 order
+    * ([[Sampling.takeStratified]]). Everything is integer arithmetic
+    * and md5 ordering, so the SAME 97 documents come back on any
+    * engine, partitioning, or rerun — `id_sum` pins the exact
+    * selection, not just its size. Scale shape: the apportionment
+    * windows run over the stratum table (one row per source), the
+    * take is one keyed exchange over the corpus with the 20-row
+    * allocation broadcast in.
+    */
+  val q239_stratified_sample: Q = Q(
+    "q239_stratified_sample",
+    """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM c),
+      |qt AS (SELECT source, n_docs, (97 * n_docs) // tot AS fl,
+      |    (97 * n_docs) % tot AS rem FROM c CROSS JOIN t),
+      |r AS (SELECT source, n_docs, fl,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM qt),
+      |ex AS (SELECT CAST(97 - SUM(fl) AS BIGINT) AS e FROM qt),
+      |alloc AS (SELECT source, n_docs,
+      |    fl + CASE WHEN rk <= (SELECT e FROM ex) THEN 1 ELSE 0 END
+      |      AS n_alloc FROM r),
+      |sel AS (SELECT doc_id, source, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents),
+      |tk AS (SELECT s.source, s.doc_id FROM sel s
+      |  JOIN alloc a USING (source) WHERE s.rn <= a.n_alloc)
+      |SELECT a.source, a.n_docs, a.n_alloc,
+      |  COUNT(tk.doc_id) AS n_taken,
+      |  COALESCE(CAST(SUM(tk.doc_id) AS BIGINT), 0) AS id_sum
+      |FROM alloc a LEFT JOIN tk ON tk.source = a.source
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.loadParallel(spark, dir, "documents")
+      .select($"doc_id", $"source")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val alloc = Sampling.allocateLargestRemainder(
+      counts, Seq("source"), "n_docs", 97L)
+    val taken = Sampling.takeStratified(docs, Seq("source"), "doc_id",
+        alloc)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_taken"), sum($"doc_id").as("id_sum"))
+    alloc.join(taken, Seq("source"), "left")
+      .select($"source", $"n_docs", $"n_alloc",
+        coalesce($"n_taken", lit(0L)).as("n_taken"),
+        coalesce($"id_sum", lit(0L)).as("id_sum"))
+      .orderBy($"source")
+  }
+
+  /** CCNet-style LM quality gate with ZERO floating point: a
+    * Stupid-Backoff word-bigram model trained on the trusted slice
+    * (sources src0–src4), pruned to its top-512 bigrams / top-24
+    * unigrams (the cut binds at every SF — ~905 bigram types, 31
+    * words — so backoff and OOV paths really execute), scores every
+    * document in integer surprise bits ([[LangModel]]: each term is a
+    * difference of exact ⌊log₂ count⌋ values, so document sums are
+    * BIGINT and order-free — q218's char-level scorer keeps milli-nat
+    * precision via a floored `ln`; this is the coarser-unit /
+    * zero-transcendental end of that trade). Per source: scored docs,
+    * total bits and transitions, bits-per-100-transitions, and how
+    * many docs breach the 5.8 bits/transition quality bar (the corpus
+    * median is ~5.5–6.1 across SFs, so the gate splits every SF).
+    * Scale shape: the pruned model BROADCASTS into the one corpus
+    * scoring pass; only per-document and per-source combines shuffle.
+    */
+  val q240_backoff_lm_bits: Q = Q(
+    "q240_backoff_lm_bits",
+    """WITH tok AS (SELECT doc_id, source,
+      |    string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |tr AS (SELECT doc_id, source, unnest(t[:-2]) AS w1,
+      |    unnest(t[2:]) AS w2 FROM tok WHERE len(t) >= 2),
+      |ttok AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
+      |    AS w FROM documents
+      |  WHERE source IN ('src0','src1','src2','src3','src4')),
+      |ttr AS (SELECT unnest(t[:-2]) AS w1, unnest(t[2:]) AS w2
+      |  FROM (SELECT string_split_regex(lower(text), '\s+') AS t
+      |        FROM documents
+      |        WHERE source IN ('src0','src1','src2','src3','src4')) x
+      |  WHERE len(t) >= 2),
+      |uni0 AS (SELECT w, COUNT(*) AS c FROM ttok GROUP BY 1),
+      |uni AS (SELECT w, c FROM uni0 ORDER BY c DESC, w LIMIT 24),
+      |bi AS (SELECT b.w1, b.w2, b.c12, u.c AS c1
+      |  FROM (SELECT w1, w2, COUNT(*) AS c12 FROM ttr GROUP BY 1, 2
+      |        ORDER BY COUNT(*) DESC, w1, w2 LIMIT 512) b
+      |  JOIN uni0 u ON u.w = b.w1),
+      |k AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
+      |sc AS (SELECT tr.doc_id, tr.source,
+      |    CASE WHEN b.c12 IS NOT NULL
+      |      THEN (length(bin(b.c1)) - 1) - (length(bin(b.c12)) - 1)
+      |      ELSE 1 + (length(bin((SELECT n FROM k) + (SELECT v FROM k)))
+      |                - 1)
+      |             - (length(bin(COALESCE(u.c, 0) + 1)) - 1) END AS bits
+      |  FROM tr LEFT JOIN bi b ON tr.w1 = b.w1 AND tr.w2 = b.w2
+      |  LEFT JOIN uni u ON tr.w2 = u.w),
+      |doc AS (SELECT doc_id, source, CAST(SUM(bits) AS BIGINT) AS d_bits,
+      |    COUNT(*) AS d_n FROM sc GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(d_bits) AS BIGINT) AS sum_bits,
+      |  CAST(SUM(d_n) AS BIGINT) AS sum_trans,
+      |  (100 * CAST(SUM(d_bits) AS BIGINT))
+      |    // CAST(SUM(d_n) AS BIGINT) AS bp100,
+      |  CAST(SUM(CASE WHEN d_bits * 10 > d_n * 58 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_high
+      |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.LangModel
+    val docs = Tables.loadParallel(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+    val lm = LangModel.trainBigram(
+      docs.filter($"source".isin("src0", "src1", "src2", "src3", "src4")),
+      $"text", biK = 512, uniK = 24)
+    LangModel.scoreBits(docs, Seq("doc_id", "source"), $"text", lm)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"d_bits").as("sum_bits"),
+        sum($"d_n").as("sum_trans"),
+        sum(when($"d_bits" * 10 > $"d_n" * 58, 1L).otherwise(0L))
+          .as("n_high"))
+      .withColumn("bp100", expr("(100 * sum_bits) div sum_trans"))
+      .select($"source", $"n_docs", $"sum_bits", $"sum_trans", $"bp100",
+        $"n_high")
+      .orderBy($"source")
+  }
+
+  /** Count-min turnstile maintenance ([[graft.functions.CountMin]]):
+    * per-period token sketches (the maintained state) merge by vector
+    * add into the full-corpus sketch, then period 1 is DELETED by
+    * subtraction — linearity makes the retracted grid EXACTLY the
+    * sketch of the surviving periods, no history rescan (the
+    * frequency-summary cell of the IVM matrix: q226 retracts exact
+    * aggregates, q231 retracts dedup groups, this retracts sketches).
+    * The top-10 surviving tokens are then point-queried against the
+    * retracted sketch; because the row hashes are md5-derived, the
+    * DuckDB oracle replays the whole grid relationally and matches
+    * `est` EXACTLY — `est >= true` always (min-of-counters), the gap
+    * is the deterministic collision mass. Driver work is bounded by
+    * construction: 4 sketches × 16 KB and 10 candidate rows.
+    */
+  val q241_countmin_turnstile: Q = Q(
+    "q241_countmin_turnstile",
+    """WITH tok AS (SELECT doc_id % 4 AS period,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |kept AS (SELECT w FROM tok WHERE period <> 1),
+      |cand AS (SELECT w, COUNT(*) AS true_cnt FROM kept GROUP BY 1
+      |  ORDER BY true_cnt DESC, w LIMIT 10),
+      |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      |g AS (SELECT j, ('0x' || substr(md5(w), 1 + 8 * j, 8))::BIGINT
+      |      % 512 AS b, COUNT(*) AS c
+      |  FROM kept CROSS JOIN js GROUP BY 1, 2)
+      |SELECT cand.w AS tok, cand.true_cnt, MIN(g.c) AS est,
+      |  MIN(g.c) - cand.true_cnt AS over_mass
+      |FROM cand CROSS JOIN js
+      |JOIN g ON g.j = js.j
+      |  AND g.b = ('0x' || substr(md5(cand.w), 1 + 8 * js.j, 8))::BIGINT
+      |      % 512
+      |GROUP BY 1, 2 ORDER BY true_cnt DESC, tok""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.CountMin
+    val toks = Tables.loadParallel(spark, dir, "documents")
+      .select(($"doc_id" % 4).as("period"),
+        explode(graft.functions.TextFunctions.lowerTokens($"text"))
+          .as("w"))
+      .localCheckpoint()
+    // maintenance layer: one 4×512 grid per period, map-side combined
+    val perPeriod = toks.groupBy($"period")
+      .agg(CountMin.sketch(512)($"w").as("sk"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val full = perPeriod.values.reduce { (a, b) =>
+      new graft.functions.CountMinSketch(512).merge(a.clone(), b)
+    }
+    val retracted = CountMin.retract(full, perPeriod(1L))
+    // top-10 surviving tokens, exact counts (bounded TakeOrdered)
+    val cands = toks.filter($"period" =!= 1)
+      .groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+      .orderBy($"true_cnt".desc, $"w").limit(10)
+      .as[(String, Long)].collect()
+    val rows = cands.map { case (w, cnt) =>
+      val est = CountMin.estimate(retracted, w, 512)
+      (w, cnt, est, est - cnt)
+    }
+    spark.createDataset(rows.toSeq)
+      .toDF("tok", "true_cnt", "est", "over_mass")
+      .orderBy($"true_cnt".desc, $"tok")
+  }
+
+  val all: Seq[Q] = Seq(q239_stratified_sample, q240_backoff_lm_bits,
+    q241_countmin_turnstile)
+}

@@ -82,4 +82,30 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(est(1) >= lo95 && est(1) <= hi95, s"p95 $est eps=$eps")
     }
   }
+
+  test("count-min SQL aggregates match the Scala reference and merge " +
+    "linearly") {
+    GraftFunctions.register(spark)
+    import graft.functions.CountMin
+    val items = Seq.tabulate(200)(i => (i % 3, s"tok${i % 7}"))
+    items.toDF("b", "w").createOrReplaceTempView("gf4")
+    val direct = spark.sql("SELECT countmin_sketch(w) AS sk FROM gf4")
+      .head().getSeq[Long](0).toArray
+    val merged = spark.sql(
+      """SELECT countmin_merge(sk) AS sk
+        |FROM (SELECT countmin_sketch(w) AS sk FROM gf4 GROUP BY b)
+        |""".stripMargin).head().getSeq[Long](0).toArray
+    val ref = items.foldLeft(
+      new Array[Long](CountMin.Depth * CountMin.DefaultWidth)) {
+      case (g, (_, w)) =>
+        val h = CountMin.buckets(w, CountMin.DefaultWidth)
+        (0 until CountMin.Depth).foreach(j =>
+          g(j * CountMin.DefaultWidth + h(j)) += 1L)
+        g
+    }
+    assert(direct.sameElements(ref))
+    assert(merged.sameElements(ref))
+    assert(CountMin.estimate(ref, "tok0", CountMin.DefaultWidth) >=
+      items.count(_._2 == "tok0"))
+  }
 }
