@@ -77,6 +77,64 @@ object Sampling {
       .drop("_tot", "_num", "_fl", "_rem", "_extra", "_rk")
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sampling:
+    * exactly `sampleSize` ticks land on the cumulative-weight line at
+    * multiples of W/S, and each row receives the ticks falling inside
+    * its own weight interval — so a row's expected pick count is
+    * EXACTLY S·w/W, its realized count is within 1 of that (the
+    * classic systematic-sampling guarantee, SamplingProps-pinned),
+    * and heavy rows (w > W/S) surface with multiplicity instead of
+    * being capped. The Hamilton apportionment above fixes per-STRATUM
+    * totals; this fixes per-ROW inclusion ∝ any integer mass (bytes,
+    * tokens) — the draw a token-budgeted training mix actually wants.
+    *
+    * Determinism without randomness: rows line up in frozen
+    * `(md5(id), id)` order (the q58/q239 discipline — uniform but
+    * reproducible, so no correlation with any real attribute), the
+    * tick origin is 0, and tick membership is pure integer
+    * cross-multiplication: ticks k satisfy c·S ≤ k·W < (c+w)·S, so
+    * `n_picks = ceilDiv((c+w)·S, W) − ceilDiv(c·S, W)` — no doubles,
+    * no engine divergence. Requires W·S to fit a long (loud guard);
+    * at larger magnitudes pre-scale the weights.
+    *
+    * Scale shape: one corpus-wide total (bounded collect of a single
+    * long), one [[PrefixSum.exclusive]] scan (range exchange +
+    * partition-local pass), then a map-side pick computation — no
+    * single-partition window anywhere.
+    *
+    * @return input rows with `cum` (exclusive weight prefix) and
+    *         `n_picks` (ticks landed, ≥ 1) — unsampled rows dropped
+    */
+  def systematicPps(df: DataFrame, idCol: String, weightCol: String,
+      sampleSize: Long): DataFrame = {
+    require(sampleSize >= 0, s"sampleSize must be >= 0, got $sampleSize")
+    val total = df.agg(sum(col(weightCol).cast("long"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (total == 0L || sampleSize == 0L)
+      return df.withColumn("cum", lit(0L))
+        .withColumn("n_picks", lit(0L)).limit(0)
+    require(total <= (Long.MaxValue - total) / sampleSize,
+      s"W·S + W overflows long (W=$total, S=$sampleSize) — pre-scale " +
+        "the weights")
+    val ordered = df
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_w", col(weightCol).cast("long"))
+    val cum = PrefixSum.exclusive(ordered, Seq("_h", idCol), "_w", "cum")
+    cum
+      // ceilDiv staged as named columns: integer `div`, never `/`
+      // (same rationale as the apportionment above)
+      .withColumn("_hi",
+        (col("cum") + col("_w")) * sampleSize + lit(total - 1))
+      .withColumn("_lo", col("cum") * sampleSize + lit(total - 1))
+      .withColumn("n_picks",
+        expr(s"(_hi div CAST($total AS BIGINT)) - " +
+          s"(_lo div CAST($total AS BIGINT))"))
+      .filter(col("n_picks") > 0)
+      .drop("_h", "_w", "_hi", "_lo")
+  }
+
   /** Keep, per stratum, the `n_alloc` rows with the smallest
     * `(md5(idCol), idCol)` — `alloc` is the (broadcastable) output of
     * [[allocateLargestRemainder]]. Strata smaller than their

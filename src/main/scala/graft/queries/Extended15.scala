@@ -11,17 +11,21 @@ import graft.operators.Sampling
   */
 object Extended15 {
 
-  /** Exact-budget stratified sample: 97 documents apportioned across
-    * sources by largest-remainder ([[Sampling.allocateLargestRemainder]]
-    * — floor quotas, leftover seats to the largest integer remainders)
-    * and drawn per-stratum in frozen md5 order
-    * ([[Sampling.takeStratified]]). Everything is integer arithmetic
-    * and md5 ordering, so the SAME 97 documents come back on any
-    * engine, partitioning, or rerun — `id_sum` pins the exact
-    * selection, not just its size. Scale shape: the apportionment
-    * windows run over the stratum table (one row per source), the
-    * take is one keyed exchange over the corpus with the 20-row
-    * allocation broadcast in.
+  /** Exact-budget stratified sample END-TO-END: 97 documents
+    * apportioned across sources by largest-remainder
+    * ([[Sampling.allocateLargestRemainder]] — floor quotas, leftover
+    * seats to the largest integer remainders) and drawn per-stratum
+    * in frozen md5 order ([[Sampling.takeStratified]]). This is the
+    * operator form of machinery two earlier queries carry inline:
+    * q194 apportions (temperature quotas, no draw), q195 draws
+    * (per-language rates, no shared budget); here one reusable pair
+    * closes the loop — a FIXED corpus-wide budget lands as actual
+    * rows. Everything is integer arithmetic and md5 ordering, so the
+    * SAME 97 documents come back on any engine, partitioning, or
+    * rerun — `id_sum` pins the exact selection, not just its size.
+    * Scale shape: the apportionment windows run over the stratum
+    * table (one row per source), the take is one keyed exchange over
+    * the corpus with the 20-row allocation broadcast in.
     */
   val q239_stratified_sample: Q = Q(
     "q239_stratified_sample",
@@ -51,13 +55,16 @@ object Extended15 {
     val docs = Tables.loadParallel(spark, dir, "documents")
       .select($"doc_id", $"source")
     val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    // strata-bounded (one row per source) with TWO consumers below
+    // (the take's broadcast and the final rollup join) — checkpoint so
+    // the corpus-count aggregate runs once (the q221 reuse lesson)
     val alloc = Sampling.allocateLargestRemainder(
-      counts, Seq("source"), "n_docs", 97L)
+      counts, Seq("source"), "n_docs", 97L).localCheckpoint()
     val taken = Sampling.takeStratified(docs, Seq("source"), "doc_id",
         alloc)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_taken"), sum($"doc_id").as("id_sum"))
-    alloc.join(taken, Seq("source"), "left")
+    alloc.join(broadcast(taken), Seq("source"), "left")
       .select($"source", $"n_docs", $"n_alloc",
         coalesce($"n_taken", lit(0L)).as("n_taken"),
         coalesce($"id_sum", lit(0L)).as("id_sum"))
@@ -203,6 +210,49 @@ object Extended15 {
       .orderBy($"true_cnt".desc, $"tok")
   }
 
+  /** Systematic PPS draw over the whole corpus: 997 ticks on the
+    * cumulative n_chars line in frozen md5 order —
+    * [[Sampling.systematicPps]] — so every document's pick count is
+    * within 1 of its exact byte-mass share of the budget and heavy
+    * docs surface with multiplicity (the token-budgeted complement of
+    * q239's equal-probability-within-stratum draw). The engine side
+    * computes the prefix sums with the DISTRIBUTED two-phase scan
+    * ([[graft.operators.PrefixSum]] — range exchange + partition-local
+    * pass + driver offsets, one long per partition), never the
+    * single-partition global window the oracle is allowed to use at
+    * its scale. Output is all integer: per source, selected docs,
+    * landed ticks (Σ over sources = 997 exactly), and the
+    * multiplicity-weighted id checksum pinning the exact draw.
+    */
+  val q242_pps_systematic: Q = Q(
+    "q242_pps_systematic",
+    """WITH w AS (SELECT doc_id, source, n_chars,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM w),
+      |c AS (SELECT doc_id, source, n_chars,
+      |    COALESCE(CAST(SUM(n_chars) OVER (ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS BIGINT), 0) AS cum FROM w),
+      |p AS (SELECT doc_id, source, n_chars,
+      |    ((cum + n_chars) * 997 + tot - 1) // tot
+      |      - (cum * 997 + tot - 1) // tot AS n_picks
+      |  FROM c CROSS JOIN t)
+      |SELECT source, COUNT(*) AS n_sel,
+      |  CAST(SUM(n_picks) AS BIGINT) AS picks,
+      |  CAST(SUM(doc_id * n_picks) AS BIGINT) AS id_wsum
+      |FROM p WHERE n_picks > 0 GROUP BY 1 ORDER BY 1""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.loadParallel(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    Sampling.systematicPps(docs, "doc_id", "n_chars", 997L)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sel"),
+        sum($"n_picks").as("picks"),
+        sum($"doc_id" * $"n_picks").as("id_wsum"))
+      .orderBy($"source")
+  }
+
   val all: Seq[Q] = Seq(q239_stratified_sample, q240_backoff_lm_bits,
-    q241_countmin_turnstile)
+    q241_countmin_turnstile, q242_pps_systematic)
 }

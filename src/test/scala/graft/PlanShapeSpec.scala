@@ -583,4 +583,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffled == 0,
       s"the corpus must never shuffle for the rate lookup:\n$p")
   }
+
+  test("q240's scoring pass broadcasts BOTH pruned model tables — " +
+    "the corpus token stream never shuffles into a model join") {
+    val p = plan("q240_backoff_lm_bits")
+    val bcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bcast >= 2,
+      s"bigram and unigram model joins must both broadcast, saw " +
+        s"$bcast:\n$p")
+    val shuffled = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffled == 0,
+      s"no model join may shuffle the transition stream:\n$p")
+  }
+
+  test("q239's take broadcasts the allocation and the corpus " +
+    "aggregates once") {
+    val p = plan("q239_stratified_sample")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"the 20-row allocation must broadcast into the take:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing here is big enough to sort-merge:\n$p")
+  }
 }

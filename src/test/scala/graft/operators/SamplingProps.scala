@@ -73,4 +73,38 @@ object SamplingProps extends Properties("Sampling") {
       }.toSet
       got == want
     }
+
+  private val ppsGen: Gen[(List[(Long, Long)], Long)] = for {
+    n <- Gen.chooseNum(1, 40)
+    ids <- Gen.pick(n, 0L until 300L)
+    ws <- Gen.listOfN(n, Gen.chooseNum(0L, 40L))
+    s <- Gen.chooseNum(0L, 50L)
+  } yield (ids.toList.zip(ws), s)
+
+  property("systematicPps: Σ picks == S, each within 1 of S·w/W, " +
+      "== sequential tick reference") =
+    forAll(ppsGen) { case (rows, s) =>
+      val tot = rows.map(_._2).sum
+      val df = rows.toDF("id", "w").repartition(5)
+      val got = Sampling.systematicPps(df, "id", "w", s)
+        .select("id", "n_picks").as[(Long, Long)].collect().toMap
+      if (tot == 0) got.isEmpty
+      else {
+        val ordered = rows.sortBy { case (id, _) =>
+          (md5Hex(id.toString), id)
+        }
+        val cums = ordered.map(_._2).scanLeft(0L)(_ + _).init
+        def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+        val want = ordered.zip(cums).map { case ((id, w), c) =>
+          id -> (ceilDiv((c + w) * s, tot) - ceilDiv(c * s, tot))
+        }.filter(_._2 > 0).toMap
+        val exact = got == want
+        val total = got.values.sum == s
+        val within = ordered.forall { case (id, w) =>
+          val quota = BigDecimal(s) * w / tot
+          (BigDecimal(got.getOrElse(id, 0L)) - quota).abs <= 1
+        }
+        exact && total && within
+      }
+    }
 }
