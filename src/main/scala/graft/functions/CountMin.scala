@@ -47,6 +47,7 @@ class CountMinSketch(width: Int)
   override def zero: Array[Long] = new Array[Long](CountMin.Depth * width)
 
   override def reduce(buf: Array[Long], item: String): Array[Long] = {
+    if (item == null) return buf // SQL aggregate semantics: skip nulls
     val h = CountMin.buckets(item, width)
     var j = 0
     while (j < CountMin.Depth) {
