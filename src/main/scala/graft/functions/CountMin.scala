@@ -140,6 +140,33 @@ object CountMin {
     best
   }
 
+  /** Join-size estimate: the count-min INNER PRODUCT
+    * (Cormode & Muthukrishnan 2005 §4.3). Row j's Σ_b a_j[b]·b_j[b]
+    * equals Σ_keys f_A(k)·f_B(k) — the exact equi-join cardinality —
+    * plus non-negative collision cross-terms, so min over rows never
+    * underestimates |A ⋈ B| and is within ε·N_A·N_B w.h.p. Two 16 KB
+    * grids answer the join-size question without touching either
+    * input again — the planner/monitoring use: estimate a join's
+    * output before running it, from sketches maintained per source.
+    */
+  def innerProduct(a: Array[Long], b: Array[Long], width: Int): Long = {
+    require(a.length == b.length && a.length == Depth * width,
+      s"grid shapes differ: ${a.length} vs ${b.length} vs ${Depth * width}")
+    var best = Long.MaxValue
+    var j = 0
+    while (j < Depth) {
+      var s = 0L
+      var i = j * width
+      while (i < (j + 1) * width) {
+        s = Math.addExact(s, Math.multiplyExact(a(i), b(i)))
+        i += 1
+      }
+      if (s < best) best = s
+      j += 1
+    }
+    best
+  }
+
   /** Exact retraction (turnstile delete): the sketch of the remaining
     * multiset, by linearity. Returns a new array.
     */

@@ -253,6 +253,67 @@ object Extended15 {
       .orderBy($"source")
   }
 
+  /** Sketch-based JOIN-SIZE estimation: the count-min inner product
+    * ([[graft.functions.CountMin.innerProduct]]) predicts the
+    * token-equi-join cardinality between two sources from their 16 KB
+    * grids alone — row j's bucket dot-product is the true
+    * Σ_w c_A(w)·c_B(w) plus non-negative collision cross terms, so
+    * the min over rows NEVER undercounts and lands within the grid's
+    * collision mass. The planner/monitoring use: maintained per-source
+    * sketches answer "how big would this join be" without re-reading
+    * either side. Both engines compute the identical md5-derived grids
+    * (q241's convention), so `est_pairs` matches EXACTLY, and
+    * `true_pairs` is the exact count-table join both sides also
+    * compute — at scale that truth pass is the expensive thing the
+    * sketch replaces; here it doubles as the oracle's check that
+    * `over_mass >= 0`.
+    */
+  val q243_join_size_sketch: Q = Q(
+    "q243_join_size_sketch",
+    """WITH ta AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
+      |    AS w FROM documents WHERE source = 'src0'),
+      |tb AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
+      |    AS w FROM documents WHERE source = 'src1'),
+      |ca AS (SELECT w, COUNT(*) AS c FROM ta GROUP BY 1),
+      |cb AS (SELECT w, COUNT(*) AS c FROM tb GROUP BY 1),
+      |tru AS (SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT)
+      |    AS t FROM ca JOIN cb USING (w)),
+      |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      |ga AS (SELECT j, ('0x' || substr(md5(w), 1 + 8 * j, 8))::BIGINT
+      |      % 512 AS b, CAST(SUM(c) AS BIGINT) AS c
+      |  FROM ca CROSS JOIN js GROUP BY 1, 2),
+      |gb AS (SELECT j, ('0x' || substr(md5(w), 1 + 8 * j, 8))::BIGINT
+      |      % 512 AS b, CAST(SUM(c) AS BIGINT) AS c
+      |  FROM cb CROSS JOIN js GROUP BY 1, 2),
+      |ip AS (SELECT ga.j, CAST(SUM(ga.c * gb.c) AS BIGINT) AS dot
+      |  FROM ga JOIN gb ON ga.j = gb.j AND ga.b = gb.b GROUP BY 1)
+      |SELECT (SELECT t FROM tru) AS true_pairs,
+      |  (SELECT MIN(dot) FROM ip) AS est_pairs,
+      |  (SELECT MIN(dot) FROM ip) - (SELECT t FROM tru) AS over_mass
+      |""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.CountMin
+    val toks = Tables.loadParallel(spark, dir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select($"source",
+        explode(graft.functions.TextFunctions.lowerTokens($"text"))
+          .as("w"))
+      .localCheckpoint()
+    def grid(src: String): Array[Long] =
+      toks.filter($"source" === src)
+        .agg(CountMin.sketch(512)($"w")).head().getSeq[Long](0).toArray
+    val est = CountMin.innerProduct(grid("src0"), grid("src1"), 512)
+    val counts = toks.groupBy($"source", $"w")
+      .agg(count(lit(1)).as("c"))
+    val tru = counts.filter($"source" === "src0").select($"w", $"c".as("ca"))
+      .join(counts.filter($"source" === "src1")
+        .select($"w", $"c".as("cb")), Seq("w"))
+      .agg(coalesce(sum($"ca" * $"cb"), lit(0L)).as("t"))
+      .head().getLong(0)
+    Seq((tru, est, est - tru))
+      .toDF("true_pairs", "est_pairs", "over_mass")
+  }
+
   val all: Seq[Q] = Seq(q239_stratified_sample, q240_backoff_lm_bits,
-    q241_countmin_turnstile, q242_pps_systematic)
+    q241_countmin_turnstile, q242_pps_systematic, q243_join_size_sketch)
 }

@@ -65,6 +65,15 @@ object CountMinProps extends Properties("CountMin") {
       CountMin.retract(merged, refSketch(b)).sameElements(refSketch(a))
     }
 
+  property("innerProduct >= exact join cardinality, == it when " +
+      "no buckets collide") =
+    forAll(itemsGen, itemsGen) { (a, b) =>
+      val est = CountMin.innerProduct(refSketch(a), refSketch(b), W)
+      val truth = a.distinct.map(k =>
+        a.count(_ == k).toLong * b.count(_ == k)).sum
+      est >= truth
+    }
+
   property("aggregator == reference fold under any partitioning") =
     forAll(itemsGen.suchThat(_.nonEmpty)) { items =>
       val got = items.toDF("w").repartition(5)
