@@ -36,9 +36,12 @@ import org.apache.spark.sql.functions.udaf
   * [[graft.plans.Md5PrefixLong]], read at four offsets).
   *
   * The aggregator is the scale path: the relational formulation
+  * (q87_countmin builds exactly it, same one-digest hash derivation)
   * explodes every token ×depth through a (j, bucket)-keyed shuffle,
   * while the grid — depth·width longs, 16 KB at the 4×512 default —
-  * rides partial aggregation map-side and merges by vector add.
+  * rides partial aggregation map-side and merges by vector add; what
+  * the relation can't do at all is subtract a batch back out or dot
+  * two sources' grids without re-deriving them.
   */
 class CountMinSketch(width: Int)
     extends Aggregator[String, Array[Long], Array[Long]] {

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Isotonic calibration by pool-adjacent-violators (PAV) — the
+  * classifier-calibration step between "score every document" and
+  * "threshold the scores": fit the best MONOTONE map from an integer
+  * score to an outcome rate, so a quality/language/toxicity score can
+  * be read as a probability. (Ayer et al. 1955; the sklearn
+  * `IsotonicRegression` everybody calls in a notebook, rebuilt
+  * distributed and integer-exact.)
+  *
+  * Scale shape — binning is what makes PAV distributable: the corpus
+  * is touched ONCE by a map-side equi-width binning (integer: bin =
+  * (s − min)·B div (max − min + 1); min/max are one bounded
+  * aggregate) plus a B-row count/positive aggregate; the inherently
+  * sequential pooling then runs on the driver over ≤ B bins — the
+  * [[Percentiles]] offsets-regime discipline (bounded driver state by
+  * construction, corpus never sorts globally). B is the resolution /
+  * smoothing knob exactly as in production calibrators.
+  *
+  * Exactness — pooling compares RATES pos/n, and a double division
+  * would let two engines disagree at a tie: every comparison here is
+  * the integer cross-product `pos_a·n_b > pos_b·n_a`, every output
+  * rate an integer-`div` basis-point, so the pooled fit is
+  * bit-reproducible. `CalibrateProps` pins the fold against the
+  * independent minimax characterization of isotonic regression
+  * (fit[i] = max_{k≤i} min_{j≥i} avg(k..j), exact BigInt rationals) —
+  * two different algorithms, one answer.
+  */
+object Calibrate {
+
+  /** One pooled segment of adjacent bins. */
+  final case class Pool(n: Long, pos: Long)
+
+  /** Sequential PAV over (n, pos) bins in score order: returns the
+    * calibrated (pooled) (n, pos) for EACH input bin — monotone
+    * non-decreasing in the exact rational sense, adjacent-average
+    * preserving. Pools merge while the left rate exceeds the right
+    * (strict violation; merging ties would change nothing).
+    */
+  def pav(bins: Seq[(Long, Long)]): Seq[Pool] = {
+    val stack = collection.mutable.ArrayBuffer.empty[(Pool, Int)]
+    bins.foreach { case (n, pos) =>
+      var cur = (Pool(n, pos), 1)
+      while (stack.nonEmpty && {
+        val (p, _) = stack.last
+        // violation: rate(p) > rate(cur) ⟺ p.pos·cur.n > cur.pos·p.n
+        // (multiplyExact: overflow at ~3e9-row pools fails loudly
+        // rather than silently mis-pooling)
+        Math.multiplyExact(p.pos, cur._1.n) >
+          Math.multiplyExact(cur._1.pos, p.n)
+      }) {
+        val (p, w) = stack.remove(stack.size - 1)
+        cur = (Pool(p.n + cur._1.n, p.pos + cur._1.pos), w + cur._2)
+      }
+      stack += cur
+    }
+    stack.flatMap { case (p, w) => Seq.fill(w)(p) }.toSeq
+  }
+
+  /** Distributed isotonic fit of `labelCol` (0/1) against integer
+    * `scoreCol` over `nBins` equi-width score bins. Output: one row
+    * per NON-EMPTY bin — `bin, score_lo, n, pos, raw_bp, cal_bp` —
+    * with `cal_bp` monotone non-decreasing in `bin`.
+    */
+  def isotonicBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val Array(mm) = df.agg(
+      min(col(scoreCol).cast("long")).as("lo"),
+      max(col(scoreCol).cast("long")).as("hi")).collect()
+    if (mm.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("bin", "score_lo", "n", "pos", "raw_bp", "cal_bp")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = hi - lo + 1
+    val binned = df.select(
+        expr(s"(CAST($scoreCol AS BIGINT) - ${lo}L) * $nBins " +
+          s"div ${width}L").as("bin"),
+        col(labelCol).cast("long").as("_y"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"_y").as("pos"))
+      .orderBy($"bin")
+      .as[(Long, Long, Long)].collect() // ≤ nBins rows by construction
+    val pooled = pav(binned.map { case (_, n, pos) => (n, pos) }.toSeq)
+    val rows = binned.zip(pooled).map { case ((b, n, pos), p) =>
+      (b, lo + b * width / nBins, n, pos,
+        10000L * pos / n, 10000L * p.pos / p.n)
+    }
+    rows.toSeq
+      .toDF("bin", "score_lo", "n", "pos", "raw_bp", "cal_bp")
+  }
+}

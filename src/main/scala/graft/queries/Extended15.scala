@@ -314,6 +314,91 @@ object Extended15 {
       .toDF("true_pairs", "est_pairs", "over_mass")
   }
 
+  /** Isotonic score calibration ([[graft.operators.Calibrate]]):
+    * pool-adjacent-violators fits the best MONOTONE map from the
+    * stopword-share score (integer basis points) to P(lang = 'en') —
+    * the calibration step that turns a quality/language classifier
+    * score into a probability before thresholding. Binning makes PAV
+    * distributable: one map-side equi-width binning + a 16-row
+    * aggregate touch the corpus once; the inherently sequential
+    * pooling runs on ≤ 16 driver rows with every rate comparison an
+    * integer cross-product (no double division → no engine-divergent
+    * ties). The oracle replays the EXACT pooling as a one-op-per-step
+    * recursive CTE over (queue, pool-stack) list state — q220's
+    * technique — and CalibrateProps pins the fold against the
+    * independent minimax characterization in BigInt rationals.
+    */
+  val q244_isotonic_calibration: Q = Q(
+    "q244_isotonic_calibration",
+    """WITH RECURSIVE
+      |scored AS (SELECT
+      |    (10000 * len(list_filter(string_split_regex(lower(text),
+      |        '\s+'),
+      |      w -> list_contains(['the','a','of','and','to','in','is',
+      |        'for','on','with'], w))))
+      |      // len(string_split_regex(lower(text), '\s+')) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |mm AS (SELECT MIN(score) AS lo,
+      |    MAX(score) - MIN(score) + 1 AS width FROM scored),
+      |bins AS (SELECT (score - (SELECT lo FROM mm)) * 16
+      |      // (SELECT width FROM mm) AS bin,
+      |    COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM scored GROUP BY 1),
+      |q0 AS (SELECT list(struct_pack(b := bin, n := n, pos := pos)
+      |    ORDER BY bin) AS queue FROM bins),
+      |pav AS (
+      |  SELECT queue,
+      |    []::STRUCT(n BIGINT, pos BIGINT, w BIGINT)[] AS stack
+      |  FROM q0
+      |  UNION ALL
+      |  SELECT
+      |    CASE WHEN viol THEN queue ELSE queue[2:] END,
+      |    CASE WHEN viol THEN
+      |      list_append(stack[:-3], struct_pack(
+      |        n := stack[-2].n + stack[-1].n,
+      |        pos := stack[-2].pos + stack[-1].pos,
+      |        w := stack[-2].w + stack[-1].w))
+      |    ELSE
+      |      list_append(stack, struct_pack(n := queue[1].n,
+      |        pos := queue[1].pos, w := 1::BIGINT))
+      |    END
+      |  FROM (SELECT queue, stack,
+      |      len(stack) >= 2 AND stack[-2].pos * stack[-1].n
+      |        > stack[-1].pos * stack[-2].n AS viol
+      |    FROM pav) t
+      |  WHERE viol OR len(queue) > 0),
+      |fin AS (SELECT stack FROM pav
+      |  WHERE len(queue) = 0
+      |    AND NOT (len(stack) >= 2 AND stack[-2].pos * stack[-1].n
+      |      > stack[-1].pos * stack[-2].n)),
+      |pools AS (SELECT unnest(stack) AS p,
+      |    generate_subscripts(stack, 1) AS pi FROM fin),
+      |pw AS (SELECT pi, p.n AS pn, p.pos AS ppos, p.w AS w,
+      |    CAST(SUM(p.w) OVER (ORDER BY pi) AS BIGINT) AS cum_end
+      |  FROM pools),
+      |bo AS (SELECT bin, n, pos,
+      |    ROW_NUMBER() OVER (ORDER BY bin) AS rn FROM bins)
+      |SELECT bo.bin, (SELECT lo FROM mm)
+      |    + bo.bin * (SELECT width FROM mm) // 16 AS score_lo,
+      |  bo.n, bo.pos, 10000 * bo.pos // bo.n AS raw_bp,
+      |  10000 * pw.ppos // pw.pn AS cal_bp
+      |FROM bo JOIN pw
+      |  ON bo.rn > pw.cum_end - pw.w AND bo.rn <= pw.cum_end
+      |ORDER BY bo.bin""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val scored = Tables.loadParallel(spark, dir, "documents")
+      .select(
+        TextFunctions.stopwordCount($"text").cast("long").as("sw"),
+        TextFunctions.tokenCount($"text").cast("long").as("nt"),
+        ($"lang" === "en").cast("long").as("y"))
+      .select(expr("(10000 * sw) div nt").as("score"), $"y")
+    graft.operators.Calibrate.isotonicBins(scored, "score", "y", 16)
+      .orderBy($"bin")
+  }
+
   val all: Seq[Q] = Seq(q239_stratified_sample, q240_backoff_lm_bits,
-    q241_countmin_turnstile, q242_pps_systematic, q243_join_size_sketch)
+    q241_countmin_turnstile, q242_pps_systematic, q243_join_size_sketch,
+    q244_isotonic_calibration)
 }
