@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact ranking-evaluation metrics for a scored binary outcome — the
+  * measurement companion to [[Calibrate]]: AUC says whether the score
+  * RANKS positives above negatives at all, the F1 sweep picks the
+  * operating threshold, and the isotonic fit (q244) makes the scores
+  * between those two readable as probabilities.
+  *
+  * Both metrics reduce over the PER-SCORE table (one row per distinct
+  * integer score — bounded by the score's construction, e.g. ≤ 10001
+  * basis-point values), so the corpus is touched once by a count/
+  * positive aggregate and everything after runs on the collected
+  * bounded rows — the [[Percentiles]] offsets-regime discipline
+  * (bounded driver state by construction), no corpus funnel.
+  *
+  * Exactness:
+  *  - AUC is the Mann–Whitney statistic with midrank ties, carried as
+  *    2·Σranks (so midranks stay integral: a tie block over positions
+  *    (c, c+cnt] has 2·midrank = 2c + cnt + 1); the final basis-point
+  *    division happens in BigInt on three collected longs — no
+  *    overflow at any corpus size, no doubles anywhere.
+  *  - The F1 argmax compares candidate thresholds by the QUANTIZED
+  *    integer key `(2TP·10¹²) div (2TP+FP+FN)` with a smallest-
+  *    threshold tie-break — both engines rank identical integers, so
+  *    the chosen threshold cannot diverge at near-ties the way a
+  *    double F1 sort could (ties closer than 10⁻¹² resolve to the
+  *    smaller threshold, deterministically). The scale guard is loud:
+  *    2TP must fit Long alongside the 10¹² factor.
+  */
+object RankEval {
+
+  /** One-row frame: `n, n_pos, n_neg, auc_bp, best_t, tp, fp, fn,
+    * f1_bp`. `labelCol` must be 0/1; `scoreCol` integral with
+    * bounded cardinality ("predict positive when score ≥ t").
+    */
+  def aucAndBestF1(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the only corpus-sized work: one map-side-combined aggregate;
+    // everything below runs on the bounded per-score rows (collected —
+    // the Percentiles offsets-regime discipline, bounded by the score
+    // construction, so no single-partition window is needed at all)
+    val rows = df
+      .select(col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy($"s")
+      .agg(count(lit(1)).as("cnt"), sum($"y").as("pos"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy(_._1) // (s, cnt, pos) ascending score
+    val n = rows.map(_._2).sum
+    val nPos = rows.map(_._3).sum
+    val nNeg = n - nPos
+    // 2·Σ(midranks of positives): tie block over (c, c+cnt] gives
+    // each member 2·midrank = 2c + cnt + 1
+    val sum2Ranks = rows
+      .scanLeft((0L, (0L, 0L))) { case ((c, _), (_, cnt, pos)) =>
+        (c + cnt, (cnt, pos))
+      }.drop(1)
+      .zip(rows)
+      .map { case ((cAfter, (cnt, pos)), _) =>
+        BigInt(pos) * (2 * BigInt(cAfter - cnt) + cnt + 1)
+      }.sum
+    val aucBp =
+      if (nPos == 0 || nNeg == 0) -1L // undefined: one class absent
+      else ((sum2Ranks - BigInt(nPos) * (nPos + 1)) * 10000 /
+        (2 * BigInt(nPos) * nNeg)).toLong
+    // threshold sweep from the high end: suffix sums of (cnt, pos)
+    val best = rows.reverse
+      .scanLeft((0L, 0L, 0L)) { case ((tp, pp, _), (s, cnt, pos)) =>
+        (tp + pos, pp + cnt, s)
+      }.drop(1)
+      .map { case (tp, predPos, s) =>
+        val fp = predPos - tp
+        val fn = nPos - tp
+        val denom = 2 * tp + fp + fn
+        require(tp <= Long.MaxValue / 2_000_000_000_000L,
+          s"2TP·10^12 overflows long (tp=$tp) — pre-aggregate scores")
+        val key =
+          if (denom == 0) 0L else 2 * tp * 1_000_000_000_000L / denom
+        (key, s, tp, fp, fn, denom)
+      }.sortBy { case (key, s, _, _, _, _) => (-key, s) }.head
+    val (_, bestT, tp, fp, fn, denom) = best
+    val f1Bp = if (denom == 0) 0L else 10000L * 2 * tp / denom
+    Seq((n, nPos, nNeg, aucBp, bestT, tp, fp, fn, f1Bp))
+      .toDF("n", "n_pos", "n_neg", "auc_bp", "best_t", "tp", "fp",
+        "fn", "f1_bp")
+  }
+}

@@ -398,7 +398,70 @@ object Extended15 {
       .orderBy($"bin")
   }
 
+  /** Exact ranking evaluation ([[graft.operators.RankEval]]) of the
+    * same score q244 calibrates: Mann–Whitney AUC with midrank ties
+    * (carried as 2·Σranks so every intermediate stays integral; the
+    * basis-point division happens in BigInt) plus the best-F1
+    * operating threshold, argmaxed by the quantized integer key
+    * `(2TP·10¹²) div denom` with smallest-threshold tie-break — both
+    * engines rank identical integers, so near-ties cannot diverge
+    * the way a double F1 sort could. Corpus touched once by the
+    * per-score aggregate; the sweep runs on the bounded score table.
+    */
+  val q245_rank_eval: Q = Q(
+    "q245_rank_eval",
+    """WITH scored AS (SELECT
+      |    (10000 * len(list_filter(string_split_regex(lower(text),
+      |        '\s+'),
+      |      w -> list_contains(['the','a','of','and','to','in','is',
+      |        'for','on','with'], w))))
+      |      // len(string_split_regex(lower(text), '\s+')) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |ps AS (SELECT score AS s, COUNT(*) AS cnt,
+      |    CAST(SUM(y) AS BIGINT) AS pos FROM scored GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(SUM(pos) AS BIGINT) AS np FROM ps),
+      |r AS (SELECT s, cnt, pos,
+      |    COALESCE(CAST(SUM(cnt) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS BIGINT), 0) AS c,
+      |    CAST(SUM(pos) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS tp,
+      |    CAST(SUM(cnt) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS pp
+      |  FROM ps),
+      |agg AS (SELECT CAST(SUM(pos * (2 * c + cnt + 1)) AS HUGEINT)
+      |    AS s2r FROM r),
+      |auc AS (SELECT CAST((s2r - CAST(np AS HUGEINT) * (np + 1))
+      |      * 10000 // (2 * CAST(np AS HUGEINT) * (n - np)) AS BIGINT)
+      |    AS auc_bp FROM agg, tot),
+      |f1s AS (SELECT s, tp, pp - tp AS fp, np - tp AS fn,
+      |    2 * tp + (pp - tp) + (np - tp) AS denom,
+      |    CASE WHEN 2 * tp + (pp - tp) + (np - tp) = 0 THEN 0
+      |      ELSE (2 * tp * 1000000000000)
+      |        // (2 * tp + (pp - tp) + (np - tp)) END AS key
+      |  FROM r, tot),
+      |best AS (SELECT * FROM f1s ORDER BY key DESC, s LIMIT 1)
+      |SELECT tot.n, tot.np AS n_pos, tot.n - tot.np AS n_neg,
+      |  auc.auc_bp, best.s AS best_t, best.tp, best.fp, best.fn,
+      |  CASE WHEN best.denom = 0 THEN 0
+      |    ELSE (10000 * 2 * best.tp) // best.denom END AS f1_bp
+      |FROM tot, auc, best""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val scored = Tables.loadParallel(spark, dir, "documents")
+      .select(
+        TextFunctions.stopwordCount($"text").cast("long").as("sw"),
+        TextFunctions.tokenCount($"text").cast("long").as("nt"),
+        ($"lang" === "en").cast("long").as("y"))
+      .select(expr("(10000 * sw) div nt").as("score"), $"y")
+    graft.operators.RankEval.aucAndBestF1(scored, "score", "y")
+  }
+
   val all: Seq[Q] = Seq(q239_stratified_sample, q240_backoff_lm_bits,
     q241_countmin_turnstile, q242_pps_systematic, q243_join_size_sketch,
-    q244_isotonic_calibration)
+    q244_isotonic_calibration, q245_rank_eval)
 }
