@@ -461,7 +461,110 @@ object Extended15 {
     graft.operators.RankEval.aucAndBestF1(scored, "score", "y")
   }
 
+  /** The q42 langid CASE, shared by the kappa oracle. */
+  private val guessedSql: String =
+    """CASE
+      |    WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+      |    WHEN len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','is'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['der','die','und','das','ist','nicht'], w)))
+      |     AND len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','is'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['el','los','de','es','una','que'], w)))
+      |     AND len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','is'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['le','les','et','est','une','dans'], w)))
+      |    THEN 'en'
+      |    WHEN len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['der','die','und','das','ist','nicht'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['el','los','de','es','una','que'], w)))
+      |     AND len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['der','die','und','das','ist','nicht'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['le','les','et','est','une','dans'], w)))
+      |    THEN 'de'
+      |    WHEN len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['el','los','de','es','una','que'], w)))
+      |      >= len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['le','les','et','est','une','dans'], w)))
+      |    THEN 'es'
+      |    ELSE 'fr' END""".stripMargin
+
+  /** Cohen's κ between the heuristic language-ID and the annotated
+    * language ([[graft.operators.Association.cohensKappa]]) — q42
+    * shows the confusion MATRIX; this reduces it to the
+    * chance-corrected agreement scalar an audit tracks. κ's ratio can
+    * be negative and truncating vs flooring integer division diverge
+    * there (the COVERAGE rule), so the exact integer numerator and
+    * denominator ship instead of the quotient; po/pe basis points are
+    * non-negative and safe. One corpus aggregate; the contingency
+    * table is languages², driver-bounded.
+    */
+  val q246_cohens_kappa: Q = Q(
+    "q246_cohens_kappa",
+    s"""WITH conf AS (SELECT lang AS a, $guessedSql AS b, COUNT(*) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM conf),
+      |agree AS (SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS ag
+      |  FROM conf WHERE a = b),
+      |rows_ AS (SELECT a AS k, CAST(SUM(o) AS BIGINT) AS r
+      |  FROM conf GROUP BY 1),
+      |cols_ AS (SELECT b AS k, CAST(SUM(o) AS BIGINT) AS c
+      |  FROM conf GROUP BY 1),
+      |pe AS (SELECT CAST(COALESCE(SUM(r * c), 0) AS HUGEINT) AS s
+      |  FROM rows_ JOIN cols_ USING (k))
+      |SELECT tot.n, agree.ag AS n_agree,
+      |  10000 * agree.ag // tot.n AS po_bp,
+      |  CAST(10000 * pe.s // (CAST(tot.n AS HUGEINT) * tot.n)
+      |    AS BIGINT) AS pe_bp,
+      |  CAST(CAST(tot.n AS HUGEINT) * agree.ag - pe.s AS BIGINT)
+      |    AS kappa_num,
+      |  CAST(CAST(tot.n AS HUGEINT) * tot.n - pe.s AS BIGINT)
+      |    AS kappa_den
+      |FROM tot, agree, pe""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    graft.operators.Association.cohensKappa(
+      Tables.loadParallel(spark, dir, "documents")
+        .select($"lang".as("truth"),
+          TextFunctions.languageId($"text").as("guessed")),
+      "truth", "guessed")
+  }
+
+  /** χ² independence of corpus composition: is language distribution
+    * independent of source
+    * ([[graft.operators.Association.chiSquareMilli]])? Per-cell terms
+    * (O·N − r·c)²·1000 div (N·r·c) are floored at milli precision —
+    * non-negative, so floor and truncate agree — and summed exactly
+    * over the FULL source×lang grid (zero-observed cells contribute
+    * their expected mass). Complements q219's KL drift (pairwise,
+    * directional) with the classic omnibus test statistic.
+    */
+  val q247_chi2_independence: Q = Q(
+    "q247_chi2_independence",
+    """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rows_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r
+      |  FROM c GROUP BY 1),
+      |cols_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS cc
+      |  FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+      |grid AS (SELECT rows_.source, cols_.lang, rows_.r, cols_.cc,
+      |    COALESCE(c.o, 0) AS o
+      |  FROM rows_ CROSS JOIN cols_
+      |  LEFT JOIN c ON c.source = rows_.source AND c.lang = cols_.lang),
+      |terms AS (SELECT
+      |    (1000 * CAST(o * n - r * cc AS HUGEINT)
+      |       * CAST(o * n - r * cc AS HUGEINT))
+      |      // (CAST(n AS HUGEINT) * r * cc) AS t
+      |  FROM grid CROSS JOIN tot)
+      |SELECT (SELECT n FROM tot) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS cells,
+      |  CAST(((SELECT COUNT(*) FROM rows_) - 1)
+      |    * ((SELECT COUNT(*) FROM cols_) - 1) AS BIGINT) AS dof,
+      |  CAST(SUM(t) AS BIGINT) AS chi2_milli
+      |FROM terms""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Association.chiSquareMilli(
+      Tables.loadParallel(spark, dir, "documents")
+        .select($"source", $"lang"),
+      "source", "lang")
+  }
+
   val all: Seq[Q] = Seq(q239_stratified_sample, q240_backoff_lm_bits,
     q241_countmin_turnstile, q242_pps_systematic, q243_join_size_sketch,
-    q244_isotonic_calibration, q245_rank_eval)
+    q244_isotonic_calibration, q245_rank_eval, q246_cohens_kappa,
+    q247_chi2_independence)
 }
