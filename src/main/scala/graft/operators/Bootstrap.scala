@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Poisson bootstrap — error bars for corpus statistics
+  * (Chamandy et al., "Estimating Uncertainty for Massive Data
+  * Streams", Google 2012): resampling n docs WITH replacement is a
+  * shuffle-hostile global operation, but each doc's multiplicity in a
+  * replicate is ≈ Poisson(1) independently, so R replicate estimates
+  * come from ONE corpus pass — per (doc, replicate), a weight drawn
+  * from Poisson(1), then R weighted aggregates that all combine
+  * map-side.
+  *
+  * Determinism: the "draw" is `md5(id:rep)` read as the engine's
+  * 60-bit prefix integer ([[graft.plans.Md5PrefixLong]] convention),
+  * compared against the EXACT integer thresholds
+  * ⌊CDF_Poisson(1)(k)·2⁶⁰⌋ for k = 0..5 (weights cap at 6 — the
+  * truncated tail carries ~9.5·10⁻⁵ of the mass, far below bootstrap
+  * noise). Both engines compare identical integers, so every weight,
+  * every replicate sum, and every CI bound reproduces bit-for-bit;
+  * the only doubles are single IEEE divisions of exact BIGINT sums
+  * (the COVERAGE rule for reproducible doubles — sums must stay
+  * below 2⁵³ for the long→double cast to be exact).
+  *
+  * Scale shape: the corpus is read once, exploded ×R (map-side — no
+  * extra shuffle class), and reduced to R replicate rows by one
+  * combine; the CI is two order statistics of R driver-side doubles.
+  */
+object Bootstrap {
+
+  /** ⌊P(Poisson(1) ≤ k)·2⁶⁰⌋ for k = 0..5, exact. */
+  val PoissonThresholds: Seq[Long] = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L)
+
+  /** Poisson(1) weight from a 60-bit uniform: the number of
+    * thresholds ≤ u (so u ≥ all six ⇒ weight 6).
+    */
+  def weight(u: Column): Column =
+    PoissonThresholds.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(u >= t, 1L).otherwise(0L)
+    }
+
+  /** One row per (input row, replicate) with `rep` and the weight
+    * `wgt` — the building block for bootstrapping ANY aggregate.
+    */
+  def replicated(df: DataFrame, idCol: String, reps: Int): DataFrame = {
+    require(reps > 0, s"reps must be positive, got $reps")
+    df.withColumn("_reps", lit((0 until reps).toArray))
+      .withColumn("rep", explode(col("_reps")))
+      .drop("_reps")
+      .withColumn("wgt", weight(graft.plans.Md5PrefixLong(
+        concat_ws(":", col(idCol).cast("string"),
+          col("rep").cast("string")), 15)))
+  }
+
+  /** Bootstrap CI for the MEAN of `valueCol`: one row —
+    * `n, mean_v, ci_lo, ci_hi` — where the bounds are the
+    * `loRank`/`hiRank`-th (1-based, ascending) of the R replicate
+    * means. R=40 with ranks 2/39 gives the central 95% band.
+    */
+  def meanCi(df: DataFrame, idCol: String, valueCol: String,
+      reps: Int = 40, loRank: Int = 2, hiRank: Int = 39): DataFrame = {
+    require(1 <= loRank && loRank <= hiRank && hiRank <= reps,
+      s"need 1 <= loRank <= hiRank <= reps, got $loRank/$hiRank/$reps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val repSums = replicated(df, idCol, reps)
+      .groupBy($"rep")
+      .agg(sum(col("wgt") * col(valueCol).cast("long")).as("num"),
+        sum($"wgt").as("den"))
+      .as[(Int, Long, Long)].collect() // R rows
+    val means = repSums.map { case (_, num, den) =>
+      num.toDouble / den.toDouble
+    }.sorted
+    val Array(tot) = df.agg(count(lit(1)).as("n"),
+      sum(col(valueCol).cast("long")).as("s")).collect()
+    val (n, s) = (tot.getLong(0), tot.getLong(1))
+    Seq((n, s.toDouble / n, means(loRank - 1), means(hiRank - 1)))
+      .toDF("n", "mean_v", "ci_lo", "ci_hi")
+  }
+}

@@ -563,8 +563,52 @@ object Extended15 {
       "source", "lang")
   }
 
+  /** 95% bootstrap CI on mean document length
+    * ([[graft.operators.Bootstrap.meanCi]]) — error bars for corpus
+    * statistics via the DETERMINISTIC Poisson bootstrap: each
+    * (doc, replicate) weight is Poisson(1) drawn by comparing the
+    * md5(id:rep) 60-bit prefix against exact ⌊CDF·2⁶⁰⌋ integer
+    * thresholds, so all 40 replicate means — and therefore the CI
+    * order statistics — reproduce bit-for-bit in both engines. One
+    * corpus pass exploded ×40 map-side, one combine to 40 rows; the
+    * only doubles are single IEEE divisions of exact BIGINT sums.
+    */
+  val q248_bootstrap_ci: Q = Q(
+    "q248_bootstrap_ci",
+    """WITH reps AS (SELECT unnest(range(40)) AS rep),
+      |w AS (SELECT d.doc_id, d.n_chars, r.rep,
+      |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+      |      || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT AS u
+      |  FROM documents d CROSS JOIN reps r),
+      |wt AS (SELECT rep, n_chars,
+      |    (CASE WHEN u >= 424136118829305329 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN u >= 848272237658610659 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN u >= 1060340297073263324 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN u >= 1131029650211480879 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN u >= 1148701988496035267 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN u >= 1152236456152946145 THEN 1 ELSE 0 END)
+      |      AS wgt
+      |  FROM w),
+      |m AS (SELECT rep, CAST(SUM(wgt * n_chars) AS BIGINT) AS num,
+      |    CAST(SUM(wgt) AS BIGINT) AS den FROM wt GROUP BY 1),
+      |ord AS (SELECT CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS mu,
+      |    ROW_NUMBER() OVER (ORDER BY CAST(num AS DOUBLE)
+      |      / CAST(den AS DOUBLE)) AS rk FROM m),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s
+      |  FROM documents)
+      |SELECT tot.n, CAST(tot.s AS DOUBLE) / tot.n AS mean_v,
+      |  (SELECT mu FROM ord WHERE rk = 2) AS ci_lo,
+      |  (SELECT mu FROM ord WHERE rk = 39) AS ci_hi
+      |FROM tot""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Bootstrap.meanCi(
+      Tables.loadParallel(spark, dir, "documents")
+        .select($"doc_id", $"n_chars"),
+      "doc_id", "n_chars", reps = 40, loRank = 2, hiRank = 39)
+  }
+
   val all: Seq[Q] = Seq(q239_stratified_sample, q240_backoff_lm_bits,
     q241_countmin_turnstile, q242_pps_systematic, q243_join_size_sketch,
     q244_isotonic_calibration, q245_rank_eval, q246_cohens_kappa,
-    q247_chi2_independence)
+    q247_chi2_independence, q248_bootstrap_ci)
 }
