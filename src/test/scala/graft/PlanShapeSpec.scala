@@ -597,6 +597,14 @@ class PlanShapeSpec extends SparkSpec {
       s"no model join may shuffle the transition stream:\n$p")
   }
 
+  test("q242's prefix sums never run through a partition-less " +
+    "window — the corpus is scanned, not funneled") {
+    val p = plan("q242_pps_systematic")
+    assert(!p.contains("Window"),
+      s"the PPS pipeline must use the two-phase scan, not a global " +
+        s"window:\n$p")
+  }
+
   test("q239's take broadcasts the allocation and the corpus " +
     "aggregates once") {
     val p = plan("q239_stratified_sample")
