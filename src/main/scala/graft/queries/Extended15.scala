@@ -607,8 +607,95 @@ object Extended15 {
       "doc_id", "n_chars", reps = 40, loRank = 2, hiRank = 39)
   }
 
+  /** CLUSTER bootstrap: q248's CI with the near-dup GROUP as the
+    * resampling unit — duplicated documents are not independent
+    * observations, so a doc-level bootstrap understates variance;
+    * here every member of a SimHash component (q88's pairs closed by
+    * [[graft.operators.Graph.connectedComponents]]; singletons
+    * self-represent, q228's rule) shares its group's Poisson weight —
+    * [[graft.operators.Bootstrap.meanCi]] keyed on the group id does
+    * exactly that, unchanged, because the draw depends only on
+    * (key, replicate). Same exact-integer determinism as q248; the
+    * component map is duplicate-pairs-bounded and broadcasts.
+    */
+  val q249_cluster_bootstrap: Q = Q(
+    "q249_cluster_bootstrap",
+    """WITH RECURSIVE tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) t
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END)
+      |      AS BIGINT) AS sh
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
+      |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+      |prs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |sym AS (SELECT u AS a, v AS b FROM prs
+      |  UNION ALL SELECT v, u FROM prs),
+      |reach(id, lab) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT s.b, r.lab FROM reach r JOIN sym s ON r.id = s.a),
+      |cc AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+      |g AS (SELECT d.doc_id, d.n_chars,
+      |    COALESCE(cc.comp, d.doc_id) AS grp
+      |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+      |reps AS (SELECT unnest(range(40)) AS rep),
+      |w AS (SELECT g.n_chars, r.rep,
+      |    ('0x' || substr(md5(CAST(g.grp AS VARCHAR) || ':'
+      |      || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT AS u
+      |  FROM g CROSS JOIN reps r),
+      |wt AS (SELECT rep, n_chars,
+      |    (CASE WHEN u >= 424136118829305329 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN u >= 848272237658610659 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN u >= 1060340297073263324 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN u >= 1131029650211480879 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN u >= 1148701988496035267 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN u >= 1152236456152946145 THEN 1 ELSE 0 END)
+      |      AS wgt
+      |  FROM w),
+      |m AS (SELECT rep, CAST(SUM(wgt * n_chars) AS BIGINT) AS num,
+      |    CAST(SUM(wgt) AS BIGINT) AS den FROM wt GROUP BY 1),
+      |ord AS (SELECT CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS mu,
+      |    ROW_NUMBER() OVER (ORDER BY CAST(num AS DOUBLE)
+      |      / CAST(den AS DOUBLE)) AS rk FROM m),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s,
+      |    COUNT(DISTINCT grp) AS n_groups FROM g)
+      |SELECT tot.n, tot.n_groups,
+      |  CAST(tot.s AS DOUBLE) / tot.n AS mean_v,
+      |  (SELECT mu FROM ord WHERE rk = 2) AS ci_lo,
+      |  (SELECT mu FROM ord WHERE rk = 39) AS ci_hi
+      |FROM tot""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.{Bootstrap, Dedup, Graph}
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val labels = Graph.connectedComponents(
+        Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+          maxDist = 3, bands = 4)
+          .select($"id_a".as("u"), $"id_b".as("v")))
+      .localCheckpoint() // duplicate-pairs-bounded, two consumers
+    val grouped = docs.select($"doc_id", $"n_chars")
+      .join(broadcast(labels), $"doc_id" === $"id", "left")
+      .select($"doc_id", $"n_chars",
+        coalesce($"comp", $"doc_id").as("grp"))
+    val nGroups = grouped.select($"grp").distinct.count()
+    Bootstrap.meanCi(grouped, "grp", "n_chars",
+        reps = 40, loRank = 2, hiRank = 39)
+      .withColumn("n_groups", lit(nGroups))
+      .select($"n", $"n_groups", $"mean_v", $"ci_lo", $"ci_hi")
+  }
+
   val all: Seq[Q] = Seq(q239_stratified_sample, q240_backoff_lm_bits,
     q241_countmin_turnstile, q242_pps_systematic, q243_join_size_sketch,
     q244_isotonic_calibration, q245_rank_eval, q246_cohens_kappa,
-    q247_chi2_independence, q248_bootstrap_ci)
+    q247_chi2_independence, q248_bootstrap_ci, q249_cluster_bootstrap)
 }
