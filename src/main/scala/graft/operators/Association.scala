@@ -45,6 +45,10 @@ object Association {
         col(bCol).cast("string").as("b"))
       .agg(count(lit(1)).as("o"))
       .as[(String, String, Long)].collect()
+    if (cells.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("n", "n_agree", "po_bp", "pe_bp", "kappa_num",
+          "kappa_den")
     val n = BigInt(cells.map(_._3).sum)
     val agree = BigInt(cells.collect { case (a, b, o) if a == b => o }.sum)
     val rowT = cells.groupBy(_._1).map { case (k, l) =>
@@ -77,6 +81,9 @@ object Association {
         col(bCol).cast("string").as("b"))
       .agg(count(lit(1)).as("o"))
       .as[(String, String, Long)].collect()
+    if (occupied.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("n", "cells", "dof", "chi2_milli")
     val n = BigInt(occupied.map(_._3).sum)
     val rowT = occupied.groupBy(_._1).view
       .mapValues(l => BigInt(l.map(_._3).sum)).toMap

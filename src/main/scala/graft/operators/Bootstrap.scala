@@ -66,18 +66,33 @@ object Bootstrap {
       s"need 1 <= loRank <= hiRank <= reps, got $loRank/$hiRank/$reps")
     val spark = df.sparkSession
     import spark.implicits._
+    // ONE pass: every replicate group also carries the unweighted
+    // count/sum of its (identical) row set, so the point estimate
+    // needs no second corpus scan
     val repSums = replicated(df, idCol, reps)
       .groupBy($"rep")
       .agg(sum(col("wgt") * col(valueCol).cast("long")).as("num"),
-        sum($"wgt").as("den"))
-      .as[(Int, Long, Long)].collect() // R rows
-    val means = repSums.map { case (_, num, den) =>
+        sum($"wgt").as("den"),
+        count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("long")).as("vs"))
+      .as[(Int, Long, Long, Long, Long)].collect() // R rows
+    if (repSums.isEmpty)
+      return Seq.empty[(Long, Double, Double, Double)]
+        .toDF("n", "mean_v", "ci_lo", "ci_hi")
+    val means = repSums.map { case (_, num, den, _, _) =>
       num.toDouble / den.toDouble
     }.sorted
-    val Array(tot) = df.agg(count(lit(1)).as("n"),
-      sum(col(valueCol).cast("long")).as("s")).collect()
-    val (n, s) = (tot.getLong(0), tot.getLong(1))
+    val (n, s) = (repSums.head._4, repSums.head._5)
     Seq((n, s.toDouble / n, means(loRank - 1), means(hiRank - 1)))
       .toDF("n", "mean_v", "ci_lo", "ci_hi")
   }
+
+  /** The Poisson-weight CASE chain for a DuckDB oracle, generated
+    * from [[PoissonThresholds]] so the SQL can never drift from the
+    * engine's constants.
+    */
+  def weightSql(uExpr: String): String =
+    PoissonThresholds.map(t =>
+      s"(CASE WHEN $uExpr >= $t THEN 1 ELSE 0 END)")
+      .mkString("\n    + ")
 }

@@ -51,6 +51,11 @@ object RankEval {
       .agg(count(lit(1)).as("cnt"), sum($"y").as("pos"))
       .as[(Long, Long, Long)].collect()
       .sortBy(_._1) // (s, cnt, pos) ascending score
+    if (rows.isEmpty)
+      return Seq
+        .empty[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .toDF("n", "n_pos", "n_neg", "auc_bp", "best_t", "tp", "fp",
+          "fn", "f1_bp")
     val n = rows.map(_._2).sum
     val nPos = rows.map(_._3).sum
     val nNeg = n - nPos

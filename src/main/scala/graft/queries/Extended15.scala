@@ -575,18 +575,13 @@ object Extended15 {
     */
   val q248_bootstrap_ci: Q = Q(
     "q248_bootstrap_ci",
-    """WITH reps AS (SELECT unnest(range(40)) AS rep),
+    s"""WITH reps AS (SELECT unnest(range(40)) AS rep),
       |w AS (SELECT d.doc_id, d.n_chars, r.rep,
       |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
       |      || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT AS u
       |  FROM documents d CROSS JOIN reps r),
       |wt AS (SELECT rep, n_chars,
-      |    (CASE WHEN u >= 424136118829305329 THEN 1 ELSE 0 END)
-      |    + (CASE WHEN u >= 848272237658610659 THEN 1 ELSE 0 END)
-      |    + (CASE WHEN u >= 1060340297073263324 THEN 1 ELSE 0 END)
-      |    + (CASE WHEN u >= 1131029650211480879 THEN 1 ELSE 0 END)
-      |    + (CASE WHEN u >= 1148701988496035267 THEN 1 ELSE 0 END)
-      |    + (CASE WHEN u >= 1152236456152946145 THEN 1 ELSE 0 END)
+      |    ${graft.operators.Bootstrap.weightSql("u")}
       |      AS wgt
       |  FROM w),
       |m AS (SELECT rep, CAST(SUM(wgt * n_chars) AS BIGINT) AS num,
@@ -620,8 +615,8 @@ object Extended15 {
     */
   val q249_cluster_bootstrap: Q = Q(
     "q249_cluster_bootstrap",
-    """WITH RECURSIVE tok AS (SELECT doc_id,
-      |    unnest(string_split_regex(lower(text), '\s+')) AS w
+    s"""WITH RECURSIVE tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(text), '\\s+')) AS w
       |  FROM documents),
       |h AS (SELECT doc_id,
       |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
@@ -655,12 +650,7 @@ object Extended15 {
       |      || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT AS u
       |  FROM g CROSS JOIN reps r),
       |wt AS (SELECT rep, n_chars,
-      |    (CASE WHEN u >= 424136118829305329 THEN 1 ELSE 0 END)
-      |    + (CASE WHEN u >= 848272237658610659 THEN 1 ELSE 0 END)
-      |    + (CASE WHEN u >= 1060340297073263324 THEN 1 ELSE 0 END)
-      |    + (CASE WHEN u >= 1131029650211480879 THEN 1 ELSE 0 END)
-      |    + (CASE WHEN u >= 1148701988496035267 THEN 1 ELSE 0 END)
-      |    + (CASE WHEN u >= 1152236456152946145 THEN 1 ELSE 0 END)
+      |    ${graft.operators.Bootstrap.weightSql("u")}
       |      AS wgt
       |  FROM w),
       |m AS (SELECT rep, CAST(SUM(wgt * n_chars) AS BIGINT) AS num,
@@ -683,10 +673,13 @@ object Extended15 {
           maxDist = 3, bands = 4)
           .select($"id_a".as("u"), $"id_b".as("v")))
       .localCheckpoint() // duplicate-pairs-bounded, two consumers
+    // narrow (3 longs/row) with two consumers below (nGroups +
+    // meanCi's pass) — checkpoint, the q221 reuse rule again
     val grouped = docs.select($"doc_id", $"n_chars")
       .join(broadcast(labels), $"doc_id" === $"id", "left")
       .select($"doc_id", $"n_chars",
         coalesce($"comp", $"doc_id").as("grp"))
+      .localCheckpoint()
     val nGroups = grouped.select($"grp").distinct.count()
     Bootstrap.meanCi(grouped, "grp", "n_chars",
         reps = 40, loRank = 2, hiRank = 39)
