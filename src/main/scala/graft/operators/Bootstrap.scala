@@ -59,6 +59,13 @@ object Bootstrap {
     * `n, mean_v, ci_lo, ci_hi` — where the bounds are the
     * `loRank`/`hiRank`-th (1-based, ascending) of the R replicate
     * means. R=40 with ranks 2/39 gives the central 95% band.
+    *
+    * Null contract: rows with a null `valueCol` are EXCLUDED up
+    * front — from `n`, from `mean_v`, and from the resample
+    * universe. Without the filter they would skew silently:
+    * `count(*)` and `sum(wgt)` would include the row while
+    * `sum(wgt·value)` and `sum(value)` skip it, biasing the point
+    * estimate and every replicate mean.
     */
   def meanCi(df: DataFrame, idCol: String, valueCol: String,
       reps: Int = 40, loRank: Int = 2, hiRank: Int = 39): DataFrame = {
@@ -69,7 +76,8 @@ object Bootstrap {
     // ONE pass: every replicate group also carries the unweighted
     // count/sum of its (identical) row set, so the point estimate
     // needs no second corpus scan
-    val repSums = replicated(df, idCol, reps)
+    val repSums = replicated(df.filter(col(valueCol).isNotNull),
+        idCol, reps)
       .groupBy($"rep")
       .agg(sum(col("wgt") * col(valueCol).cast("long")).as("num"),
         sum($"wgt").as("den"),
@@ -79,11 +87,15 @@ object Bootstrap {
     if (repSums.isEmpty)
       return Seq.empty[(Long, Double, Double, Double)]
         .toDF("n", "mean_v", "ci_lo", "ci_hi")
-    val means = repSums.map { case (_, num, den, _, _) =>
-      num.toDouble / den.toDouble
-    }.sorted
     val (n, s) = (repSums.head._4, repSums.head._5)
-    Seq((n, s.toDouble / n, means(loRank - 1), means(hiRank - 1)))
+    val pointMean = s.toDouble / n
+    // a replicate whose every weight drew 0 (probability e⁻ⁿ per
+    // replicate) has no sample; pin it to the point estimate rather
+    // than letting a NaN sort engine-dependently
+    val means = repSums.map { case (_, num, den, _, _) =>
+      if (den == 0L) pointMean else num.toDouble / den.toDouble
+    }.sorted
+    Seq((n, pointMean, means(loRank - 1), means(hiRank - 1)))
       .toDF("n", "mean_v", "ci_lo", "ci_hi")
   }
 

@@ -87,8 +87,12 @@ object Calibrate {
       .orderBy($"bin")
       .as[(Long, Long, Long)].collect() // ≤ nBins rows by construction
     val pooled = pav(binned.map { case (_, n, pos) => (n, pos) }.toSeq)
+    // score_lo is the SMALLEST integer score mapping to bin b under
+    // (s − lo)·B div width, i.e. the ceiling lo + ⌈b·width/B⌉ — a
+    // floor here would label the bin with a score belonging to b−1
+    // whenever b·width is not a multiple of B
     val rows = binned.zip(pooled).map { case ((b, n, pos), p) =>
-      (b, lo + b * width / nBins, n, pos,
+      (b, lo + (b * width + nBins - 1) / nBins, n, pos,
         10000L * pos / n, 10000L * p.pos / p.n)
     }
     rows.toSeq

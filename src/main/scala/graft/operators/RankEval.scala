@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *    threshold tie-break — both engines rank identical integers, so
   *    the chosen threshold cannot diverge at near-ties the way a
   *    double F1 sort could (ties closer than 10⁻¹² resolve to the
-  *    smaller threshold, deterministically). The scale guard is loud:
-  *    2TP must fit Long alongside the 10¹² factor.
+  *    smaller threshold, deterministically). The key is carried in
+  *    BigInt (like `sum2Ranks`), so 2TP·10¹² cannot overflow at any
+  *    corpus size — the oracle mirrors this with a HUGEINT cast.
   */
 object RankEval {
 
@@ -82,14 +83,16 @@ object RankEval {
         val fp = predPos - tp
         val fn = nPos - tp
         val denom = 2 * tp + fp + fn
-        require(tp <= Long.MaxValue / 2_000_000_000_000L,
-          s"2TP·10^12 overflows long (tp=$tp) — pre-aggregate scores")
+        // BigInt like sum2Ranks: 2TP·10¹² exceeds Long once TP passes
+        // ~4.6M, well inside the corpus scales this module targets
         val key =
-          if (denom == 0) 0L else 2 * tp * 1_000_000_000_000L / denom
+          if (denom == 0) BigInt(0)
+          else BigInt(2) * tp * 1_000_000_000_000L / denom
         (key, s, tp, fp, fn, denom)
       }.sortBy { case (key, s, _, _, _, _) => (-key, s) }.head
     val (_, bestT, tp, fp, fn, denom) = best
-    val f1Bp = if (denom == 0) 0L else 10000L * 2 * tp / denom
+    val f1Bp =
+      if (denom == 0) 0L else (BigInt(10000) * 2 * tp / denom).toLong
     Seq((n, nPos, nNeg, aucBp, bestT, tp, fp, fn, f1Bp))
       .toDF("n", "n_pos", "n_neg", "auc_bp", "best_t", "tp", "fp",
         "fn", "f1_bp")

@@ -57,6 +57,18 @@ object Sampling {
   def allocateLargestRemainder(counts: DataFrame, keyCols: Seq[String],
       massCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    // upfront overflow guard mirroring systematicPps' W·S check:
+    // budget·mass must fit a long, else ANSI mode surfaces a generic
+    // ARITHMETIC_OVERFLOW deep in the plan instead of this message
+    // (counts is the stratum table — aggregate-bounded, so the extra
+    // max() scan is over thousands of rows, not the corpus)
+    if (budget > 0) {
+      val mm = counts.agg(max(col(massCol).cast("long"))).head()
+      val maxMass = if (mm.isNullAt(0)) 0L else mm.getLong(0)
+      require(maxMass <= Long.MaxValue / budget,
+        s"budget·mass overflows long (budget=$budget, max mass=" +
+          s"$maxMass) — pre-scale the masses")
+    }
     // single-partition windows over the stratum table: bounded by
     // construction (one row per stratum), same discipline as
     // Packing's shard bound — document, don't shuffle corpus rows

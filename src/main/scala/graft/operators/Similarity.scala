@@ -303,6 +303,11 @@ object Similarity {
     val v = vectors
       .withColumn("_bucket", srpBucket(col("embedding"), planes))
       .withColumn("_n", norm(col("embedding")))
+      // a zero vector has no direction: its cosine is 0/0 = NaN, and
+      // NaN sorts GREATER than every double, so it would rank FIRST
+      // in the cos-desc top-k and silently displace real neighbors —
+      // drop degenerate vectors from both sides of the audit
+      .filter(col("_n") > 0d)
     val nb = v.select(col("_bucket"), col("vec_id").as("nb_id"),
       col("embedding").as("nb_emb"), col("label").as("nb_label"),
       col("_n").as("_nbn"))

@@ -224,9 +224,9 @@ object Extended13 {
          |    CAST(SUM(CASE WHEN ${dotD("e.embedding", "p.pe")} > 0
          |      THEN 1::BIGINT << pid ELSE 0 END) AS BIGINT) AS bucket
          |  FROM embeddings e CROSS JOIN p GROUP BY vec_id),
-         |v AS (SELECT vec_id, embedding, label,
+         |v AS (SELECT * FROM (SELECT vec_id, embedding, label,
          |    sqrt(${dotD("embedding", "embedding")}) AS vn, bucket
-         |  FROM embeddings JOIN b USING (vec_id)),
+         |  FROM embeddings JOIN b USING (vec_id)) t WHERE vn > 0),
          |pairs AS (SELECT a.vec_id, a.label, n.label AS nb_label,
          |    n.vec_id AS nb_id,
          |    ${dotD("a.embedding", "n.embedding")} / (a.vn * n.vn) AS cos

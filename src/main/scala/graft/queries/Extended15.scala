@@ -380,7 +380,7 @@ object Extended15 {
       |bo AS (SELECT bin, n, pos,
       |    ROW_NUMBER() OVER (ORDER BY bin) AS rn FROM bins)
       |SELECT bo.bin, (SELECT lo FROM mm)
-      |    + bo.bin * (SELECT width FROM mm) // 16 AS score_lo,
+      |    + (bo.bin * (SELECT width FROM mm) + 15) // 16 AS score_lo,
       |  bo.n, bo.pos, 10000 * bo.pos // bo.n AS raw_bp,
       |  10000 * pw.ppos // pw.pn AS cal_bp
       |FROM bo JOIN pw
@@ -440,15 +440,17 @@ object Extended15 {
       |    AS auc_bp FROM agg, tot),
       |f1s AS (SELECT s, tp, pp - tp AS fp, np - tp AS fn,
       |    2 * tp + (pp - tp) + (np - tp) AS denom,
-      |    CASE WHEN 2 * tp + (pp - tp) + (np - tp) = 0 THEN 0
-      |      ELSE (2 * tp * 1000000000000)
+      |    CASE WHEN 2 * tp + (pp - tp) + (np - tp) = 0
+      |      THEN 0::HUGEINT
+      |      ELSE (2 * CAST(tp AS HUGEINT) * 1000000000000)
       |        // (2 * tp + (pp - tp) + (np - tp)) END AS key
       |  FROM r, tot),
       |best AS (SELECT * FROM f1s ORDER BY key DESC, s LIMIT 1)
       |SELECT tot.n, tot.np AS n_pos, tot.n - tot.np AS n_neg,
       |  auc.auc_bp, best.s AS best_t, best.tp, best.fp, best.fn,
       |  CASE WHEN best.denom = 0 THEN 0
-      |    ELSE (10000 * 2 * best.tp) // best.denom END AS f1_bp
+      |    ELSE CAST((10000 * 2 * CAST(best.tp AS HUGEINT))
+      |      // best.denom AS BIGINT) END AS f1_bp
       |FROM tot, auc, best""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     import graft.functions.TextFunctions

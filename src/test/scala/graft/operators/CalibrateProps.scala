@@ -88,8 +88,10 @@ object CalibrateProps extends Properties("Calibrate") {
           (b, l.size.toLong, l.map(_._2).sum)
         }
       val pooled = Calibrate.pav(binned.map { case (_, n, p) => (n, p) })
+      // score_lo = smallest score of bin b: the CEILING of b·width/B
+      // (the floor can name a score belonging to b−1 — ADVICE r6)
       val want = binned.zip(pooled).map { case ((b, n, pos), p) =>
-        (b, lo + b * width / nBins, n, pos,
+        (b, lo + (b * width + nBins - 1) / nBins, n, pos,
           10000L * pos / n, 10000L * p.pos / p.n)
       }
       got == want
