@@ -27,4 +27,14 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** The bench surface: every oracle-checked query plus bench-only
+    * cost-attribution labels (no oracle — their composites are the
+    * checked queries). Currently: q240's eager LM training vs its
+    * broadcast scoring pass, timed apart.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ Map(
+      "q240a_lm_train" -> (Extended15.lmTrainBench _),
+      "q240b_lm_score" -> (Extended15.lmScoreBench _))
 }

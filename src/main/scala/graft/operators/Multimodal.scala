@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with a typed metadata struct, plus decode / resize /
   * frame-sample operators.
   *
-  * The container has no image/audio codecs, so the actual byte→pixels
-  * decode is STUBBED (`decodePixelsStub` derives deterministic fake
-  * features from the bytes). Everything around it — schema, binary
-  * handling, metadata structs, batch shape, partitioning — is real
-  * Spark and tested. Swapping the stub for a codec is a one-function
-  * change (at scale it would be a `mapPartitions` with a reused
-  * decoder handle per partition).
+  * Decode status: IMAGES decode for real — [[imageDecoder]] plugs the
+  * JDK's own `javax.imageio` codecs (PNG/JPEG/GIF/BMP, headless-safe)
+  * into [[decodePartitions]], so byte→pixels→features runs end-to-end
+  * distributed (MultimodalCodecSpec proves exact pixel sums on real
+  * PNGs). Audio/video have no JDK codec and stay STUBBED
+  * (`decodePixelsStub` derives deterministic fake features from the
+  * bytes) — everything around the seam (schema, binary handling,
+  * metadata structs, batch shape, partitioning) is real Spark and
+  * tested, and a codec build swaps one function.
   */
 object Multimodal {
 
@@ -66,6 +68,46 @@ object Multimodal {
       floor(w * clamped).cast("int").as("width"),
       floor(h * clamped).cast("int").as("height"),
       meta.getField("duration_s").as("duration_s"))
+  }
+
+  /** Decoded-image features: exact integer pixel statistics, so the
+    * distributed decode is assertable bit-for-bit against a local
+    * reference decode. `ok=false` marks undecodable payloads (wrong
+    * magic bytes, truncated file) — kept as rows, not errors: at
+    * corpus scale a bad blob must quarantine, never kill the job.
+    */
+  final case class ImageFeatures(width: Int, height: Int,
+      lumaSum: Long, ok: Boolean)
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/
+    * BMP — present in every headless JRE, no external codec needed).
+    * Shape: a decoder function to hand to [[decodePartitions]];
+    * `ImageIO.read` returns null for unrecognized bytes, which maps
+    * to the quarantine row. Luma is the integer BT.601 weighting
+    * (299R+587G+114B)/1000 summed over all pixels — deterministic,
+    * overflow-safe to ~6 giga-pixels per image.
+    */
+  def imageDecoder(): Array[Byte] => ImageFeatures = { bytes =>
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) ImageFeatures(0, 0, 0L, ok = false)
+    else {
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          s += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff)
+            + 114L * (rgb & 0xff)) / 1000L
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(img.getWidth, img.getHeight, s, ok = true)
+    }
   }
 
   /** The per-partition imperative decode path — the Scala analog of a

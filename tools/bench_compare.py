@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Bench regression tripwire: compare two bench JSON lines per query.
+
+Usage: python3 tools/bench_compare.py <old.json> <new.json> [threshold]
+
+Lists every query whose median moved by more than <threshold>x (default
+1.5) in either direction, joined with its EXCHANGES.txt ledger row.
+Plan drift vs host drift separation: EXCHANGES.txt is spec-pinned
+(ExchangeLedgerSpec fails `sbt test` on any count change), so when the
+suite is green every mover listed here runs the SAME plan as before --
+i.e. the movement is host noise, not a plan regression. A mover plus a
+red ExchangeLedgerSpec is the real thing.
+Not shipped engine code -- a development harness only.
+"""
+import json
+import sys
+import os
+
+
+def load(path):
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" not in doc and "tail" in doc:
+        # driver-format BENCH_rN.json: the builder's JSON line sits in
+        # the captured stdout tail, usually TRUNCATED at the front —
+        # regex-harvest the per-query pairs instead of parsing
+        import re
+        pairs = re.findall(r'"(q[0-9][^"]*)":(-?[0-9.]+)', doc["tail"])
+        return {k: float(v) for k, v in pairs if float(v) >= 0}
+    return {k: v for k, v in doc.get("queries", {}).items() if v >= 0}
+
+
+def ledger(path):
+    out = {}
+    if os.path.exists(path):
+        for line in open(path):
+            parts = line.strip().split(" ", 1)
+            if len(parts) == 2:
+                out[parts[0]] = parts[1]
+    return out
+
+
+def main():
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    old, new = load(old_path), load(new_path)
+    led = ledger(os.path.join(repo, "EXCHANGES.txt"))
+    movers, plan_drift = [], []
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        if o <= 0 or n <= 0:
+            continue
+        ratio = n / o
+        if ratio > threshold or ratio < 1 / threshold:
+            row = led.get(name, "<no ledger row>")
+            movers.append((name, o, n, ratio, row))
+    for name in sorted(set(old) ^ set(new)):
+        side = "old-only" if name in old else "new-only"
+        print(f"NOTE {name}: {side} (surface changed)")
+    if not movers:
+        print(f"OK: no query moved more than {threshold}x "
+              f"({len(set(old) & set(new))} compared)")
+        return 0
+    print(f"{len(movers)} movers (>{threshold}x either way):")
+    print(f"{'query':40s} {'old_s':>8s} {'new_s':>8s} {'ratio':>6s}  ledger")
+    for name, o, n, ratio, row in movers:
+        print(f"{name:40s} {o:8.3f} {n:8.3f} {ratio:6.2f}  {row}")
+    # plan drift check would need the old ledger; EXCHANGES.txt is
+    # spec-pinned (ExchangeLedgerSpec), so if `sbt test` is green the
+    # ledger rows above are the CURRENT plans == the committed plans,
+    # and any mover here is host drift, not plan drift.
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
