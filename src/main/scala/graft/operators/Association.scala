@@ -103,4 +103,161 @@ object Association {
         chi2.toLong))
       .toDF("n", "cells", "dof", "chi2_milli")
   }
+
+  /** Fleiss' κ — chance-corrected agreement for n ≥ 2 raters (Cohen's
+    * κ handles exactly two). Ratings arrive WIDE: one column per
+    * rater, each a category value for the item in that row.
+    *
+    * With N items, n raters, and per-(item, category) counts n_ij:
+    * P̄o = (Σ n_ij² − Nn) / (Nn(n−1)), P̄e = Σ_j c_j² / (Nn)² for
+    * column totals c_j. Both are exact rationals; on the common
+    * denominator D = (n−1)(Nn)²:
+    * κ_num = Nn(Σ n_ij² − Nn) − (n−1)·Σ c_j²,
+    * κ_den = (n−1)((Nn)² − Σ c_j²). The ratio can be NEGATIVE (worse-
+    * than-chance agreement), and truncating vs flooring division
+    * diverge there (the COVERAGE.md rule), so — like [[cohensKappa]] —
+    * the exact integer pair ships instead of the quotient; the
+    * non-negative po/pe basis points divide safely.
+    *
+    * Scale shape: unlike the two-rater form (bounded-collect), this is
+    * FULLY distributed — Σ n_ij² is a per-(item, cat) count aggregate
+    * squared and re-summed, Σ c_j² a category-bounded aggregate; no
+    * driver state. The n_ij table is items×categories rows, touched by
+    * keyed aggregates only. Numerators reach N²n² — past BIGINT near
+    * N·n ≈ 3·10⁹ ratings — so internal sums run in decimal(38,0)
+    * (oracle: HUGEINT) before the final BIGINT cast.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2,
+      s"Fleiss' kappa needs >= 2 raters, got ${raterCols.size}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nRaters = raterCols.size
+    val longForm = raterCols
+      .map(rc => df.select(col(itemCol).as("item"),
+        col(rc).cast("string").as("cat")))
+      .reduce(_ unionByName _)
+    val nij = longForm.groupBy($"item", $"cat")
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // S, c_j, and N all read it
+    val s = nij.agg(
+      coalesce(sum(($"nij" * $"nij").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s"),
+      count_distinct($"item").as("n_items"))
+    val t = nij.groupBy($"cat").agg(sum($"nij").as("cj"))
+      .agg(coalesce(sum(($"cj" * $"cj").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("t"))
+    val nn = s"(CAST(n_items AS DECIMAL(38,0)) * $nRaters)" // Nn
+    s.crossJoin(t).selectExpr(
+      "n_items",
+      s"CAST($nRaters AS BIGINT) AS n_raters",
+      s"""CASE WHEN n_items = 0 THEN 0 ELSE
+         |  CAST((10000 * (s - $nn))
+         |    DIV ($nn * ${nRaters - 1}) AS BIGINT) END AS po_bp""".stripMargin,
+      s"""CASE WHEN n_items = 0 THEN 0 ELSE
+         |  CAST((10000 * t) DIV ($nn * $nn) AS BIGINT) END AS pe_bp""".stripMargin,
+      s"CAST($nn * (s - $nn) - ${nRaters - 1} * t AS BIGINT) AS kappa_num",
+      s"CAST(${nRaters - 1} * ($nn * $nn - t) AS BIGINT) AS kappa_den")
+  }
+
+  /** Krippendorff's α (nominal) — agreement with MISSING ratings,
+    * where [[fleissKappa]] stops: raters may abstain (NULL), so the
+    * per-item rating count m_u varies and items with m_u < 2 drop out.
+    *
+    * Coincidence-matrix form: with per-(item, category) counts n_uc
+    * and m_u = Σ_c n_uc, the off-diagonal coincidence mass is
+    * O = Σ_u Σ_c n_uc·(m_u − n_uc)/(m_u − 1); with category totals
+    * n_c = Σ_u n_uc (over valid items) and n = Σ_c n_c,
+    * α = 1 − (n−1)·O / (n² − Σ_c n_c²).
+    *
+    * Exactness: the per-item denominator (m_u − 1) ranges over
+    * 1..R−1, so scaling every item's contribution by
+    * L = lcm(1..R−1) makes O_L = L·O an exact integer —
+    * `n_uc·(m_u − n_uc)·(L div (m_u−1))` per (item, cat) row. α can
+    * be negative (worse than chance), so — the [[cohensKappa]] rule —
+    * the exact pair ships: `alpha_num = L(n²−S) − (n−1)·O_L`,
+    * `alpha_den = L(n²−S)`. The non-negative observed/expected
+    * disagreement basis points (do_bp = 10⁴·O_L div (L·n),
+    * de_bp = 10⁴(n²−S) div (n(n−1))) divide safely.
+    *
+    * Scale shape: FULLY distributed like [[fleissKappa]] — keyed
+    * aggregates over the (item, category) count table (m_u attaches
+    * via a window partitioned by item, no self-join); no driver
+    * state. Numerators reach L·n² — internal sums run in
+    * decimal(38,0) (oracle: HUGEINT) before the final BIGINT cast.
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2,
+      s"Krippendorff's alpha needs >= 2 raters, got ${raterCols.size}")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val bigL = (1 until raterCols.size)
+      .map(BigInt(_)).foldLeft(BigInt(1)) { (a, b) => a * b / a.gcd(b) }
+    require(bigL.isValidLong, s"lcm(1..${raterCols.size - 1}) overflows")
+    val L = bigL.toLong
+    val longForm = raterCols
+      .map(rc => df.select(col(itemCol).as("item"),
+        col(rc).cast("string").as("cat")))
+      .reduce(_ unionByName _)
+      .filter($"cat".isNotNull)
+    val nuc = longForm.groupBy($"item", $"cat")
+      .agg(count(lit(1)).as("nuc"))
+      .withColumn("m", sum($"nuc").over(Window.partitionBy($"item")))
+      .filter($"m" >= 2)
+      .localCheckpoint() // O_L, n_c, and n all read it
+    val o = nuc.agg(
+      coalesce(sum(($"nuc" * ($"m" - $"nuc") *
+        expr(s"${L}L DIV (m - 1)")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("o_l"),
+      coalesce(sum($"nuc"), lit(0L)).as("n"),
+      count_distinct($"item").as("n_items"))
+    val s = nuc.groupBy($"cat").agg(sum($"nuc").as("nc"))
+      .agg(coalesce(sum(($"nc" * $"nc").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s"))
+    val nSq = "(CAST(n AS DECIMAL(38,0)) * n)"
+    o.crossJoin(s).selectExpr(
+      "n_items",
+      "CAST(n AS BIGINT) AS n_ratings",
+      s"""CASE WHEN n <= 1 THEN 0 ELSE
+         |  CAST((10000 * o_l) DIV (${L}L * n) AS BIGINT)
+         |  END AS do_bp""".stripMargin,
+      s"""CASE WHEN n <= 1 THEN 0 ELSE
+         |  CAST((10000 * ($nSq - s))
+         |    DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)
+         |  END AS de_bp""".stripMargin,
+      s"CAST(${L}L * ($nSq - s) - (n - 1) * o_l AS BIGINT) AS alpha_num",
+      s"CAST(${L}L * ($nSq - s) AS BIGINT) AS alpha_den")
+  }
+
+  /** McNemar's paired test — "did switching quality filter A for
+    * filter B change which documents pass, beyond symmetric noise?"
+    * Both classifiers are judged against the same truth on the same
+    * rows; only the DISCORDANT pairs carry signal: b = A right ∧ B
+    * wrong, c = A wrong ∧ B right, χ² = (b−c)²/(b+c) with the
+    * continuity-corrected variant (|b−c|−1)²/(b+c) (0 when b = c).
+    * Both statistics are non-negative rationals → exact floored
+    * milli-units (floor = truncate, the [[chiSquareMilli]] rule).
+    * One corpus aggregate, zero driver state, nothing to prune.
+    */
+  def mcnemar(df: DataFrame, truthCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val aOk = (col(aCol) === col(truthCol)).cast("long")
+    val bOk = (col(bCol) === col(truthCol)).cast("long")
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(aOk * bOk).as("both_right"),
+        sum((lit(1) - aOk) * (lit(1) - bOk)).as("both_wrong"),
+        sum(aOk * (lit(1) - bOk)).as("b"),
+        sum((lit(1) - aOk) * bOk).as("c"))
+      .selectExpr("n", "both_right", "both_wrong", "b", "c",
+        """CASE WHEN b + c = 0 THEN 0 ELSE
+          |  (1000 * (b - c) * (b - c)) DIV (b + c)
+          |  END AS chi2_milli""".stripMargin,
+        """CASE WHEN b + c = 0 OR abs(b - c) <= 1 THEN 0 ELSE
+          |  (1000 * (abs(b - c) - 1) * (abs(b - c) - 1)) DIV (b + c)
+          |  END AS chi2_cc_milli""".stripMargin)
+  }
 }

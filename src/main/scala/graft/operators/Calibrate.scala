@@ -98,4 +98,45 @@ object Calibrate {
     rows.toSeq
       .toDF("bin", "score_lo", "n", "pos", "raw_bp", "cal_bp")
   }
+
+  /** Expected calibration error over FIXED basis-point confidence bins
+    * — the single-number companion to [[isotonicBins]]: "when the
+    * score says 73%, is it right 73% of the time, averaged over
+    * bins?" `scoreCol` must already BE a probability in basis points
+    * (0..10000), e.g. a rate-style quality score or an isotonic
+    * output — unlike [[isotonicBins]], no data-dependent min/max scan
+    * is needed, so this is ONE corpus aggregate, fully distributed,
+    * zero driver state.
+    *
+    * Exactness: the per-bin gap |acc_b − conf_b| has denominator
+    * n_b·10⁴, and Σ_b (n_b/N)·gap_b telescopes to
+    * `ece_bp = (Σ_b |10⁴·pos_b − Σconf_b|) div N` — ONE integer
+    * division at the end, every |·| term exact and non-negative
+    * (floor = truncate). Output: one row per non-empty bin
+    * (`bin, n, pos, conf_sum, gap_abs`) with the corpus `ece_bp`
+    * repeated on each row (the window total costs nothing at ≤ nBins
+    * rows).
+    */
+  def eceBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perBin = df
+      .select(
+        expr(s"least((CAST($scoreCol AS BIGINT) * $nBins) DIV 10000, " +
+          s"${nBins - 1})").as("bin"),
+        col(scoreCol).cast("long").as("_s"),
+        col(labelCol).cast("long").as("_y"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"_y").as("pos"),
+        sum($"_s").as("conf_sum"))
+      .withColumn("gap_abs", abs(lit(10000) * $"pos" - $"conf_sum"))
+      .localCheckpoint() // ≤ nBins rows; the total reads it too — the
+                         // corpus aggregate must not run twice
+    val tot = perBin.agg(sum($"gap_abs").as("_g"), sum($"n").as("_nt"))
+    perBin.crossJoin(broadcast(tot))
+      .select($"bin", $"n", $"pos", $"conf_sum", $"gap_abs",
+        expr("_g DIV _nt").as("ece_bp"))
+  }
 }

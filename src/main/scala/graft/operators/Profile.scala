@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.LangModel.flog2
+
+/** Corpus-composition profiling — the "is this dataset balanced?"
+  * numbers a curation run reports before shipping: concentration of
+  * mass across a key (source, domain, language) and vocabulary health
+  * of the token stream. All outputs are exact integers (the
+  * no-transcendentals discipline): concentration ships HHI and Gini
+  * as exact rationals, entropy as the ⌊log₂⌋ floor-bit form
+  * ([[LangModel]]'s trick — exact in any engine via binary length).
+  *
+  * Scale shapes:
+  *  - [[concentration]]: one keyed count aggregate, then the sorted
+  *    Gini rank scan runs through [[PrefixSum]]'s two-phase scan — a
+  *    million-domain key never funnels into the partition-less-window
+  *    single-partition trap. Group-bounded everywhere after the first
+  *    aggregate; Σ rank·count reaches n_groups·n_rows — internal sums
+  *    ride decimal(38,0) (oracle: HUGEINT).
+  *  - [[vocabStats]]: one tokenize + keyed count; the top-k mass cut
+  *    is a deterministic (count desc, token asc) limit — the
+  *    [[LangModel]] prune discipline.
+  *
+  * Reference anchor: the curriculum's composition GROUP BYs
+  * (`3-spark-fundamentals` homework aggregations over event hosts);
+  * the exact concentration indices are the training-data extension.
+  */
+object Profile {
+
+  /** One row: `n_rows, n_groups, hhi_e8, gini_num, gini_den, gini_bp,
+    * h_bits_milli`.
+    *
+    *  - HHI = Σ share² as `hhi_e8 = (10⁸·Σc²) div N²` — 10⁸ = fully
+    *    concentrated single group.
+    *  - Gini over the group-size distribution (groups as units),
+    *    ascending (count, key) rank order: G = (2Σ i·c_(i) − (n+1)N)
+    *    / (nN) — ships as the exact non-negative pair + basis points.
+    *  - Entropy lower bound in milli-bits:
+    *    `h_bits_milli = 1000·(N·⌊log₂N⌋ − Σ c·⌊log₂c⌋) div N` —
+    *    within 1 bit of Shannon H (every ⌊·⌋ is exact integer bit
+    *    length − 1), non-negative since ⌊log₂c⌋ ≤ ⌊log₂N⌋.
+    */
+  def concentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+    // exclusive prefix COUNT over ascending (c, k) = rank − 1;
+    // two-phase scan, never a partition-less window
+    val ranked = PrefixSum.exclusive(
+      counts.withColumn("_one", lit(1L)), Seq("c", "k"), "_one",
+      "_rk0")
+    ranked.agg(
+        sum(col("c")).as("_n"),
+        count(lit(1)).as("_g"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("_c2"),
+        sum(((col("_rk0") + 1) * col("c")).cast("decimal(38,0)"))
+          .as("_ric"),
+        sum((col("c") * flog2(col("c"))).cast("decimal(38,0)"))
+          .as("_cf"))
+      .selectExpr(
+        "CAST(_n AS BIGINT) AS n_rows",
+        "CAST(_g AS BIGINT) AS n_groups",
+        """CASE WHEN _n = 0 THEN 0 ELSE
+          |  CAST((100000000 * _c2)
+          |    DIV (CAST(_n AS DECIMAL(38,0)) * _n) AS BIGINT)
+          |  END AS hhi_e8""".stripMargin,
+        "CAST(2 * _ric - (_g + 1) * CAST(_n AS DECIMAL(38,0)) " +
+          "AS BIGINT) AS gini_num",
+        "CAST(_g * CAST(_n AS DECIMAL(38,0)) AS BIGINT) AS gini_den",
+        """CASE WHEN _g * _n = 0 THEN 0 ELSE
+          |  CAST((10000 * (2 * _ric - (_g + 1)
+          |      * CAST(_n AS DECIMAL(38,0))))
+          |    DIV (_g * CAST(_n AS DECIMAL(38,0))) AS BIGINT)
+          |  END AS gini_bp""".stripMargin,
+        s"""CASE WHEN _n = 0 THEN 0 ELSE
+          |  CAST((1000 * (CAST(_n AS DECIMAL(38,0))
+          |      * (length(conv(CAST(_n AS STRING), 10, 2)) - 1) - _cf))
+          |    DIV _n AS BIGINT)
+          |  END AS h_bits_milli""".stripMargin)
+  }
+
+  /** One row: `n_tokens, n_types, hapax, ttr_bp, hapax_share_bp,
+    * topk_mass_bp` — type-token ratio, hapax-legomena share of the
+    * vocabulary, and the corpus mass captured by the top-`topK`
+    * tokens (count desc, token asc — deterministic cut).
+    */
+  def vocabStats(df: DataFrame, textCol: Column, topK: Int = 100)
+      : DataFrame = {
+    val wc = df
+      .select(explode(TextFunctions.lowerTokens(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // totals + the top-k cut both read it
+    val top = wc.orderBy(col("c").desc, col("w")).limit(topK)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("_topc"))
+    wc.agg(
+        sum(col("c")).as("_n"),
+        count(lit(1)).as("_t"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("_h"))
+      .crossJoin(broadcast(top))
+      .selectExpr(
+        "CAST(_n AS BIGINT) AS n_tokens",
+        "CAST(_t AS BIGINT) AS n_types",
+        "CAST(_h AS BIGINT) AS hapax",
+        """CASE WHEN _n = 0 THEN 0 ELSE
+          |  (10000 * _t) DIV _n END AS ttr_bp""".stripMargin,
+        """CASE WHEN _t = 0 THEN 0 ELSE
+          |  (10000 * _h) DIV _t END AS hapax_share_bp""".stripMargin,
+        """CASE WHEN _n = 0 THEN 0 ELSE
+          |  (10000 * _topc) DIV _n END AS topk_mass_bp""".stripMargin)
+  }
+}

@@ -97,4 +97,58 @@ object RankEval {
       .toDF("n", "n_pos", "n_neg", "auc_bp", "best_t", "tp", "fp",
         "fn", "f1_bp")
   }
+
+  /** Per-group AUC, FULLY distributed — the sliced form of
+    * [[aucAndBestF1]] with no driver state at all: when the slicing
+    * key has thousands of values (source, language, date), the bounded
+    * -collect discipline would still be fine per group but pointless
+    * overall; instead the per-(group, score) table (bounded by
+    * |groups| × |distinct scores|, NOT by rows) carries the whole
+    * computation through windows PARTITIONED BY the group — the same
+    * midrank identity as [[aucAndBestF1]] (tie block over (c, c+cnt]
+    * has 2·midrank = 2c + cnt + 1), the same integer exactness, but
+    * every group's rank scan runs where its rows live.
+    *
+    * Overflow: `pos·(2c+cnt+1)` is ≲ 2n² per group, past Long at
+    * n ≈ 2³¹ rows per group — so the Σ2ranks sum is carried as
+    * decimal(38,0) (the oracle mirrors with HUGEINT) and the final
+    * basis-point ratio divides there before casting back to BIGINT.
+    *
+    * @return one row per group: `<groupCol>, n, n_pos, n_neg, auc_bp`
+    *         (`auc_bp = -1` when a group has one class only, matching
+    *         [[aucAndBestF1]]).
+    */
+  def groupAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ps = df
+      .select(col(groupCol).as("_g"),
+        col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy($"_g", $"s")
+      .agg(count(lit(1)).as("cnt"), sum($"y").as("pos"))
+    val wAsc = Window.partitionBy($"_g").orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ps
+      .withColumn("c", coalesce(sum($"cnt").over(wAsc), lit(0L)))
+      .groupBy($"_g")
+      .agg(
+        sum($"cnt").as("n"),
+        sum($"pos").as("np"),
+        sum(($"pos".cast("decimal(38,0)") *
+          (lit(2) * $"c" + $"cnt" + lit(1)))).as("s2r"))
+      .select(
+        $"_g".as(groupCol),
+        $"n",
+        $"np".as("n_pos"),
+        ($"n" - $"np").as("n_neg"),
+        when($"np" === 0 || $"np" === $"n", lit(-1L))
+          .otherwise(expr(
+            """CAST(((s2r - CAST(np AS DECIMAL(38,0)) * (np + 1))
+              |  * 10000)
+              |  DIV (2 * CAST(np AS DECIMAL(38,0)) * (n - np))
+              |  AS BIGINT)""".stripMargin)).as("auc_bp"))
+  }
 }

@@ -508,7 +508,7 @@ object Extended15 {
   }
 
   /** The q42 langid CASE, shared by the kappa oracle. */
-  private val guessedSql: String =
+  private[queries] val guessedSql: String =
     """CASE
       |    WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
       |    WHEN len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','is'], w)))

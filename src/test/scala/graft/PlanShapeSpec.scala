@@ -613,4 +613,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"nothing here is big enough to sort-merge:\n$p")
   }
+
+  test("q250's relevance + n_rel joins all broadcast the small side " +
+    "— the corpus never shuffles into the eval") {
+    val p = plan("q250_ndcg_mrr")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"ranked lists, query labels, and the label histogram must " +
+        s"broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the labeled brute-force probe may nested-loop:\n$p")
+  }
+
+  test("q254's per-source AUC has no driver state: windows are " +
+    "partitioned and nothing collects") {
+    val p = plan("q254_group_auc")
+    assert(p.contains("Window"),
+      s"the midrank scan must be a window over (source, score):\n$p")
+    val df = SparkEntry.queries("q254_group_auc")(spark, sfDir)
+    // the executed plan must not be a LocalTableScan of collected rows
+    assert(!df.queryExecution.executedPlan.toString
+      .startsWith("LocalTableScan"),
+      "groupAuc must stay distributed (no bounded-collect shortcut)")
+  }
 }
