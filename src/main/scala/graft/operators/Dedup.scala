@@ -682,4 +682,68 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg((max(col("run")) + lit(k - 1)).cast("long").as("span_tokens"))
   }
+
+  /** Exact duplicated-span REMOVAL — the transform counterpart of
+    * [[longestDupSpan]]'s measurement (ExactSubstr-style dedup, Lee
+    * et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better"): every token covered by a k-gram occurrence that is not
+    * the CORPUS-CANONICAL FIRST occurrence of that k-gram (canonical
+    * = lexicographic min (doc, pos) over its 60-bit md5 span hash) is
+    * dropped, and each document is re-joined from its survivors. The
+    * first copy of boilerplate survives verbatim; every later copy
+    * loses exactly the repeated tokens.
+    *
+    * Scale shape: spans hash to longs inside the scan (q193's rule);
+    * the wide moves are the hash-keyed canonical aggregate
+    * (`min(struct(doc, pos))` — map-side combinable), the hash-keyed
+    * mark join, and the per-doc mark collect — TEXT shuffles in none
+    * of them (marks are (doc, int) pairs; the reconstruct re-reads
+    * text from the narrow side of a doc-keyed join). The per-doc
+    * reconstruct is in-row: one Let-staged tokenizer pass + a
+    * position filter against the doc's own mark list (bounded by its
+    * token count). Within-doc repeats are removed too (their (doc,
+    * pos) loses the lexicographic tie to the earlier position).
+    *
+    * @param k span unit in tokens: every duplicated k-gram's tokens
+    *          are removed; docs shorter than k tokens pass through.
+    * @return one row per input doc: `idCol, clean_text, n_tokens,
+    *         n_removed` (n_tokens = original count).
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val occ = df
+      .select(col(idCol).as("doc"),
+        posexplode_outer(
+          graft.plans.Md5PrefixLongs(
+            TextFunctions.positionalShingles(col(textCol), k)))
+          .as(Seq("pos", "hv")))
+      .filter(col("hv").isNotNull)
+      .localCheckpoint() // canonical agg + mark join both read it
+    val canon = occ.groupBy(col("hv"))
+      .agg(min(struct(col("doc"), col("pos"))).as("can"))
+    val marks = occ.join(canon, Seq("hv"))
+      .filter(!(col("doc") === col("can.doc") &&
+        col("pos") === col("can.pos")))
+      .groupBy(col("doc"))
+      .agg(collect_list(col("pos")).as("_starts"))
+    df.select(col(idCol).as("doc"), col(textCol).as("_text"))
+      .join(marks, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        Let(TextFunctions.lowerTokens(col("_text")),
+            coalesce(col("_starts"),
+              array().cast("array<int>"))) { (toks, starts) =>
+          Let(transform(
+              filter(sequence(lit(0), size(toks) - 1),
+                i => !exists(starts, s => i >= s && i < s + k)),
+              i => element_at(toks, i + 1))) { kept =>
+            struct(
+              array_join(kept, " ").as("clean_text"),
+              size(toks).cast("long").as("n_tokens"),
+              (size(toks) - size(kept)).cast("long").as("n_removed"))
+          }
+        }.as("_o"))
+      .select(col(idCol), col("_o.clean_text"), col("_o.n_tokens"),
+        col("_o.n_removed"))
+  }
 }

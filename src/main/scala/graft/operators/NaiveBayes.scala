@@ -92,40 +92,54 @@ object NaiveBayes {
     NbModel(bits, classes)
   }
 
-  /** Per-(doc, class) surprise-bit totals: `idCols…, label, bits,
-    * n_tok` (n_tok = in-vocab tokens scored; 0 = prior-only fallback).
-    * The bits table broadcasts; the only exchanges are the
-    * (doc, class) combine and the re-attach to the doc spine.
+  /** Per-(doc, class) surprise-bit totals for docs with ≥ 1 in-vocab
+    * token: `idCols…, label, bits, n_tok`. The bits table and the
+    * C-row prior table broadcast; the ONLY exchange is the
+    * (doc, class) combine — no docs×classes spine join (an earlier
+    * shape joined a crossJoin spine back to these rows and planned a
+    * corpus-sized SortMergeJoin; zero-token docs are handled by
+    * [[predict]]'s id-only anti join instead).
     */
   def scoreBits(docs: DataFrame, idCols: Seq[String], textCol: Column,
       model: NbModel): DataFrame = {
     val id = idCols.map(col)
-    val tokenBits = docs
+    docs
       .select(id :+ explode(TextFunctions.lowerTokens(textCol))
         .as("w"): _*)
       .join(broadcast(model.bits), Seq("w")) // drops OOV, fans out ×C
       .groupBy(id :+ col("label"): _*)
       .agg(sum(col("w_bits")).as("_tb"), count(lit(1)).as("n_tok"))
-    docs.select(id: _*)
-      .crossJoin(broadcast(model.classes.select(col("label"),
-        col("prior_bits"))))
-      .join(tokenBits, idCols :+ "label", "left")
+      .join(broadcast(model.classes.select(col("label"),
+        col("prior_bits"))), Seq("label"))
       .select(id ++ Seq(col("label"),
-        (col("prior_bits") + coalesce(col("_tb"), lit(0L))).as("bits"),
-        coalesce(col("n_tok"), lit(0L)).as("n_tok")): _*)
+        (col("prior_bits") + col("_tb")).as("bits"),
+        col("n_tok")): _*)
   }
 
   /** Argmin-bits prediction: one row per doc — `idCols…, pred, bits,
     * n_tok`. Ties break to the lexicographically smaller label.
+    * Docs with zero in-vocab tokens score every class at its bare
+    * prior, so their argmin is ONE corpus constant — they re-attach
+    * via an id-only anti join + the broadcast 1-row fallback, never a
+    * corpus-wide per-class spine.
     */
   def predict(docs: DataFrame, idCols: Seq[String], textCol: Column,
       model: NbModel): DataFrame = {
-    val w = Window.partitionBy(idCols.map(col): _*)
+    val id = idCols.map(col)
+    val w = Window.partitionBy(id: _*)
       .orderBy(col("bits").asc, col("label").asc)
-    scoreBits(docs, idCols, textCol, model)
+    val top = scoreBits(docs, idCols, textCol, model)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
       .withColumnRenamed("label", "pred")
+    val fallback = model.classes
+      .orderBy(col("prior_bits").asc, col("label").asc).limit(1)
+      .select(col("label").as("pred"), col("prior_bits").as("bits"),
+        lit(0L).as("n_tok"))
+    val missed = docs.select(id: _*)
+      .join(top.select(id: _*), idCols, "left_anti")
+      .crossJoin(broadcast(fallback))
+    top.unionByName(missed)
   }
 }

@@ -81,6 +81,50 @@ object Profile {
           |  END AS h_bits_milli""".stripMargin)
   }
 
+  /** PMI collocations over adjacent token pairs — "which bigrams are
+    * glued together far beyond chance?" (boilerplate discovery,
+    * tokenizer-merge candidates). PMI = log₂(c₁₂·N / (c₁·c₂)) is
+    * irrational, so it ships in the floor-bit form
+    * `pmi_bits = ⌊log₂c₁₂⌋ + ⌊log₂N⌋ − ⌊log₂c₁⌋ − ⌊log₂c₂⌋` — a SUM
+    * of exact integer bit lengths (possibly negative, never divided),
+    * within 2 bits of true PMI and immune to the c₁₂·N overflow a
+    * single-⌊log₂⌋ form would hit at corpus scale — alongside the raw
+    * counts so callers can re-derive any precision they like.
+    * Marginals are transition-slot counts (c₁ = w as left element,
+    * c₂ = w as right; N = total transitions), so the rationals are
+    * self-consistent.
+    *
+    * Scale shape: ONE transition pass ([[LangModel.transitions]] —
+    * in-row zip, one explode) feeds three keyed aggregates; the
+    * bigram table joins its vocab-bounded marginals hash-keyed, the
+    * scalar N broadcasts, and the deterministic cut is
+    * (pmi_bits desc, c12 desc, w1, w2).
+    */
+  def pmiTopK(df: DataFrame, textCol: Column, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1,
+      s"minCount/topK must be >= 1, got $minCount/$topK")
+    val tr = LangModel.transitions(df, Seq.empty, textCol)
+      .localCheckpoint() // bigram + both marginal aggregates read it
+    val bi = tr.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // N and the filtered join both read it
+    val n = bi.agg(coalesce(sum(col("c12")), lit(0L)).as("n"))
+    val left = tr.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val right = tr.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    bi.filter(col("c12") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("n"),
+        (flog2(col("c12")) + flog2(col("n"))
+          - flog2(col("c1")) - flog2(col("c2"))).as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("c12").desc, col("w1"),
+        col("w2"))
+      .limit(topK)
+  }
+
   /** One row: `n_tokens, n_types, hapax, ttr_bp, hapax_share_bp,
     * topk_mass_bp` — type-token ratio, hapax-legomena share of the
     * vocabulary, and the corpus mass captured by the top-`topK`

@@ -386,7 +386,90 @@ object Extended17 {
     }
   }
 
+  /** Exact duplicated-span REMOVAL ([[graft.operators.Dedup
+    * .removeDupSpans]], ExactSubstr-style — Lee et al. 2021): q216
+    * MEASURES shared spans, this one cuts them out — every token
+    * covered by an 8-gram that already occurred earlier in corpus
+    * order (canonical = lexicographic min (doc, pos) of the span
+    * hash) is dropped and the doc re-joined from survivors. The
+    * first copy of boilerplate survives; later copies lose exactly
+    * the repeated tokens, within-doc repeats included. Scale: spans
+    * hash to longs in the scan; text shuffles in NO exchange (the
+    * canonical agg, mark join, and mark collect move (hash, doc,
+    * int) rows only).
+    */
+  val q262_dup_span_removal: Q = Q(
+    "q262_dup_span_removal",
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(text), '\s+') AS tk FROM documents),
+      |g0 AS (SELECT doc_id, tk,
+      |    unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS i FROM t),
+      |occ AS (SELECT doc_id, i AS pos,
+      |    ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))
+      |      ::BIGINT AS hv FROM g0),
+      |md AS (SELECT hv, MIN(doc_id) AS md FROM occ GROUP BY 1),
+      |mp AS (SELECT o.hv, MIN(o.pos) AS mp FROM occ o
+      |  JOIN md ON md.hv = o.hv AND o.doc_id = md.md GROUP BY 1),
+      |can AS (SELECT md.hv, md.md, mp.mp FROM md JOIN mp USING (hv)),
+      |marks AS (SELECT o.doc_id, o.pos FROM occ o JOIN can c USING (hv)
+      |  WHERE NOT (o.doc_id = c.md AND o.pos = c.mp)),
+      |mpos AS (SELECT DISTINCT m.doc_id, m.pos + o.o AS i
+      |  FROM marks m CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o),
+      |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+      |  FROM t),
+      |keep AS (SELECT p.doc_id, p.i, p.tk[p.i] AS w FROM pos p
+      |  ANTI JOIN mpos USING (doc_id, i)),
+      |agg AS (SELECT doc_id,
+      |    array_to_string(list(w ORDER BY i), ' ') AS clean_text,
+      |    CAST(COUNT(*) AS BIGINT) AS n_kept FROM keep GROUP BY 1)
+      |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+      |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.tk) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.Dedup.removeDupSpans(
+      Tables.loadParallel(spark, dir, "documents"),
+      "doc_id", "text", 8)
+      .orderBy($"doc_id")
+  }
+
+  /** PMI collocations ([[Profile.pmiTopK]]): the bigrams glued
+    * together far beyond chance — boilerplate discovery / tokenizer-
+    * merge candidates. PMI ships in the overflow-immune floor-bit sum
+    * form ⌊log₂c₁₂⌋+⌊log₂N⌋−⌊log₂c₁⌋−⌊log₂c₂⌋ (exact integers,
+    * possibly negative, never divided) alongside the raw counts. One
+    * transition pass, three keyed aggregates, deterministic
+    * (pmi_bits, c12, w1, w2) cut.
+    */
+  val q263_pmi_collocations: Q = Q(
+    "q263_pmi_collocations",
+    """WITH tok AS (SELECT string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |tr AS (SELECT unnest(t[:-2]) AS w1, unnest(t[2:]) AS w2
+      |  FROM tok WHERE len(t) >= 2),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM tr
+      |  GROUP BY 1, 2),
+      |nt AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM bi),
+      |l AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tr
+      |  GROUP BY 1),
+      |r AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM tr
+      |  GROUP BY 1),
+      |p AS (SELECT b.w1, b.w2, b.c12, l.c1, r.c2, nt.n,
+      |    CAST((length(bin(b.c12)) - 1) + (length(bin(nt.n)) - 1)
+      |      - (length(bin(l.c1)) - 1) - (length(bin(r.c2)) - 1)
+      |      AS BIGINT) AS pmi_bits
+      |  FROM bi b JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN nt
+      |  WHERE b.c12 >= 3)
+      |SELECT w1, w2, c12, c1, c2, n, pmi_bits FROM p
+      |ORDER BY pmi_bits DESC, c12 DESC, w1, w2
+      |LIMIT 30""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Profile.pmiTopK(
+      Tables.loadParallel(spark, dir, "documents"), $"text", 3L, 30)
+  }
+
   val all: Seq[Q] = Seq(q256_naive_bayes, q257_krippendorff,
     q258_mcnemar, q259_vocab_stats, q260_source_concentration,
-    q261_mmr_rerank)
+    q261_mmr_rerank, q262_dup_span_removal, q263_pmi_collocations)
 }

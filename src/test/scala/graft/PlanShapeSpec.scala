@@ -624,6 +624,29 @@ class PlanShapeSpec extends SparkSpec {
       s"only the labeled brute-force probe may nested-loop:\n$p")
   }
 
+  test("q256's NB scoring pass broadcasts the model — the corpus " +
+    "never shuffles into a model join") {
+    val p = plan("q256_naive_bayes")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"the |V|*C bits table and the class spine must broadcast:\n$p")
+    // the only sort-merge join allowed is the id-only LeftAnti that
+    // re-attaches zero-in-vocab docs — the token stream itself must
+    // never shuffle into a model join
+    val badSmj = p.linesIterator
+      .filter(_.contains("SortMergeJoin"))
+      .filterNot(_.contains("LeftAnti")).toList
+    assert(badSmj.isEmpty && !p.contains("ShuffledHashJoin"),
+      s"non-anti shuffled join in the scoring path ($badSmj):\n$p")
+  }
+
+  test("q260's Gini rank never plans a partition-less window — the " +
+    "scan is PrefixSum's two-phase form") {
+    val p = plan("q260_source_concentration")
+    assert(!p.contains("Window"),
+      s"a Window here means the rank fell back to the " +
+        s"single-partition funnel:\n$p")
+  }
+
   test("q254's per-source AUC has no driver state: windows are " +
     "partitioned and nothing collects") {
     val p = plan("q254_group_auc")
