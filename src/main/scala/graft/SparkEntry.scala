@@ -14,7 +14,8 @@ object SparkEntry {
       Extended6.all ++ Extended7.all ++ Extended8.all ++ Extended9.all ++
       Extended10.all ++ Extended11.all ++ Extended12.all ++
       Extended13.all ++ Extended14.all ++ Extended15.all ++
-      Extended16.all ++ Extended17.all
+      Extended16.all ++ Extended17.all ++ Extended18.all ++
+      Extended19.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -232,6 +232,89 @@ object Association {
       s"CAST(${L}L * ($nSq - s) AS BIGINT) AS alpha_den")
   }
 
+  /** Majority-vote label aggregation — the crowd-labeling reduce that
+    * precedes every agreement audit ([[fleissKappa]],
+    * [[krippendorffAlpha]] measure; this one DECIDES): per item, the
+    * category with the most votes wins, ties break to the
+    * lexicographically smaller category, abstentions (NULL) don't
+    * vote. Margin = top count − runner-up count (0 on a tie, full
+    * count when unanimous-or-unopposed).
+    *
+    * Scale shape: fully distributed — raters unpivot IN-ROW (one
+    * explode, ONE corpus scan — a per-rater union would re-run the
+    * upstream featurization once per rater), then one (item, category)
+    * count aggregate and one window partitioned by item for the argmax
+    * + the runner-up lead. No driver state, category cardinality never
+    * collected.
+    *
+    * @return one row per item with ≥ 1 vote: `item, consensus,
+    *         n_votes (for the winner), n_ratings, margin`.
+    */
+  def majorityVote(df: DataFrame, itemCol: String,
+      raterCols: Seq[String]): DataFrame =
+    consensusOf(votesLong(df, itemCol, raterCols))
+      .withColumnRenamed("item", itemCol)
+
+  /** In-row unpivot to `(item, rater, cat)`, abstentions dropped. */
+  private def votesLong(df: DataFrame, itemCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.nonEmpty, "majorityVote needs >= 1 rater")
+    df.select(col(itemCol).as("item"),
+        explode(array(raterCols.map(rc =>
+          struct(lit(rc).as("rater"),
+            col(rc).cast("string").as("cat"))): _*)).as("_rv"))
+      .select(col("item"), col("_rv.rater").as("rater"),
+        col("_rv.cat").as("cat"))
+      .filter(col("cat").isNotNull)
+  }
+
+  /** The consensus reduce over the long form. The (item, cat) count
+    * and both item-keyed windows share ONE exchange: the explicit
+    * item repartition satisfies the aggregate's clustering (item is a
+    * prefix of its keys) and the windows', so raw votes shuffle once
+    * — per-item vote counts are panel-sized, nothing amplifies.
+    */
+  private def consensusOf(longForm: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = longForm
+      .repartition(col("item"))
+      .groupBy(col("item"), col("cat"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cnt").desc, col("cat").asc)
+    counts
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_runner",
+        coalesce(lead(col("cnt"), 1).over(w), lit(0L)))
+      .withColumn("_total",
+        sum(col("cnt")).over(Window.partitionBy(col("item"))))
+      .filter(col("_rn") === 1)
+      .select(col("item"), col("cat").as("consensus"),
+        col("cnt").as("n_votes"), col("_total").as("n_ratings"),
+        (col("cnt") - col("_runner")).as("margin"))
+  }
+
+  /** Per-rater reliability against the [[majorityVote]] consensus:
+    * `rater, n_rated, n_agree, agree_bp` — "which labeler should I
+    * re-brief?". The long vote form materializes ONCE
+    * (localCheckpoint: (item, rater, cat) triples — the upstream
+    * featurization is the expensive part and must not run twice) and
+    * feeds both the consensus reduce and the item-keyed agree join.
+    */
+  def raterReliability(df: DataFrame, itemCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    val longForm = votesLong(df, itemCol, raterCols).localCheckpoint()
+    val consensus = consensusOf(longForm)
+      .select(col("item"), col("consensus"))
+    longForm.join(consensus, Seq("item"))
+      .groupBy(col("rater"))
+      .agg(count(lit(1)).as("n_rated"),
+        sum((col("cat") === col("consensus")).cast("long"))
+          .as("n_agree"))
+      .withColumn("agree_bp",
+        expr("(10000 * n_agree) DIV n_rated"))
+  }
+
   /** McNemar's paired test — "did switching quality filter A for
     * filter B change which documents pass, beyond symmetric noise?"
     * Both classifiers are judged against the same truth on the same

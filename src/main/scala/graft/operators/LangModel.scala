@@ -119,4 +119,46 @@ object LangModel {
       .groupBy(idCols.map(col): _*)
       .agg(sum(col("_bits")).as("d_bits"), count(lit(1)).as("d_n"))
   }
+
+  /** DSIR-style importance contrast (Xie et al. 2023's
+    * log p_target − log p_source, in this model family's exact
+    * surprise bits): score every document under a TARGET model (the
+    * distribution you want more of) and a SOURCE model (the
+    * distribution you have) in ONE pass, and emit
+    * `w_bits = s_bits − t_bits` — positive means the document reads
+    * more target-like than the corpus average; rank/sample by it.
+    *
+    * Scale shape: identical to [[scoreBits]] except all FOUR pruned
+    * model tables broadcast into a single transition stream — one
+    * tokenize, one explode, one per-document combine. Calling
+    * scoreBits twice would re-run the corpus pass per model; this is
+    * the two-consumer fusion rule applied at the operator level.
+    * Output: `idCols…, t_bits, s_bits, w_bits, d_n` (docs with < 2
+    * tokens are absent, as in scoreBits).
+    */
+  def contrastBits(docs: DataFrame, idCols: Seq[String],
+      textCol: Column, target: BigramLm, source: BigramLm)
+      : DataFrame = {
+    def modelBits(tag: String, lm: BigramLm) = {
+      val oov = lit(1L) + flog2(lit(lm.nTokens + lm.vocab)) -
+        flog2(coalesce(col(s"_cu$tag"), lit(0L)) + 1L)
+      when(col(s"_c12$tag").isNotNull,
+        flog2(col(s"_c1$tag")) - flog2(col(s"_c12$tag"))).otherwise(oov)
+    }
+    def biT(tag: String, lm: BigramLm) = lm.bi.select(col("w1"),
+      col("w2"), col("c12").as(s"_c12$tag"), col("c1").as(s"_c1$tag"))
+    def uniT(tag: String, lm: BigramLm) = lm.uni.select(
+      col("w").as("w2"), col("c").as(s"_cu$tag"))
+    transitions(docs, idCols, textCol)
+      .join(broadcast(biT("t", target)), Seq("w1", "w2"), "left")
+      .join(broadcast(uniT("t", target)), Seq("w2"), "left")
+      .join(broadcast(biT("s", source)), Seq("w1", "w2"), "left")
+      .join(broadcast(uniT("s", source)), Seq("w2"), "left")
+      .withColumn("_bt", modelBits("t", target))
+      .withColumn("_bs", modelBits("s", source))
+      .groupBy(idCols.map(col): _*)
+      .agg(sum(col("_bt")).as("t_bits"), sum(col("_bs")).as("s_bits"),
+        count(lit(1)).as("d_n"))
+      .withColumn("w_bits", col("s_bits") - col("t_bits"))
+  }
 }

@@ -125,6 +125,70 @@ object Profile {
       .limit(topK)
   }
 
+  /** Vocabulary drift between an OLD corpus snapshot and a NEW batch —
+    * "did the crawl change under me?". One row:
+    * `n_old, n_new, types_old, types_new, new_types, lost_types,
+    * oov_bp, tvd_bp`, where
+    *
+    *  - `new_types` / `lost_types` = token types seen only in the new
+    *    batch / only in the old snapshot;
+    *  - `oov_bp` = basis points of the NEW batch's token mass carried
+    *    by types the old snapshot never saw (the retrain-the-tokenizer
+    *    alarm);
+    *  - `tvd_bp` = total variation distance between the two unigram
+    *    distributions, `Σ|c1·n2 − c2·n1| / (2·n1·n2)` in basis points
+    *    — exact integer arithmetic (internally decimal(38,0); oracle:
+    *    HUGEINT), floored once at the end, 0 ≤ tvd_bp ≤ 10000.
+    *
+    * Scale shape: one tokenize + keyed count per side, one hash-keyed
+    * full outer join on the token (vocab-bounded), then two aggregates
+    * over the joined vocab table — the totals pass feeds the TVD pass
+    * by broadcast. Token text never rides a row-scale shuffle.
+    */
+  def vocabDrift(oldDf: DataFrame, newDf: DataFrame, textCol: Column)
+      : DataFrame = {
+    def wc(df: DataFrame, out: String) = df
+      .select(explode(TextFunctions.lowerTokens(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as(out))
+    val j = wc(oldDf, "c1")
+      .join(wc(newDf, "c2"), Seq("w"), "full_outer")
+      .select(coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .localCheckpoint() // the totals and the TVD pass both read it
+    val tot = j.agg(
+      coalesce(sum(col("c1")), lit(0L)).as("_n1"),
+      coalesce(sum(col("c2")), lit(0L)).as("_n2"),
+      coalesce(sum(when(col("c1") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("_t1"),
+      coalesce(sum(when(col("c2") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("_t2"),
+      coalesce(sum(when(col("c1") === 0, 1L).otherwise(0L)), lit(0L))
+        .as("_new"),
+      coalesce(sum(when(col("c2") === 0, 1L).otherwise(0L)), lit(0L))
+        .as("_lost"),
+      coalesce(sum(when(col("c1") === 0, col("c2")).otherwise(0L)),
+        lit(0L)).as("_oov"))
+    val sd = j.crossJoin(broadcast(tot))
+      .agg(coalesce(sum(abs(
+          col("c1").cast("decimal(38,0)") * col("_n2")
+            - col("c2").cast("decimal(38,0)") * col("_n1"))),
+        lit(0L).cast("decimal(38,0)")).as("_sd"))
+    tot.crossJoin(broadcast(sd))
+      .selectExpr(
+        "CAST(_n1 AS BIGINT) AS n_old",
+        "CAST(_n2 AS BIGINT) AS n_new",
+        "CAST(_t1 AS BIGINT) AS types_old",
+        "CAST(_t2 AS BIGINT) AS types_new",
+        "CAST(_new AS BIGINT) AS new_types",
+        "CAST(_lost AS BIGINT) AS lost_types",
+        """CASE WHEN _n2 = 0 THEN 0 ELSE
+          |  (10000 * _oov) DIV _n2 END AS oov_bp""".stripMargin,
+        """CASE WHEN _n1 = 0 OR _n2 = 0 THEN 0 ELSE
+          |  CAST((10000 * _sd)
+          |    DIV (2 * CAST(_n1 AS DECIMAL(38,0)) * _n2) AS BIGINT)
+          |  END AS tvd_bp""".stripMargin)
+  }
+
   /** One row: `n_tokens, n_types, hapax, ttr_bp, hapax_share_bp,
     * topk_mass_bp` — type-token ratio, hapax-legomena share of the
     * vocabulary, and the corpus mass captured by the top-`topK`

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+  * MOSS algorithm): hash every k-gram, then in every window of `w`
+  * consecutive k-gram hashes keep the minimum — the selection is
+  * LOCAL, so any shared token run of length ≥ w + k − 1 between two
+  * documents is GUARANTEED to share a selected fingerprint, while
+  * expected density stays 2/(w+1) of the full k-gram set. This is the
+  * robust middle ground between full-shingle contamination checks
+  * (q189 — exhaustive but k·|doc| fingerprints) and single-doc
+  * rolling-hash fingerprints: near-complete overlap detection at a
+  * fraction of the index size.
+  *
+  * Determinism: the per-window argmin ties on (hash, position) via a
+  * single zero-padded `%016x:%09d` string key — lexicographic min of
+  * fixed-width ASCII is identical in any engine — and k-gram hashes
+  * are 60-bit md5 prefixes ([[graft.plans.Md5PrefixLongs]]), the repo
+  * hash rule.
+  *
+  * Scale shape: tokenize/shingle/hash stage IN-ROW (one generator);
+  * the window min runs per-document (partitionBy doc — never a
+  * partition-less window); the fingerprint index moves (doc, pos,
+  * 60-bit long) rows only — text never shuffles. Pair counting joins
+  * doc-distinct fingerprints bucket-keyed on the hash with a
+  * stop-gram document-frequency cap (`maxDf`), the banded-candidates
+  * discipline — never all pairs.
+  */
+object Winnow {
+
+  /** Selected fingerprints, one row per (doc, window-min occurrence):
+    * `doc, pos (1-based k-gram start), fp (60-bit hash)`. Documents
+    * shorter than w + k − 1 tokens yield no fingerprint (no full
+    * window exists — the guarantee threshold is the contract).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k/w must be >= 1, got $k/$w")
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("doc")).orderBy(col("pos0"))
+      .rowsBetween(Window.currentRow, w - 1)
+    df
+      .select(col(idCol).as("doc"),
+        graft.plans.Md5PrefixLongs(
+          TextFunctions.positionalShingles(col(textCol), k)).as("_hs"))
+      .select(col("doc"), size(col("_hs")).as("nh"),
+        posexplode(col("_hs")).as(Seq("pos0", "hv")))
+      .filter(col("hv").isNotNull)
+      .withColumn("_key",
+        format_string("%016x:%09d", col("hv"), col("pos0") + 1))
+      .withColumn("_sel", min(col("_key")).over(win))
+      // only COMPLETE windows select (start <= nh - w)
+      .filter(col("pos0") <= col("nh") - w)
+      .select(col("doc"), col("_sel")).distinct()
+      .select(col("doc"),
+        conv(substring(col("_sel"), 1, 16), 16, 10).cast("long")
+          .as("fp"),
+        substring(col("_sel"), 18, 9).cast("long").as("pos"))
+      .select(col("doc"), col("pos"), col("fp"))
+  }
+
+  /** Shared-fingerprint counts per document pair (a < b), fingerprints
+    * appearing in more than `maxDf` documents dropped first (stop-gram
+    * cap — boilerplate k-grams would otherwise square the bucket).
+    * Output: `a, b, shared`.
+    */
+  def sharedFingerprints(fps: DataFrame, maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val byFp = fps.select(col("doc"), col("fp")).distinct()
+      .localCheckpoint() // the df cap + both join sides read it
+    val keep = byFp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") <= maxDf && col("_nd") >= 2)
+      .select(col("fp"))
+    val kept = byFp.join(keep, Seq("fp"))
+    kept.select(col("fp"), col("doc").as("a"))
+      .join(kept.select(col("fp"), col("doc").as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+  }
+}

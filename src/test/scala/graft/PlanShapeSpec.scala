@@ -647,6 +647,43 @@ class PlanShapeSpec extends SparkSpec {
         s"single-partition funnel:\n$p")
   }
 
+  test("q264's votes shuffle exactly once — the item repartition " +
+    "serves the count aggregate AND both consensus windows") {
+    val p = plan("q264_majority_vote")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"the (item, cat) count and the item windows must share the " +
+        s"one vote exchange:\n$p")
+    assert(!p.contains("Join"), s"consensus is join-free:\n$p")
+  }
+
+  test("q265's rater unpivot runs the text featurization once — " +
+    "consensus and the agree join both read the checkpointed votes") {
+    val p = plan("q265_rater_reliability")
+    assert(!p.contains("FileScan"),
+      s"a FileScan here means the corpus featurization re-ran for " +
+        s"one of the two consumers:\n$p")
+  }
+
+  test("q266's median/MAD selections never plan a partition-less " +
+    "window — both run PrefixSum's two-phase scan") {
+    val p = plan("q266_robust_outlier_gate")
+    assert(!p.contains("Window"),
+      s"a Window here means a median fell back to the " +
+        s"single-partition funnel:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 3,
+      s"the 1-row median/MAD tables must broadcast into the flag " +
+        s"pass:\n$p")
+  }
+
+  test("q267's drift joins stay vocab-keyed: totals broadcast, " +
+    "nothing nested-loops over rows") {
+    val p = plan("q267_vocab_drift")
+    assert(!p.contains("CartesianProduct"),
+      s"no row-scale cartesian in the drift pass:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2,
+      s"the 1-row totals must broadcast into the TVD pass:\n$p")
+  }
+
   test("q254's per-source AUC has no driver state: windows are " +
     "partitioned and nothing collects") {
     val p = plan("q254_group_auc")
