@@ -134,23 +134,43 @@ object Association {
     val spark = df.sparkSession
     import spark.implicits._
     val nRaters = raterCols.size
+    // NULL ratings violate the documented contract (missing ratings
+    // route to krippendorffAlpha) — fail loudly at execution time,
+    // distributed, instead of silently counting null as a category.
     val longForm = raterCols
       .map(rc => df.select(col(itemCol).as("item"),
-        col(rc).cast("string").as("cat")))
+        when(col(rc).isNull, raise_error(lit(
+          s"fleissKappa: NULL rating in '$rc' — missing ratings " +
+            "need krippendorffAlpha")).cast("string"))
+          .otherwise(col(rc).cast("string")).as("cat")))
       .reduce(_ unionByName _)
     val nij = longForm.groupBy($"item", $"cat")
       .agg(count(lit(1)).as("nij"))
       .localCheckpoint() // S, c_j, and N all read it
-    val s = nij.agg(
-      coalesce(sum(($"nij" * $"nij").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as("s"),
-      count_distinct($"item").as("n_items"))
+    // Two-level agg keeps per-item totals m_u in hand so duplicate
+    // item rows (m_u != n, breaking the N·n invariant) fail loudly
+    // below rather than silently corrupting the counts.
+    val s = nij.groupBy($"item")
+      .agg(sum(($"nij" * $"nij").cast("decimal(38,0)")).as("s_i"),
+        sum($"nij").as("m"))
+      .agg(
+        coalesce(sum($"s_i"), lit(0).cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n_items"),
+        coalesce(sum(when($"m" =!= nRaters, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("bad_items"))
     val t = nij.groupBy($"cat").agg(sum($"nij").as("cj"))
       .agg(coalesce(sum(($"cj" * $"cj").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("t"))
     val nn = s"(CAST(n_items AS DECIMAL(38,0)) * $nRaters)" // Nn
     s.crossJoin(t).selectExpr(
-      "n_items",
+      // bad_items feeds the output column so pruning can't drop the
+      // guard: any item with m_u != n raters raises here.
+      s"""CASE WHEN bad_items > 0 THEN CAST(raise_error(CONCAT(
+         |  'fleissKappa: ', CAST(bad_items AS STRING),
+         |  ' item(s) with rating count != $nRaters raters ',
+         |  '(duplicate item rows break the N*n invariant)'))
+         |  AS BIGINT)
+         |ELSE n_items END AS n_items""".stripMargin,
       s"CAST($nRaters AS BIGINT) AS n_raters",
       s"""CASE WHEN n_items = 0 THEN 0 ELSE
          |  CAST((10000 * (s - $nn))

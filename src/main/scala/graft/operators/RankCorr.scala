@@ -52,12 +52,20 @@ object RankCorr {
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Bounded collect: cap the fetch at MaxAxis²+1 rows so an
+    // unquantized input (millions of distinct scores) fails the grid
+    // guard loudly instead of OOMing the driver before it can fire.
     val cells = df
       .select(col(xCol).cast("long").as("x"),
         col(yCol).cast("long").as("y"))
       .groupBy($"x", $"y")
       .agg(count(lit(1)).as("cnt"))
+      .limit(MaxAxis * MaxAxis + 1)
       .as[(Long, Long, Long)].collect()
+    require(cells.length <= MaxAxis * MaxAxis,
+      s"spearmanKendall: quantize first — more than ${MaxAxis * MaxAxis} " +
+        s"distinct (x, y) cells exceed the $MaxAxis-per-axis grid " +
+        "bound (e.g. map basis points through (s * 64) div 10001)")
     if (cells.isEmpty)
       return Seq.empty[(Long, Long, Long, Long, Long, Long, Long,
           Long, Long, Long)]

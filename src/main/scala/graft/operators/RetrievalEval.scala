@@ -42,7 +42,12 @@ object RetrievalEval {
     * engine AND oracle (embed these values as SQL literals).
     */
   def ndcgWeightsMicro(k: Int): IndexedSeq[Long] =
-    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+    // StrictMath, not math: java.lang.Math.log is allowed a 1-ulp
+    // platform/JIT variance; a round() landing near a .5 boundary
+    // could then differ across JVMs and break the bit-identical
+    // cross-engine weight table. StrictMath is fdlibm-pinned.
+    (1 to k).map(r => math.round(
+      1e6 / (StrictMath.log(r + 1.0) / StrictMath.log(2.0))))
 
   /** Prefix sums of [[ndcgWeightsMicro]]: ideal DCG for n_rel = 1..k
     * relevant items (IDCG(m) = Σ_{r≤min(m,k)} w(r)).

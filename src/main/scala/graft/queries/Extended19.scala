@@ -158,10 +158,11 @@ object Extended19 {
       |      ::BIGINT AS hv FROM g),
       |keyed AS (SELECT doc, nh, i,
       |    printf('%016x:%09d', hv, i) AS key FROM occ),
-      |sel AS (SELECT DISTINCT doc, MIN(key) OVER (PARTITION BY doc
+      |selw AS (SELECT doc, nh, i, MIN(key) OVER (PARTITION BY doc
       |      ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
       |      AS sel
-      |  FROM keyed WHERE i <= nh - 3),
+      |  FROM keyed),
+      |sel AS (SELECT DISTINCT doc, sel FROM selw WHERE i <= nh - 3),
       |fps AS (SELECT DISTINCT doc,
       |    ('0x' || substr(sel, 1, 16))::BIGINT AS fp FROM sel),
       |keep AS (SELECT fp FROM fps GROUP BY fp

@@ -695,4 +695,51 @@ class PlanShapeSpec extends SparkSpec {
       .startsWith("LocalTableScan"),
       "groupAuc must stay distributed (no bounded-collect shortcut)")
   }
+
+  test("q268's BM25 scoring is map-side: query terms, query-df and " +
+    "corpus stats all broadcast into the postings scan; top-k pushes " +
+    "down") {
+    val p = plan("q268_bm25_topk")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"qTerms and dfq must broadcast into the postings scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row corpus stats must broadcast, not cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-qid top-k must plan partial rank pushdown:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no row-scale cartesian in the scoring path:\n$p")
+  }
+
+  test("q269's DSIR contrast scores both models in ONE transition " +
+    "pass — all four pruned LM tables broadcast, the corpus never " +
+    "shuffles into a model join") {
+    val p = plan("q269_dsir_select")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"target/source uni+bi tables must all broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      s"a shuffled join here moves the corpus-sized transition " +
+        s"stream:\n$p")
+  }
+
+  test("q270's winnow window is per-document (never a single " +
+    "partition) and pair counting stays fp-bucketed") {
+    // pair side: the executed plan (post-checkpoint) — keyed joins only
+    val p = plan("q270_winnow_overlap")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing in the pair count may funnel to one partition:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay keyed on fp:\n$p")
+    // selection side: the fingerprint plan BEFORE sharedFingerprints'
+    // checkpoint hides it — the window must be doc-partitioned
+    val fp = graft.operators.Winnow.fingerprints(
+      graft.core.Tables.loadParallel(spark, sfDir, "documents"),
+      "doc_id", "text", k = 5, w = 4)
+      .queryExecution.executedPlan.toString
+    assert(fp.contains("Window"),
+      s"the window-min selection must plan as a Window:\n$fp")
+    assert(!fp.contains("Exchange SinglePartition"),
+      s"the doc window lost its partitioning:\n$fp")
+  }
 }

@@ -81,4 +81,35 @@ object LangModelProps extends Properties("LangModel") {
         .select(LangModel.flog2(col("c"))).as[Long].head()
       got == flog2(x)
     }
+
+  property("contrastBits == refScore(source) - refScore(target)") =
+    forAll(corpusGen) { case (docs, biK, uniK) =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, i % 2 == 0, ws.mkString(" ")) }
+        .toDF("doc_id", "is_train", "text").repartition(4)
+      val targetDocs = docs.zipWithIndex.collect {
+        case (ws, i) if i % 2 == 0 => ws
+      }
+      if (targetDocs.flatten.isEmpty) true
+      else {
+        val target = LangModel.trainBigram(
+          df.filter($"is_train"), $"text", biK = biK, uniK = uniK)
+        val source = LangModel.trainBigram(df, $"text",
+          biK = biK, uniK = uniK)
+        val got = LangModel
+          .contrastBits(df, Seq("doc_id"), $"text", target, source)
+          .select($"doc_id", $"t_bits", $"s_bits", $"w_bits")
+          .as[(Long, Long, Long, Long)].collect()
+          .map { case (id, t, s, w) => id -> ((t, s, w)) }.toMap
+        val (tBi, tUni, tN, tV) = refModel(targetDocs, biK, uniK)
+        val (sBi, sUni, sN, sV) = refModel(docs, biK, uniK)
+        val want = docs.zipWithIndex.collect {
+          case (ws, i) if ws.size >= 2 =>
+            val t = refScore(ws, tBi, tUni, tN, tV)._1
+            val s = refScore(ws, sBi, sUni, sN, sV)._1
+            i.toLong -> ((t, s, s - t))
+        }.toMap
+        got == want
+      }
+    }
 }
