@@ -16,6 +16,9 @@ import graft.operators.Dedup
   *   sorted_shingles(text, n)      — distinct sorted n-token shingle
   *                                   strings (n a literal int)
   *   char_bigrams(s)               — code-point character bigram array
+  *   multi_contains_count(s, arr)  — distinct blocklist patterns
+  *                                   contained (one Aho–Corasick walk;
+  *                                   arr a literal ARRAY<STRING>)
   *
   * plus the t-digest aggregates (`graft.functions.TDigest`, δ=100 and
   * the p50/p95 probes fixed at registration — `spark.udf.register`
@@ -72,5 +75,27 @@ object GraftFunctions {
       }))
     Bridge.registerFunction(spark, "char_bigrams",
       exprs => CharBigrams(exprs.head))
+    Bridge.registerFunction(spark, "multi_contains_count", exprs => {
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      val pats = exprs(1) match {
+        case e if e.foldable && (e.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }) =>
+          val ad = e.eval().asInstanceOf[ArrayData]
+          require(ad != null, "multi_contains_count: NULL pattern array")
+          (0 until ad.numElements()).map { i =>
+            require(!ad.isNullAt(i),
+              "multi_contains_count: NULL pattern element")
+            ad.getUTF8String(i).toString
+          }
+        case other => throw new IllegalArgumentException(
+          "multi_contains_count patterns must be a foldable " +
+            s"ARRAY<STRING> literal (the automaton builds once per " +
+            s"plan), got $other")
+      }
+      MultiContainsCount(exprs(0), pats)
+    })
   }
 }

@@ -742,4 +742,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!fp.contains("Exchange SinglePartition"),
       s"the doc window lost its partitioning:\n$fp")
   }
+
+  test("q271's blocklist scan is ONE automaton pass in the corpus " +
+    "projection — no join against the pattern list") {
+    val p = plan("q271_blocklist_scan")
+    assert(p.contains("multi_contains_count"),
+      s"the Aho-Corasick expression must ride the projection:\n$p")
+    assert(!p.contains("Join"),
+      s"a join here means patterns degraded to a cross join:\n$p")
+  }
+
+  test("q272's group membership and sizes broadcast back over the " +
+    "corpus — the doc spine never shuffles for the weights") {
+    val p = plan("q272_soft_dedup_weights")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"cc membership and group sizes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      s"the doc spine must not shuffle into the weight joins:\n$p")
+  }
+
+  test("q273's waterfill never plans a partition-less window — rank " +
+    "and prefix sum run PrefixSum's two-phase scan") {
+    val p = plan("q273_waterfill_budget")
+    assert(!p.contains("Window"),
+      s"a Window here means the scan fell back to the " +
+        s"single-partition funnel:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2,
+      s"the 1-row n and cap tables must broadcast:\n$p")
+  }
 }

@@ -54,6 +54,31 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getSeq[String](3) == Seq("ab", "bc", "ca"))
   }
 
+  test("multi_contains_count is callable from SQL with a literal " +
+    "pattern array and agrees with the Column-side automaton") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT multi_contains_count('the big bad batch',
+        |         array('big', 'bad b', 'nope', 'batch')) AS n
+        |""".stripMargin).head().getLong(0)
+    assert(got == 3L)
+    val colSide = Seq("the big bad batch").toDF("s")
+      .select(MultiContainsCount($"s",
+        Seq("big", "bad b", "nope", "batch")).as("n"))
+      .head().getLong(0)
+    assert(colSide == 3L)
+    // a non-literal pattern array is rejected loudly at plan time
+    val e = intercept[Exception] {
+      spark.sql("SELECT multi_contains_count('x', array(s)) " +
+        "FROM (SELECT 'a' AS s)").collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("foldable"), s"wanted the literal-array " +
+      s"contract error, got: $chain")
+  }
+
   test("t-digest aggregates are callable from SQL: direct and " +
     "sketch->merge routes agree with the Column-side kernels") {
     GraftFunctions.register(spark)
