@@ -75,6 +75,60 @@ object MultiContainsCount {
     Bridge.column(MultiContainsCount(Bridge.expression(text), patterns))
 }
 
+/** Per-pattern OCCURRENCE counts in one automaton walk:
+  * `array<bigint>` aligned with the pattern list — element i = the
+  * number of positions where pattern i matches (OVERLAPPING
+  * occurrences: every match end counts, so "aa" occurs twice in
+  * "aaa" — exactly `count of j with substr(text, j, len(p)) = p`,
+  * the position-scan definition a SQL oracle can replay). The
+  * blocklist-attribution form of [[MultiContainsCount]]: which terms
+  * fire, and how often, without N passes.
+  */
+case class MultiContainsCounts(child: Expression,
+    patterns: Seq[String]) extends UnaryExpression {
+  require(patterns.nonEmpty, "multi_contains_counts needs >= 1 pattern")
+  require(patterns.forall(_.nonEmpty),
+    "multi_contains_counts: empty pattern matches everywhere — reject")
+  require(patterns.distinct == patterns,
+    "multi_contains_counts: duplicate patterns (dedup at the caller)")
+
+  @transient private lazy val ac =
+    new AhoCorasick(patterns.map(_.getBytes("UTF-8")).toArray)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"multi_contains_counts expects STRING, got " +
+        s"${child.dataType.simpleString}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "multi_contains_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ac.countsPerPattern(input.asInstanceOf[UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val acRef =
+      ctx.addReferenceObj("ahoCorasick", ac, classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    $acRef.countsPerPattern($c.getBytes()));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MultiContainsCounts = copy(child = newChild)
+}
+
+object MultiContainsCounts {
+  def apply(text: Column, patterns: Seq[String]): Column =
+    Bridge.column(MultiContainsCounts(Bridge.expression(text), patterns))
+}
+
 /** Byte-level Aho–Corasick automaton with fail links and
   * output-closure. Transitions in one open-addressed long→int table
   * (key = state·256 + byte, power-of-2 capacity, linear probing) —
@@ -163,6 +217,27 @@ final class AhoCorasick(patterns: Array[Array[Byte]])
       }
     }
     o.map(_.distinct.toArray)
+  }
+
+  /** Per-pattern overlapping occurrence counts (every match end
+    * position counts once per pattern) — aligned with the constructor
+    * pattern order. No early exit: the full text is walked.
+    */
+  def countsPerPattern(bytes: Array[Byte]): Array[Long] = {
+    val counts = new Array[Long](nPatterns)
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      var nxt = get(s.toLong * 256 + b)
+      while (nxt == -1 && s != 0) { s = fail(s); nxt = get(s.toLong * 256 + b) }
+      s = if (nxt == -1) 0 else nxt
+      val hits = out(s)
+      var j = 0
+      while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+      i += 1
+    }
+    counts
   }
 
   /** Distinct patterns contained in `bytes`; early exit when all

@@ -67,7 +67,7 @@ object Extended19 {
       .orderBy($"qid", $"rnk")
   }
 
-  private def lmCtes(p: String, where: String): String =
+  private[queries] def lmCtes(p: String, where: String): String =
     s"""${p}tok AS (SELECT unnest(string_split_regex(lower(text),
       |    '\\s+')) AS w FROM documents $where),
       |${p}tr AS (SELECT unnest(t[:-2]) AS w1, unnest(t[2:]) AS w2
@@ -84,7 +84,7 @@ object Extended19 {
       |${p}k AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
       |  FROM ${p}uni)""".stripMargin
 
-  private def bitsSql(p: String, alias: String): String =
+  private[queries] def bitsSql(p: String, alias: String): String =
     s"""CASE WHEN ${alias}b.c12 IS NOT NULL
       |  THEN (length(bin(${alias}b.c1)) - 1)
       |    - (length(bin(${alias}b.c12)) - 1)

@@ -13,7 +13,7 @@ import graft.operators.{Dedup, Graph, Multimodal, Similarity}
   */
 object TrainingData {
 
-  private val JacShingleSql =
+  private[queries] val JacShingleSql =
     """list_distinct(list_transform(
       |  range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1) + 1),
       |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))""".stripMargin

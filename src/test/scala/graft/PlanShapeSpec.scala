@@ -771,4 +771,33 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2,
       s"the 1-row n and cap tables must broadcast:\n$p")
   }
+
+  test("q274's attribution is completely join-free: counts ride the " +
+    "projection, labels ride a literal array") {
+    val p = plan("q274_blocklist_attribution")
+    assert(p.contains("multi_contains_counts"),
+      s"the per-pattern automaton must ride the projection:\n$p")
+    assert(!p.contains("Join"),
+      s"a join here means labels degraded to a pattern-table join:\n$p")
+  }
+
+  test("q275's mixture weights never shuffle the corpus into a model " +
+    "join — all four LM tables broadcast; the apportionment windows " +
+    "run on the 20-row strata table only") {
+    val p = plan("q275_doremi_mix")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      s"a shuffled join here moves the corpus transition stream:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"target/source uni+bi tables must all broadcast:\n$p")
+  }
+
+  test("q276's sweep verifies candidates only (no all-pairs) and the " +
+    "5-row tau table broadcast-joins them") {
+    val p = plan("q276_dedup_threshold_sweep")
+    assert(!p.contains("CartesianProduct"),
+      s"no row-scale cartesian in the sweep:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"exactly the tau range-join may nested-loop (broadcast):\n$p")
+  }
 }

@@ -53,4 +53,36 @@ object MultiContainsSpec extends Properties("MultiContains") {
         org.apache.spark.sql.catalyst.expressions.Literal(text), pats)
       expr.eval(null).asInstanceOf[Long] == pats.size.toLong
     }
+
+  /** OVERLAPPING occurrences: count of start positions j with
+    * text.startsWith(p, j) — the position-scan definition the q274
+    * oracle replays in SQL.
+    */
+  private def refOcc(text: String, p: String): Long =
+    (0 to text.length - p.length).count(text.startsWith(p, _)).toLong
+
+  property("countsPerPattern == position-scan occurrence counts") =
+    forAll(patGen, Gen.listOfN(6, textGen)) { (pats, texts) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text").repartition(3)
+      val got = df
+        .select($"id", MultiContainsCounts($"text", pats).as("ns"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> pats.map(refOcc(t, _))
+      }.toMap
+      got.view.mapValues(_.toList).toMap ==
+        want.view.mapValues(_.toList).toMap
+    }
+
+  property("counts > 0 exactly where countDistinct counts") =
+    forAll(patGen, textGen) { (pats, text) =>
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal(text)
+      val n = MultiContainsCount(lit, pats).eval(null)
+        .asInstanceOf[Long]
+      val ns = MultiContainsCounts(lit, pats).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      ns.count(_ > 0).toLong == n
+    }
 }
