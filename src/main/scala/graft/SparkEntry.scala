@@ -15,7 +15,8 @@ object SparkEntry {
       Extended10.all ++ Extended11.all ++ Extended12.all ++
       Extended13.all ++ Extended14.all ++ Extended15.all ++
       Extended16.all ++ Extended17.all ++ Extended18.all ++
-      Extended19.all ++ Extended20.all ++ Extended21.all
+      Extended19.all ++ Extended20.all ++ Extended21.all ++
+      Extended22.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -610,6 +610,65 @@ object Graph {
     labels
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over a similarity graph. Where [[connectedComponents]]
+    * answers "what is transitively connected" (the dedup-GROUP
+    * question), LPA answers "which densely-linked cluster does each
+    * node sit in": every node adopts the most frequent label among
+    * its neighbors each round, so two components joined by a single
+    * bridge edge stay separate communities while a clique collapses
+    * to one label in one round.
+    *
+    * Determinism (plain LPA is notoriously order-dependent — useless
+    * for a cross-engine oracle): updates are SYNCHRONOUS (round r
+    * reads only round r−1 labels), every node's own label counts once
+    * (a self-loop, which also keeps isolated-in-round nodes stable),
+    * and frequency ties break on the SMALLEST label. A fixed round
+    * count rather than convergence detection: synchronous LPA can
+    * 2-cycle on bipartite-ish structures, so "run until stable" need
+    * not terminate — callers pick the horizon.
+    *
+    * Scale shape: the symmetrized+self-looped adjacency is the loop
+    * invariant — checkpointed once, every round joins against it.
+    * Each round is one hash join (labels keyed by node) + one
+    * (node, label) count + a node-partitioned rank window; labels are
+    * checkpointed per round so the plan stays O(1) deep. Hub-node
+    * skew lands on the (v, lab) aggregate, which partial-aggregates
+    * map-side before the shuffle.
+    *
+    * @param edges undirected edge list with columns `u`, `v`
+    * @param iters number of synchronous rounds (≥ 1)
+    * @return (id, comm) for every vertex incident to an edge
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("u").as("v"), col("v").as("u"))
+    val nodes = edges.select(col("u").as("v"))
+      .unionByName(edges.select(col("v")))
+      .distinct()
+    val adj = edges.select(col("v"), col("u"))
+      .unionByName(e)
+      .unionByName(nodes.select(col("v"), col("v").as("u")))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("_c").desc, col("lab"))
+    var labels = nodes.select(col("v"), col("v").as("lab"))
+      .localCheckpoint()
+    var r = 0
+    while (r < iters) {
+      labels = adj
+        .join(labels.select(col("v").as("u"), col("lab")), Seq("u"))
+        .groupBy(col("v"), col("lab"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("v"), col("lab"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels.select(col("v").as("id"), col("lab").as("comm"))
+  }
+
   /** Build an edge table between two identified endpoints. */
   def edges(df: DataFrame, subjectId: Column, subjectType: String,
       objectId: Column, objectType: String, edgeType: String,

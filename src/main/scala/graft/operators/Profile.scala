@@ -218,4 +218,64 @@ object Profile {
         """CASE WHEN _n = 0 THEN 0 ELSE
           |  (10000 * _topc) DIV _n END AS topk_mass_bp""".stripMargin)
   }
+
+  /** Vocabulary growth curve (the Heaps'-law measurement): cumulative
+    * distinct types vs cumulative tokens at `buckets` equal-rank
+    * document cutpoints, documents ordered by id. Sub-linear growth
+    * is the healthy shape; a curve that keeps climbing linearly says
+    * the corpus keeps injecting novel junk (OCR noise, random ids),
+    * one that flatlines early says template spam.
+    *
+    * Scale shape — the reason this is an operator and not ten
+    * filtered rescans: "types seen by prefix p" needs no per-prefix
+    * pass, because a type is counted at its FIRST OCCURRENCE document
+    * (`min(doc)` per token — one keyed aggregate over the token
+    * stream); each first occurrence then maps to its document's
+    * bucket with one hash join. Document ranks come from
+    * [[PrefixSum]]'s two-phase scan (never a partition-less window
+    * over the corpus), and the final cumulations run over exactly
+    * `buckets` rows — bounded by construction.
+    *
+    * Bucket of rank r (1-based) in n docs = `(r−1)·buckets DIV n + 1`
+    * — the exact integer formula, NOT NTILE (engines disagree on
+    * where NTILE parks the remainder).
+    *
+    * @return one row per non-empty bucket: `bucket, cut_doc, n_docs,
+    *         cum_tokens, cum_types`, ordered by bucket
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val docs = df
+      .select(col(idCol).cast("long").as("doc"),
+        TextFunctions.lowerTokens(textCol).as("t"))
+    val perDoc = docs
+      .select(col("doc"), size(col("t")).cast("long").as("nt"))
+    val n = perDoc.count()
+    require(n > 0, "vocabGrowth needs a non-empty corpus")
+    val ranked = PrefixSum.exclusive(
+        perDoc.withColumn("_one", lit(1L)), Seq("doc"), "_one", "_rk0")
+      .withColumn("bucket",
+        expr(s"CAST(_rk0 * $buckets DIV ${n}L AS BIGINT) + 1"))
+      .localCheckpoint() // per-bucket rollup + first-occurrence join
+    val firstOcc = docs
+      .select(col("doc"), explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc")).as("doc"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("_newt"))
+    val perBucket = ranked
+      .join(firstOcc, Seq("doc"), "left_outer")
+      .groupBy(col("bucket"))
+      .agg(max(col("doc")).as("cut_doc"),
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("_toks"),
+        sum(coalesce(col("_newt"), lit(0L))).as("_types"))
+    // cumulate over <= `buckets` rows — two-phase scan again, so no
+    // partition-less window appears anywhere in the operator
+    val cumT = PrefixSum.exclusive(perBucket, Seq("bucket"), "_toks",
+      "_cumt0")
+    PrefixSum.exclusive(cumT, Seq("bucket"), "_types", "_cumy0")
+      .select(col("bucket"), col("cut_doc"), col("n_docs"),
+        (col("_cumt0") + col("_toks")).as("cum_tokens"),
+        (col("_cumy0") + col("_types")).as("cum_types"))
+  }
 }

@@ -84,6 +84,40 @@ object Extended19 {
       |${p}k AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
       |  FROM ${p}uni)""".stripMargin
 
+  /** The q270 winnowing pair chain (tokens → k-gram hashes →
+    * window-then-filter argmin → df-capped fingerprint index →
+    * shared-count pairs), shared with the q279 community query: the
+    * window min is computed over ALL keyed rows in `selw` and the
+    * complete-window filter `i <= nh - 3` applies OUTSIDE it (SQL
+    * evaluates WHERE before window functions — filtering inside the
+    * window block truncated the tail frames, the round-7 red row).
+    * Ends with CTE `pairs(a, b, shared)`.
+    */
+  private[queries] val winnowPairCtes: String =
+    """tok AS (SELECT doc_id AS doc,
+      |    string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |g AS (SELECT doc, len(t) - 4 AS nh, t,
+      |    unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i FROM tok),
+      |occ AS (SELECT doc, nh, i,
+      |    ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))
+      |      ::BIGINT AS hv FROM g),
+      |keyed AS (SELECT doc, nh, i,
+      |    printf('%016x:%09d', hv, i) AS key FROM occ),
+      |selw AS (SELECT doc, nh, i, MIN(key) OVER (PARTITION BY doc
+      |      ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+      |      AS sel
+      |  FROM keyed),
+      |sel AS (SELECT DISTINCT doc, sel FROM selw WHERE i <= nh - 3),
+      |fps AS (SELECT DISTINCT doc,
+      |    ('0x' || substr(sel, 1, 16))::BIGINT AS fp FROM sel),
+      |keep AS (SELECT fp FROM fps GROUP BY fp
+      |  HAVING COUNT(*) BETWEEN 2 AND 20),
+      |kept AS (SELECT f.doc, f.fp FROM fps f JOIN keep USING (fp)),
+      |pairs AS (SELECT x.doc AS a, y.doc AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc < y.doc
+      |  GROUP BY 1, 2)""".stripMargin
+
   private[queries] def bitsSql(p: String, alias: String): String =
     s"""CASE WHEN ${alias}b.c12 IS NOT NULL
       |  THEN (length(bin(${alias}b.c1)) - 1)
@@ -149,29 +183,7 @@ object Extended19 {
     */
   val q270_winnow_overlap: Q = Q(
     "q270_winnow_overlap",
-    """WITH tok AS (SELECT doc_id AS doc,
-      |    string_split_regex(lower(text), '\s+') AS t FROM documents),
-      |g AS (SELECT doc, len(t) - 4 AS nh, t,
-      |    unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i FROM tok),
-      |occ AS (SELECT doc, nh, i,
-      |    ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))
-      |      ::BIGINT AS hv FROM g),
-      |keyed AS (SELECT doc, nh, i,
-      |    printf('%016x:%09d', hv, i) AS key FROM occ),
-      |selw AS (SELECT doc, nh, i, MIN(key) OVER (PARTITION BY doc
-      |      ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
-      |      AS sel
-      |  FROM keyed),
-      |sel AS (SELECT DISTINCT doc, sel FROM selw WHERE i <= nh - 3),
-      |fps AS (SELECT DISTINCT doc,
-      |    ('0x' || substr(sel, 1, 16))::BIGINT AS fp FROM sel),
-      |keep AS (SELECT fp FROM fps GROUP BY fp
-      |  HAVING COUNT(*) BETWEEN 2 AND 20),
-      |kept AS (SELECT f.doc, f.fp FROM fps f JOIN keep USING (fp)),
-      |pairs AS (SELECT x.doc AS a, y.doc AS b,
-      |    CAST(COUNT(*) AS BIGINT) AS shared
-      |  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc < y.doc
-      |  GROUP BY 1, 2)
+    s"""WITH $winnowPairCtes
       |SELECT a, b, shared FROM pairs
       |ORDER BY shared DESC, a, b LIMIT 30""".stripMargin) {
     (spark, dir) =>

@@ -800,4 +800,63 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
       s"exactly the tau range-join may nested-loop (broadcast):\n$p")
   }
+
+  test("q277's chunking is in-row: no token explode, no window, " +
+    "text dropped before the occurrence shuffle") {
+    val p = plan("q277_cdc_chunks")
+    assert(!p.contains("Window"),
+      s"chunk construction must be array expressions, not windows:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no all-pairs here:\n$p")
+    // the checkpointed (doc, n_tok, hash) rows are the ONLY thing the
+    // occurrence count and rollup read — chunk text never shuffles
+    assert(p.contains("ExistingRDD"),
+      s"the hashed chunk rows must be checkpointed once:\n$p")
+    // the construction itself (upstream of the checkpoint): one
+    // projection carrying the hash kernel — no Generate of token
+    // rows, no Exchange before the chunk list exists
+    import org.apache.spark.sql.functions.col
+    val cp = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(graft.operators.CdcChunk.chunksOfTokens(
+        graft.functions.TextFunctions.lowerTokens(col("text")), 3, 8)
+        .as("chunks"))
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("md5_prefix_long"),
+      s"chunk identity must be the 60-bit hash kernel:\n$cp")
+    assert(!cp.contains("Generate") && !cp.contains("Exchange"),
+      s"chunking must not explode or shuffle token rows:\n$cp")
+  }
+
+  test("q278's normalization is a native codegen expression in the " +
+    "scan projection — no UDF, no join, one scan") {
+    val p = plan("q278_nfc_normalize")
+    assert(p.contains("unicode_normalize"),
+      s"normalization must be the native expression:\n$p")
+    assert(!p.contains("Join"), s"this is a pure projection query:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"exactly one scan of documents:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("n_chars"),
+      s"unused columns must be pruned from the scan:\n$p")
+  }
+
+  test("q279's LPA reads a checkpointed adjacency (lineage does not " +
+    "grow with rounds) and every rank window is node-partitioned") {
+    val p = plan("q279_lpa_communities")
+    assert(p.contains("ExistingRDD"),
+      s"per-round labels must be checkpointed:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"LPA is hash-join + aggregate only:\n$p")
+  }
+
+  test("q280's growth curve has no partition-less window and no " +
+    "per-prefix rescans — one scan feeds ranks, one the token stream") {
+    val p = plan("q280_vocab_growth")
+    assert(!p.contains("Window"),
+      s"ranks and cumulations must run through PrefixSum's scan:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"first-occurrence reduction means no per-bucket rescans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no all-pairs:\n$p")
+  }
 }
