@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.plans.Md5PrefixLong
+
+/** Deterministic pseudo-random permutation via a balanced Feistel
+  * network (Luby–Rackoff; the cycle-free way to "shuffle" a dataset):
+  * a Feistel network over 2·`halfBits`-bit values is a BIJECTION of
+  * [0, 2^(2·halfBits)) whatever the round function is, so mapping
+  * every row id through it yields a collision-free pseudo-random key
+  * — a reproducible global training-data shuffle computed PER ROW
+  * with no state, no sort-by-rand() nondeterminism, and no Spark
+  * shuffle for the permutation itself (ordering/bucketing by the key
+  * is the consumer's choice). The round function is the repo-standard
+  * 60-bit md5 prefix ([[graft.plans.Md5PrefixLong]]) reduced mod
+  * 2^halfBits, so any engine replays the exact permutation.
+  *
+  * Why not ORDER BY rand(seed): per-partition rand is
+  * partitioning-dependent in Spark (task retries and splits move
+  * values), ties are possible, and no other engine reproduces the
+  * sequence. The Feistel key is a pure column expression — stable
+  * under repartitioning, retries, and engines.
+  */
+object Feistel {
+
+  /** The permuted key for `id` ∈ [0, 2^(2·halfBits)). 4 rounds (the
+    * Luby–Rackoff strong-PRP count); `salt` picks the permutation.
+    * Inputs outside the domain are rejected by the caller's contract
+    * (the expression masks, so feeding a larger id silently collides
+    * — callers with wider ids should raise halfBits).
+    */
+  def key(id: Column, halfBits: Int = 16, rounds: Int = 4,
+      salt: String = "graft"): Column = {
+    require(halfBits >= 1 && halfBits <= 30,
+      s"halfBits must be 1..30, got $halfBits")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val mask = (1L << halfBits) - 1L
+    var l = shiftright(id.cast("long"), halfBits).bitwiseAND(lit(mask))
+    var r = id.cast("long").bitwiseAND(lit(mask))
+    (1 to rounds).foreach { rd =>
+      val f = pmod(
+        Md5PrefixLong(concat(lit(s"$salt:$rd:"), r.cast("string"))),
+        lit(mask + 1L))
+      val nl = r
+      val nr = l.bitwiseXOR(f)
+      l = nl
+      r = nr
+    }
+    shiftleft(l, halfBits) + r
+  }
+}

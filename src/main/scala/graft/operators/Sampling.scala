@@ -162,4 +162,37 @@ object Sampling {
       .filter(col("_rn") <= col("n_alloc"))
       .drop("_rn", "n_alloc")
   }
+
+  /** Deterministic mixture-schedule interleave (the Bresenham /
+    * midpoint rule): given exact per-source ppm weights (e.g. the
+    * DoReMi output of [[allocateLargestRemainder]]), the k-th item of
+    * source s is emitted at global position
+    * `pos = (2k−1)·10⁶ div (2·w_ppm)` — the midpoint of the k-th
+    * weight-interval — so sorting by (pos, source, k) yields a
+    * training order where every prefix of length T contains
+    * T·w_s/10⁶ ± 1 items of each source (the schedule never drifts,
+    * unlike block-concatenation or epoch-boundary reshuffles).
+    * Items within a source are ordered by `idCol` (k = the
+    * source-partitioned rank — never a partition-less window).
+    * Zero-weight sources emit nothing and are dropped.
+    *
+    * Scale shape: one broadcast of the source-bounded weight table,
+    * one per-source rank window, and a pure-arithmetic position — the
+    * "global shuffle-merge" costs exactly the final sort the consumer
+    * was going to pay anyway.
+    *
+    * @param weights (srcCol, `w_ppm`) with non-negative integer
+    *                weights — exact ppm shares
+    * @return df columns + `k` (1-based within-source rank) + `pos`
+    */
+  def interleaveSchedule(df: DataFrame, srcCol: String, idCol: String,
+      weights: DataFrame): DataFrame = {
+    val bySrc = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+    df.join(broadcast(weights.select(col(srcCol), col("w_ppm"))),
+        Seq(srcCol))
+      .filter(col("w_ppm") > 0)
+      .withColumn("k", row_number().over(bySrc).cast("long"))
+      .withColumn("pos",
+        expr("((2 * k - 1) * 1000000) div (2 * w_ppm)"))
+  }
 }

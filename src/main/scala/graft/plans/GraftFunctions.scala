@@ -19,6 +19,8 @@ import graft.operators.Dedup
   *   multi_contains_count(s, arr)  — distinct blocklist patterns
   *                                   contained (one Aho–Corasick walk;
   *                                   arr a literal ARRAY<STRING>)
+  *   unicode_normalize(s, form)    — UAX #15 normalization (form a
+  *                                   literal 'NFC'/'NFD'/'NFKC'/'NFKD')
   *
   * plus the t-digest aggregates (`graft.functions.TDigest`, δ=100 and
   * the p50/p95 probes fixed at registration — `spark.udf.register`
@@ -97,5 +99,13 @@ object GraftFunctions {
       }
       MultiContainsCount(exprs(0), pats)
     })
+    Bridge.registerFunction(spark, "unicode_normalize", exprs =>
+      UnicodeNormalize(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions
+          .Literal(f, org.apache.spark.sql.types.StringType) if f != null =>
+          f.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize form must be a literal string, got $other")
+      }))
   }
 }

@@ -849,6 +849,39 @@ class PlanShapeSpec extends SparkSpec {
       s"LPA is hash-join + aggregate only:\n$p")
   }
 
+  test("q281's permutation rides the scan projection: no join, no " +
+    "shuffle except the output sort, one scan") {
+    val p = plan("q281_feistel_shuffle")
+    assert(!p.contains("Join"), s"the shuffle key is per-row math:\n$p")
+    assert(p.contains("md5_prefix_long"),
+      s"the round function must be the native hash kernel:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"one documents scan:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"only the ORDER BY may exchange — the permutation itself is " +
+        s"shuffle-free:\n$p")
+  }
+
+  test("q282's schedule broadcasts the weight table and top-200s " +
+    "via TakeOrdered, never a global sort materialization") {
+    val p = plan("q282_interleave_schedule")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT after ORDER BY must plan as top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the source-bounded weight table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+  }
+
+  test("q283's manifest is one scan + one keyed aggregate — no join, " +
+    "the checksum folds via bit_xor") {
+    val p = plan("q283_shard_manifest")
+    assert(!p.contains("Join"), s"key and tokens ride one scan:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"one documents scan:\n$p")
+    assert(p.contains("bit_xor"),
+      s"the manifest checksum must fold order-free:\n$p")
+  }
+
   test("q280's growth curve has no partition-less window and no " +
     "per-prefix rescans — one scan feeds ranks, one the token stream") {
     val p = plan("q280_vocab_growth")

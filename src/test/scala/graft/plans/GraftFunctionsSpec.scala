@@ -133,4 +133,18 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(CountMin.estimate(ref, "tok0", CountMin.DefaultWidth) >=
       items.count(_._2 == "tok0"))
   }
+
+  test("unicode_normalize is callable from SQL with a literal form " +
+    "and rejects a non-literal one") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT unicode_normalize('a\u0301', 'NFC') AS c, " +
+        "unicode_normalize('\u00e1', 'NFD') AS d").head()
+    assert(row.getString(0) == "\u00e1")
+    assert(row.getString(1) == "a\u0301")
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', concat('NF', 'C'))")
+        .head()
+    }
+  }
 }
