@@ -610,6 +610,66 @@ object Graph {
     labels
   }
 
+  /** Connected components over a BIPARTITE membership table (doc ∈
+    * bucket / doc ∋ fingerprint) without ever materializing doc–doc
+    * pairs — the 100 TB fix for pair-based dedup grouping: a bucket
+    * holding B documents explodes into B² pair rows in
+    * [[connectedComponents]]'s input (the reason every pair pipeline
+    * here carries a maxDf stop-gram cap), while the bipartite
+    * formulation moves exactly the B membership rows per round.
+    * Components are identical to CC over "docs sharing ≥1 key": a
+    * label hops doc → key → doc each round (= one pair edge), plus a
+    * pointer jump (comp ← comp[comp], labels are doc ids) to collapse
+    * chains logarithmically.
+    *
+    * Per round: two keyed min-aggregates + one self-join, all
+    * hash-partitioned; membership checkpointed once (the loop
+    * invariant), labels checkpointed per round (O(1) plan depth);
+    * loud non-convergence like [[boundedCost]].
+    *
+    * @param membership rows (id, key): document `id` contains /
+    *                   belongs to `key` (fingerprint, LSH bucket,
+    *                   shingle, cluster)
+    * @return (id, comp) for every distinct id — comp = the
+    *         component's minimum id, singletons included
+    */
+  def bipartiteComponents(membership: DataFrame, maxIter: Int = 20)
+      : DataFrame = {
+    val mem = membership.select(col("id"), col("key"))
+      .localCheckpoint() // every round joins against it
+    var labels = mem.select(col("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val keyMin = mem.join(labels, Seq("id"))
+        .groupBy(col("key")).agg(min(col("comp")).as("_kc"))
+      val viaKey = mem.join(keyMin, Seq("key"))
+        .groupBy(col("id")).agg(min(col("_kc")).as("_nc"))
+      val hopped = labels.join(viaKey, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_nc"), col("comp")))
+            .as("comp"))
+      // pointer jump: labels ARE doc ids, so comp[comp] is a join
+      val jumped = hopped.join(
+          hopped.select(col("id").as("comp"), col("comp").as("_cc")),
+          Seq("comp"), "left_outer")
+        .select(col("id"), coalesce(col("_cc"), col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = jumped
+        .join(labels.withColumnRenamed("comp", "_old"), Seq("id"))
+        .filter(col("comp") =!= col("_old")).count()
+      labels = jumped
+      iter += 1
+    }
+    require(changed == 0,
+      s"bipartiteComponents did not converge in $maxIter rounds " +
+        "(labels still moving); raise maxIter — component diameter " +
+        "exceeds the round budget")
+    labels
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection over a similarity graph. Where [[connectedComponents]]
     * answers "what is transitively connected" (the dedup-GROUP

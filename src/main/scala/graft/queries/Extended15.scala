@@ -726,7 +726,7 @@ object Extended15 {
       .select($"doc_id", $"n_chars",
         coalesce($"comp", $"doc_id").as("grp"))
       .localCheckpoint()
-    val nGroups = grouped.select($"grp").distinct.count()
+    val nGroups = grouped.select($"grp").distinct().count()
     Bootstrap.meanCi(grouped, "grp", "n_chars",
         reps = 40, loRank = 2, hiRank = 39)
       .withColumn("n_groups", lit(nGroups))

@@ -882,6 +882,19 @@ class PlanShapeSpec extends SparkSpec {
       s"the manifest checksum must fold order-free:\n$p")
   }
 
+  test("q284's grouping is pair-free: no cartesian, no doc-doc pair " +
+    "join — components come off the checkpointed membership") {
+    val p = plan("q284_bipartite_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no pair-space materialization anywhere:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the converged labels must be checkpointed:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"membership/size tables must broadcast back over the doc " +
+        s"spine:\n$p")
+  }
+
   test("q280's growth curve has no partition-less window and no " +
     "per-prefix rescans — one scan feeds ranks, one the token stream") {
     val p = plan("q280_vocab_growth")

@@ -195,7 +195,7 @@ object VocabDriftProps extends Properties("VocabDrift") {
     val (c1, c2) = (counts(oldDocs), counts(newDocs))
     val n1 = BigInt(c1.values.sum)
     val n2 = BigInt(c2.values.sum)
-    val oov = BigInt(c2.filterKeys(w => !c1.contains(w)).values.sum)
+    val oov = BigInt(c2.view.filterKeys(w => !c1.contains(w)).values.sum)
     val sd = (c1.keySet ++ c2.keySet).toSeq.map { w =>
       (BigInt(c1.getOrElse(w, 0L)) * n2
         - BigInt(c2.getOrElse(w, 0L)) * n1).abs

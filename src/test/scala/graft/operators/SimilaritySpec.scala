@@ -117,7 +117,7 @@ class SimilaritySpec extends SparkSpec {
     val qBucket = corpus.filter($"vec_id" === 0L)
       .select(bucketOf).as[Long].head()
     val candBuckets = corpus
-      .filter($"vec_id".isin(got.map(_._3): _*))
+      .filter($"vec_id".isin(got.map(_._3).toIndexedSeq: _*))
       .select(bucketOf).as[Long].collect()
     assert(candBuckets.forall(_ == qBucket))
   }
