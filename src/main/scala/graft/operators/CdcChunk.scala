@@ -67,6 +67,36 @@ object CdcChunk {
     }
   }
 
+  /** Incremental arrival pattern: how much of each DELTA document
+    * (`idCol > cut`) already exists in the HISTORY corpus
+    * (`idCol <= cut`) at chunk granularity — `doc_id, n_chunks,
+    * n_hist_dup, dup_bp = 10⁴·n_hist_dup div n_chunks`. The history
+    * index is DISTINCT 60-bit chunk hashes (longs only, built once);
+    * the delta probes it hash-keyed; chunk construction stays in-row
+    * on both sides. CDC (not fixed-size) chunks mean a re-crawled
+    * page with an inserted sentence still dedups everything after
+    * the resync point.
+    */
+  def incrementalDupStats(docs: DataFrame, idCol: String,
+      textCol: String, cut: Long, k: Int = 3, m: Int = 8): DataFrame = {
+    val chunks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(chunksOfTokens(
+          TextFunctions.lowerTokens(col(textCol)), k, m)).as("chunk"))
+      .select(col("doc_id"), Md5PrefixLong(col("chunk")).as("ch"))
+      .localCheckpoint() // history index + delta probe both read it
+    val hist = chunks.filter(col("doc_id") <= cut)
+      .select(col("ch")).distinct()
+      .withColumn("_hit", lit(1L))
+    chunks.filter(col("doc_id") > cut)
+      .join(hist, Seq("ch"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hist_dup"))
+      .withColumn("dup_bp",
+        expr("CAST((10000 * n_hist_dup) DIV n_chunks AS BIGINT)"))
+  }
+
   /** Per-document chunk dedup stats over a text corpus: `doc_id,
     * n_tok, n_chunks, n_dup` where n_dup counts this document's
     * chunks whose content occurs ≥ 2 times corpus-wide (including

@@ -62,6 +62,44 @@ object Winnow {
       .select(col("doc"), col("pos"), col("fp"))
   }
 
+  /** Best-contained score per document: `cont_bp = 10⁴·shared div
+    * nfp(doc)` maximized over partners, where both `shared` (via
+    * [[sharedFingerprints]]) and `nfp` (per-doc fingerprint count)
+    * live on the SAME df-capped (2..`maxDf`) index, so the rational
+    * is self-consistent. Resemblance treats a doc quoted inside a
+    * 10× larger one as dissimilar; containment scores it 10⁴ — the
+    * asymmetric-dup case. Partner ties break (cont_bp desc, partner
+    * asc). Output: `doc_id, nfp, partner, cont_bp`, one row per doc
+    * holding ≥ 1 kept fingerprint.
+    */
+  def containment(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxDf: Int = 20): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w)
+    val pairs = sharedFingerprints(fps, maxDf)
+      .localCheckpoint() // both directions read it
+    // the same df cap sharedFingerprints applies internally
+    val byFp = fps.select(col("doc"), col("fp")).distinct()
+      .localCheckpoint()
+    val keep = byFp.groupBy(col("fp")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd").between(2, maxDf)).select(col("fp"))
+    val nf = byFp.join(keep, Seq("fp"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("nfp"))
+    val dirs = pairs
+      .select(col("a").as("doc"), col("b").as("partner"), col("shared"))
+      .unionByName(pairs.select(col("b").as("doc"),
+        col("a").as("partner"), col("shared")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc"))
+      .orderBy(col("cont_bp").desc, col("partner"))
+    dirs.join(nf, Seq("doc"))
+      .withColumn("cont_bp",
+        expr("CAST((10000 * shared) DIV nfp AS BIGINT)"))
+      .withColumn("_rk", row_number().over(byDoc))
+      .filter(col("_rk") === 1)
+      .select(col("doc").as("doc_id"), col("nfp"), col("partner"),
+        col("cont_bp"))
+  }
+
   /** Shared-fingerprint counts per document pair (a < b), fingerprints
     * appearing in more than `maxDf` documents dropped first (stop-gram
     * cap — boilerplate k-grams would otherwise square the bucket).

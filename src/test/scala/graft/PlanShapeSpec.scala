@@ -895,6 +895,25 @@ class PlanShapeSpec extends SparkSpec {
         s"spine:\n$p")
   }
 
+  test("q285's containment stays on the df-capped index: no " +
+    "cartesian, no pair-space nested loop") {
+    val p = plan("q285_winnow_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairs come from the fp-keyed equi join only:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the shared pair table must be checkpointed once:\n$p")
+  }
+
+  test("q286's history probe is a hash join over checkpointed chunk " +
+    "hashes — no text past the chunking projection") {
+    val p = plan("q286_cdc_incremental")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"hash-keyed probe:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the hashed chunk rows must be checkpointed once:\n$p")
+  }
+
   test("q280's growth curve has no partition-less window and no " +
     "per-prefix rescans — one scan feeds ranks, one the token stream") {
     val p = plan("q280_vocab_growth")
