@@ -26,9 +26,11 @@ object Feistel {
 
   /** The permuted key for `id` ∈ [0, 2^(2·halfBits)). 4 rounds (the
     * Luby–Rackoff strong-PRP count); `salt` picks the permutation.
-    * Inputs outside the domain are rejected by the caller's contract
-    * (the expression masks, so feeding a larger id silently collides
-    * — callers with wider ids should raise halfBits).
+    * Inputs outside the domain FAIL LOUDLY (raise_error): the Feistel
+    * halves mask to 2·halfBits bits, so a wider id would silently
+    * collide with an in-domain one — and an engine-side mask with an
+    * unmasked oracle replay diverges exactly there. Callers with
+    * wider ids raise halfBits.
     */
   def key(id: Column, halfBits: Int = 16, rounds: Int = 4,
       salt: String = "graft"): Column = {
@@ -47,6 +49,13 @@ object Feistel {
       l = nl
       r = nr
     }
-    shiftleft(l, halfBits) + r
+    // domain gate AFTER the (cheap, masked) rounds: CaseWhen evaluates
+    // lazily per row, so in-domain rows never touch the error branch
+    val dom = 1L << (2 * halfBits)
+    when(id.cast("long").between(0L, dom - 1L),
+        shiftleft(l, halfBits) + r)
+      .otherwise(raise_error(format_string(
+        s"Feistel.key: id %d outside [0, $dom) — raise halfBits",
+        id.cast("long"))))
   }
 }

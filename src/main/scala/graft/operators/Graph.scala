@@ -706,9 +706,14 @@ object Graph {
     val nodes = edges.select(col("u").as("v"))
       .unionByName(edges.select(col("v")))
       .distinct()
+    // distinct AFTER symmetrizing: duplicate input rows — or the same
+    // undirected edge arriving as both (u,v) and (v,u) — would
+    // otherwise double that neighbor's label vote and silently change
+    // community assignments vs the distinct-edge oracle
     val adj = edges.select(col("v"), col("u"))
       .unionByName(e)
       .unionByName(nodes.select(col("v"), col("v").as("u")))
+      .distinct()
       .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("v")).orderBy(col("_c").desc, col("lab"))

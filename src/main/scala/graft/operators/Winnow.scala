@@ -75,15 +75,14 @@ object Winnow {
   def containment(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, maxDf: Int = 20): DataFrame = {
     val fps = fingerprints(df, idCol, textCol, k, w)
-    val pairs = sharedFingerprints(fps, maxDf)
+    // ONE checkpointed df-capped index feeds BOTH the pair counts and
+    // the per-doc nfp denominator — building it twice would double the
+    // fingerprint-index work and checkpoint memory, and the rational
+    // is only self-consistent because both sides read the same cap
+    val kept = keptIndex(fps, maxDf)
+    val pairs = sharedFromKept(kept)
       .localCheckpoint() // both directions read it
-    // the same df cap sharedFingerprints applies internally
-    val byFp = fps.select(col("doc"), col("fp")).distinct()
-      .localCheckpoint()
-    val keep = byFp.groupBy(col("fp")).agg(count(lit(1)).as("_nd"))
-      .filter(col("_nd").between(2, maxDf)).select(col("fp"))
-    val nf = byFp.join(keep, Seq("fp"))
-      .groupBy(col("doc")).agg(count(lit(1)).as("nfp"))
+    val nf = kept.groupBy(col("doc")).agg(count(lit(1)).as("nfp"))
     val dirs = pairs
       .select(col("a").as("doc"), col("b").as("partner"), col("shared"))
       .unionByName(pairs.select(col("b").as("doc"),
@@ -105,19 +104,30 @@ object Winnow {
     * cap — boilerplate k-grams would otherwise square the bucket).
     * Output: `a, b, shared`.
     */
-  def sharedFingerprints(fps: DataFrame, maxDf: Int): DataFrame = {
+  def sharedFingerprints(fps: DataFrame, maxDf: Int): DataFrame =
+    sharedFromKept(keptIndex(fps, maxDf))
+
+  /** The df-capped (2..`maxDf`) distinct (doc, fp) index — the shared
+    * substrate of [[sharedFingerprints]] and [[containment]]'s nfp
+    * denominator, materialized once (the index + cap are the expensive
+    * corpus-sized part; everything downstream is candidates-sized).
+    */
+  def keptIndex(fps: DataFrame, maxDf: Int): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     val byFp = fps.select(col("doc"), col("fp")).distinct()
-      .localCheckpoint() // the df cap + both join sides read it
+      .localCheckpoint() // the df cap + the surviving join both read it
     val keep = byFp.groupBy(col("fp"))
       .agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") <= maxDf && col("_nd") >= 2)
       .select(col("fp"))
-    val kept = byFp.join(keep, Seq("fp"))
+    byFp.join(keep, Seq("fp")).localCheckpoint()
+  }
+
+  /** Pair counts over an already-built [[keptIndex]]. */
+  def sharedFromKept(kept: DataFrame): DataFrame =
     kept.select(col("fp"), col("doc").as("a"))
       .join(kept.select(col("fp"), col("doc").as("b")), Seq("fp"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared"))
-  }
 }

@@ -70,4 +70,21 @@ object FeistelProps extends Properties("Feistel") {
         .as[(Long, Long)].collect().toMap
       got.forall { case (id, k) => k == refKey(id, 16, 4, "graft") }
     }
+
+  property("out-of-domain ids FAIL LOUDLY instead of colliding") =
+    forAll(Gen.chooseNum(1, 4), Gen.chooseNum(1L, 1000L)) {
+      (halfBits, over) =>
+        val bad = (1L << (2 * halfBits)) - 1L + over
+        try {
+          Seq(bad).toDF("id")
+            .select(Feistel.key($"id", halfBits).as("k")).collect()
+          false // silent collision — the bug the guard exists to kill
+        } catch { case e: Throwable =>
+          // the raise_error message must survive Spark's wrapping
+          Iterator.iterate[Throwable](e)(_.getCause)
+            .takeWhile(_ != null).take(8)
+            .exists(t => Option(t.getMessage)
+              .exists(_.contains("Feistel.key")))
+        }
+    }
 }

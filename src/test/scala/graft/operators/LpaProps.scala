@@ -19,8 +19,10 @@ object LpaProps extends Properties("Lpa") {
       : Map[Long, Long] = {
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
     val adj: Map[Long, Seq[Long]] = {
-      val sym = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) } ++
-        nodes.map(v => v -> v)
+      // distinct like the operator: duplicate rows / reversed copies
+      // of one undirected edge must not double a label's vote
+      val sym = (edges.flatMap { case (u, v) => Seq(u -> v, v -> u) } ++
+        nodes.map(v => v -> v)).distinct
       sym.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
     }
     var labels = nodes.map(v => v -> v).toMap
@@ -43,8 +45,12 @@ object LpaProps extends Properties("Lpa") {
       v <- Gen.chooseNum(0L, nNodes - 1L)
       if u != v
     } yield (math.min(u, v), math.max(u, v)))
+    // keep duplicates AND add reversed copies of a prefix: the
+    // operator dedups after symmetrizing, so noisy input (repeated
+    // rows, both orientations present) must not move any label
+    reversed = edges.take(edges.size / 2).map { case (u, v) => (v, u) }
     iters <- Gen.chooseNum(1, 4)
-  } yield (edges.distinct, iters)
+  } yield (edges ++ reversed, iters)
 
   property("labelPropagation == sequential synchronous reference") =
     forAll(graphGen) { case (edges, iters) =>
