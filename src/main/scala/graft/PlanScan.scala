@@ -38,15 +38,25 @@ object PlanScan {
     * AQE's `initialPlan` (the plan BEFORE any runtime re-optimization
     * fires), keeping the count deterministic: AQE's runtime coalescing/
     * demotion would make the ledger flap with partition sizes.
+    * The 4th count is PARTITION-LESS window operators (WindowExec /
+    * WindowGroupLimitExec with an empty partitionSpec — Spark's "No
+    * Partition Defined: moving all data to a single partition" path):
+    * the one plan shape that is quietly correct at sf0.1 and fatal at
+    * 100 TB. drift_check fails any nonzero gwin outside an allowlist
+    * annotated with its boundedness argument.
     */
-  def exchangeCounts(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+  def exchangeCounts(df: org.apache.spark.sql.DataFrame)
+      : (Int, Int, Int, Int) = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.{
       BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.window.{
+      WindowExecBase, WindowGroupLimitExec}
     var sh = 0
     var bc = 0
     var sc = 0
+    var gw = 0
     def walk(p: SparkPlan): Unit = p match {
       case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
       case other =>
@@ -58,22 +68,31 @@ object PlanScan {
           // minus its join) — pruning differences silently defeat
           // ReuseExchange, and only the scan count sees it
           case _: FileSourceScanExec => sc += 1
+          case w: WindowExecBase if w.partitionSpec.isEmpty => gw += 1
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+            gw += 1
           case _ => ()
         }
         other.children.foreach(walk)
         other.subqueries.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
-    (sh, bc, sc)
+    (sh, bc, sc, gw)
   }
+
+  /** Partition-less window count alone — the PlanShapeSpec pin helper
+    * for queries that must NEVER plan a global window.
+    */
+  def globalWindowCount(df: org.apache.spark.sql.DataFrame): Int =
+    exchangeCounts(df)._4
 
   /** One ledger line per query, sorted by name. */
   def exchangeLedgerLines(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Seq[String] =
     SparkEntry.allQueries.sortBy(_.name).map { q =>
       try {
-        val (s, b, f) = exchangeCounts(q.run(spark, sfDir))
-        s"${q.name} shuffle=$s broadcast=$b scans=$f"
+        val (s, b, f, g) = exchangeCounts(q.run(spark, sfDir))
+        s"${q.name} shuffle=$s broadcast=$b scans=$f gwin=$g"
       } catch {
         case e: Throwable =>
           s"${q.name} ERROR ${e.getMessage.take(80).replace('\n', ' ')}"

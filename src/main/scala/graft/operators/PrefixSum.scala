@@ -77,4 +77,46 @@ object PrefixSum {
     }
     spark.createDataFrame(rows, outSchema)
   }
+
+  /** 1-based contiguous global ordinals over a TOTAL `orderCols`
+    * order — the distributed replacement for
+    * `row_number() OVER (ORDER BY …)` with no PARTITION BY, whose
+    * WindowExec funnels EVERY row through one task (the q125/q126/
+    * q212 scale-killer this operator retires): range-repartition +
+    * sort (the sort any global rank pays anyway), ONE count per
+    * partition to the driver, exclusive-scanned offsets broadcast
+    * back, ordinals assigned in a partition-local streaming pass.
+    * Same total-order contract as [[exclusive]] (ties could land on
+    * either side of a partition boundary and renumber silently).
+    *
+    * Also returns the total row count — it is the scan's last offset,
+    * so callers computing NTILE/percent_rank/cume_dist denominators
+    * don't pay a second pass.
+    */
+  def withOrdinals(df: DataFrame, orderCols: Seq[String],
+      outCol: String = "rn"): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(nPart, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .localCheckpoint()
+    val partCounts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L
+      it.foreach(_ => n += 1L)
+      Iterator.single(i -> n)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = bc.value(i)
+      it.map { row =>
+        r += 1L
+        Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    (spark.createDataFrame(rows, outSchema),
+      if (offsets.isEmpty) 0L else offsets.last)
+  }
 }

@@ -27,12 +27,16 @@ object Extended3 {
     * boundary rows are engine-dependent), rolled up per decile with
     * exact-decimal sums.
     *
-    * The un-partitioned window is a deliberate dimension-table-only
-    * shape: a global NTILE is inherently a global sort into one
-    * reducer. For fact-scale quantiles use
-    * [[graft.operators.Percentiles.exactCont]] (distributed rank
-    * selection) — this query is the reporting surface over a bounded
-    * dim (reference window-function labs, `3-spark-fundamentals`).
+    * NO partition-less window: a `ntile(10) OVER (ORDER BY …)` plans
+    * WindowExec's "No Partition Defined" path — every row through ONE
+    * task, a single-threaded sort in disguise. The global ordinal
+    * comes from [[graft.operators.PrefixSum.withOrdinals]] (range
+    * partitioning + driver offsets, the two-phase scan), and NTILE is
+    * then a PURE FUNCTION of (rank, n): with n = q·10 + rem, the
+    * first rem buckets take q+1 rows, the rest q — exactly the SQL
+    * standard's bucket sizing, evaluated as integer expressions. The
+    * same plan holds whether `customer` has 15 k rows or 15 B
+    * (reference window-function labs, `3-spark-fundamentals`).
     */
   val q125_ntile_deciles: Q = Q(
     "q125_ntile_deciles",
@@ -44,10 +48,23 @@ object Extended3 {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val w = Window.orderBy($"c_acctbal", $"c_custkey")
-    Tables.load(spark, dir, "customer")
-      .select($"c_custkey", $"c_acctbal")
-      .withColumn("decile", ntile(10).over(w))
+    val (ranked, n) = graft.operators.PrefixSum.withOrdinals(
+      Tables.load(spark, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"),
+      Seq("c_acctbal", "c_custkey"), "rn")
+    // ntile(k): first n%k buckets hold n/k+1 rows, the rest n/k —
+    // driver-side integer constants, per-row integer DIV only
+    val k = 10L
+    val small = n / k
+    val big = small + 1
+    val rem = n % k
+    val cut = rem * big // rank boundary between big and small buckets
+    ranked
+      .withColumn("decile",
+        when($"rn" <= cut, expr(s"(rn - 1) DIV $big + 1"))
+          .otherwise(expr(s"$rem + (rn - 1 - $cut) DIV " +
+            s"${math.max(small, 1L)} + 1"))
+          .cast("int"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_cust"),
         min($"c_acctbal").as("min_bal"),
@@ -59,8 +76,11 @@ object Extended3 {
   /** Supplier balance distribution position: PERCENT_RANK and
     * CUME_DIST over the same total order. Both are ratios of small
     * exact integers ((rank−1)/(n−1), rank/n) evaluated as one IEEE
-    * division — bit-identical in any engine. Same dimension-only
-    * caveat as q125.
+    * division — bit-identical in any engine. Like q125, the rank
+    * comes from [[graft.operators.PrefixSum.withOrdinals]]' two-phase
+    * scan, never a partition-less window: under a unique total order
+    * PERCENT_RANK and CUME_DIST are pure functions of (row_number, n),
+    * and n rides along free as the scan's last offset.
     */
   val q126_dist_ranks: Q = Q(
     "q126_dist_ranks",
@@ -69,11 +89,18 @@ object Extended3 {
       |  cume_dist() OVER (ORDER BY s_acctbal, s_suppkey) AS cd
       |FROM supplier ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val w = Window.orderBy($"s_acctbal", $"s_suppkey")
-    Tables.load(spark, dir, "supplier")
-      .select($"s_suppkey", $"s_acctbal",
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
+    val (ranked, n) = graft.operators.PrefixSum.withOrdinals(
+      Tables.load(spark, dir, "supplier")
+        .select($"s_suppkey", $"s_acctbal"),
+      Seq("s_acctbal", "s_suppkey"), "rn")
+    // (rn−1)/(n−1) and rn/n as ONE IEEE division each — the exact
+    // arithmetic percent_rank/cume_dist perform; n = 1 degenerates to
+    // percent_rank's defined 0.0 (never 0/0)
+    ranked.select($"s_suppkey", $"s_acctbal",
+        (if (n <= 1L) lit(0.0)
+         else ($"rn" - 1L).cast("double") / lit((n - 1L).toDouble))
+          .as("pr"),
+        ($"rn".cast("double") / lit(n.toDouble)).as("cd"))
       .orderBy($"s_suppkey")
   }
 

@@ -696,11 +696,14 @@ object Extended9 {
     * mapping index is exact-integer ceiling division — so both
     * engines produce identical normalized values.
     *
-    * Scale shape: two window passes (per-source rank; global rank —
-    * at true corpus scale the global ordinal comes from
-    * [[graft.operators.Percentiles]]-style range partitioning instead
-    * of one global window) and ONE integer-keyed equi join of
-    * corpus-sized relations, hash-partitioned on the rank index.
+    * Scale shape: the per-source rank is a PARTITIONED window (each
+    * source bounded by its own population); the GLOBAL ordinal —
+    * which would otherwise funnel the whole corpus through one
+    * WindowExec task — comes from
+    * [[graft.operators.PrefixSum.withOrdinals]]' range-partitioned
+    * two-phase scan, which also hands back big_n for free. One
+    * integer-keyed equi join of corpus-sized relations remains,
+    * hash-partitioned on the rank index.
     */
   val q212_quantile_norm: Q = Q(
     "q212_quantile_norm",
@@ -728,13 +731,12 @@ object Extended9 {
       .withColumn("rs",
         row_number().over(wS.orderBy($"n_chars", $"doc_id")))
       .withColumn("ns", count(lit(1)).over(wS))
-    val g = docs.select($"n_chars".as("g_val"),
-      row_number().over(Window.orderBy($"n_chars", $"doc_id"))
-        .as("g_rank"))
-    val bigN = docs.agg(count(lit(1)).as("big_n"))
-    r.crossJoin(broadcast(bigN))
-      .select($"source", $"n_chars",
-        expr("(rs * big_n + ns - 1) DIV ns").as("k"))
+    val (gRanked, bigN) = graft.operators.PrefixSum.withOrdinals(
+      docs.select($"n_chars", $"doc_id"),
+      Seq("n_chars", "doc_id"), "g_rank")
+    val g = gRanked.select($"n_chars".as("g_val"), $"g_rank")
+    r.select($"source", $"n_chars",
+        expr(s"(rs * ${bigN}L + ns - 1) DIV ns").as("k"))
       .join(g, $"k" === $"g_rank")
       .groupBy($"source")
       .agg(sum(abs($"g_val" - $"n_chars")).as("total_shift"),
