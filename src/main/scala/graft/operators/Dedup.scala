@@ -547,6 +547,102 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Dedup GROUPS of the verified SimHash near-dup graph WITHOUT ever
+    * materializing doc–doc pairs — the 100 TB fix for
+    * [[simhashNearDupPairs]] → CC group assembly (q88/q272's former
+    * shape): a band bucket holding B docs emits B² candidate pairs,
+    * and duplicate-heavy corpora (the ones you dedup!) make B huge
+    * precisely where it hurts. Three observations collapse that:
+    *
+    *  1. docs sharing a SIGNATURE are near-dups by definition
+    *     (Hamming 0, bands trivially agree) — so collapse to DISTINCT
+    *     signatures first; the band self-join + Hamming verify then
+    *     runs on the (usually far smaller) signature space, and a
+    *     million identical boilerplate docs cost ONE node instead of
+    *     10¹² pairs;
+    *  2. components of the verified doc graph = components of the
+    *     verified SIGNATURE graph expanded by membership: every doc
+    *     edge is a sig edge (or a same-sig identity) and every sig
+    *     edge is realized by at least one doc pair;
+    *  3. each doc has EXACTLY ONE key (its signature's component), so
+    *     the doc-level expansion — bipartite CC over (doc, key)
+    *     membership in general ([[Graph.bipartiteComponents]]) —
+    *     degenerates to a single keyed min-aggregate + one equi join:
+    *     a star forest needs no iteration.
+    *
+    * Components are IDENTICAL to
+    * `Graph.connectedComponents(simhashNearDupPairs(…))` —
+    * property-pinned by SimhashComponentsProps — but the output also
+    * carries every SINGLETON doc (comp = own id), which is what group
+    * consumers (sizes, weights, keep-one) want anyway.
+    *
+    * Scale shape: text is read once into (id, sig) longs; the only
+    * corpus-sized moves are the sig distinct, the one membership join,
+    * and the key-min aggregate (map-side combinable). The pair space —
+    * band join, Hamming verify, iterative CC — lives entirely on
+    * distinct signatures.
+    *
+    * @return (id, comp) for EVERY input doc, comp = min doc id of its
+    *         verified near-dup group
+    */
+  def simhashComponents(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxDist < bands, "pigeonhole needs maxDist < bands")
+    // (id, sig) is the ONLY corpus-sized relation below; checkpointed
+    // because the distinct and the final membership join both read it
+    val sigs = df
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .localCheckpoint()
+    val sigPairs =
+      simhashSigPairs(sigs.select(col("sig")).distinct(), maxDist, bands)
+    // CC over the signature graph (pairs-sized, not corpus-sized);
+    // sigs outside any edge keep themselves as their key
+    val sigComp = Graph.connectedComponents(sigPairs)
+      .select(col("id").as("sig"), col("comp").as("_sc"))
+    val membership = sigs
+      .join(sigComp, Seq("sig"), "left_outer")
+      .select(col("id"), coalesce(col("_sc"), col("sig")).as("key"))
+      .localCheckpoint() // key-min agg + the comp join both read it
+    // one key per doc ⇒ the bipartite CC is a star forest: comp is
+    // simply min(doc id) over the key, joined back — no iteration.
+    // shuffle_hash pinned: comp is corpus-cardinality (one row per
+    // group), so the planner's broadcast flip at small SF would be
+    // the wrong plan at scale AND a cross-SF ledger divergence
+    val comp = membership.groupBy(col("key"))
+      .agg(min(col("id")).as("comp"))
+    membership.join(comp.hint("shuffle_hash"), Seq("key"))
+      .select(col("id"), col("comp"))
+  }
+
+  /** Verified near-dup edges between DISTINCT signatures — the whole
+    * pair space [[simhashComponents]] ever materializes. Package-
+    * private so PlanShapeSpec can pin the claim mechanically: the
+    * band self-join's inputs are the distinct-signature relation (doc
+    * ids never enter pair space — the final query plans hide this
+    * stage behind checkpoint boundaries, so the pin targets it
+    * directly).
+    */
+  private[graft] def simhashSigPairs(distinctSigs: DataFrame,
+      maxDist: Int, bands: Int): DataFrame = {
+    val bits = 60 / bands
+    val mask = (1L << bits) - 1
+    val banded = distinctSigs
+      .select(col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band_id"))
+      .withColumn("band_val",
+        call_function("shiftright", col("sig"), col("band_id") * bits)
+          .bitwiseAND(lit(mask)))
+    val sa = banded.select(col("band_id"), col("band_val"),
+      col("sig").as("sig_a"))
+    val sb = banded.select(col("band_id"), col("band_val"),
+      col("sig").as("sig_b"))
+    sa.join(sb, Seq("band_id", "band_val"))
+      .filter(col("sig_a") < col("sig_b"))
+      .filter(hammingDistance(col("sig_a"), col("sig_b")) <= maxDist)
+      .select(col("sig_a").as("u"), col("sig_b").as("v"))
+      .distinct()
+  }
+
   /** End-to-end near-dup dedup: LSH candidates → Jaccard verify →
     * keep-list.
     *

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Graph, Waterfill}
+import graft.operators.{Dedup, Waterfill}
 import graft.plans.MultiContainsCount
 
 /** Round-8 tranche VI: the corpus-curation control layer — blocklist
@@ -62,16 +62,23 @@ object Extended20 {
       .orderBy($"doc_id")
   }
 
-  /** Soft deduplication ([[Dedup.simhashNearDupPairs]] →
-    * [[Graph.connectedComponents]] → 1/|group| weights): instead of
-    * DELETING near-duplicates (q88's groups), every document keeps a
-    * training weight `weight_ppm = 10⁶ div |its near-dup group|` —
-    * the soft-dedup reweighting that preserves content while removing
-    * duplication bias. Docs outside any group weigh 10⁶ (singleton).
-    * The oracle closes the same simhash pairs with a recursive-CTE
-    * fixpoint, so the iterative operator chain is hash-checked
-    * end-to-end. Only ids and 60-bit signatures shuffle — never text;
-    * the groups table (pairs-sized) broadcasts back over the corpus.
+  /** Soft deduplication ([[Dedup.simhashComponents]] → 1/|group|
+    * weights): instead of DELETING near-duplicates (q88's groups),
+    * every document keeps a training weight `weight_ppm = 10⁶ div
+    * |its near-dup group|` — the soft-dedup reweighting that preserves
+    * content while removing duplication bias. Docs outside any group
+    * weigh 10⁶ (singleton). The oracle closes the doc-level simhash
+    * pairs with a recursive-CTE fixpoint, so the signature-space
+    * factoring is hash-checked end-to-end.
+    *
+    * Scale shape: the pair space (band join + Hamming verify + CC)
+    * lives on DISTINCT SIGNATURES only; the corpus moves as (doc,
+    * long) rows — the component table carries every doc already, so
+    * no rejoin against the document spine exists, and the size join
+    * shuffles 16-byte rows keyed by component. The former shape
+    * (pair-based CC broadcast over the spine) inverted at high dup
+    * rates: the groups table it broadcast GROWS with duplication,
+    * which is exactly when you dedup.
     */
   val q272_soft_dedup_weights: Q = Q(
     "q272_soft_dedup_weights",
@@ -110,18 +117,12 @@ object Extended20 {
       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val docs = Tables.loadParallel(spark, dir, "documents")
-    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id",
-        maxDist = 3, bands = 4)
-      .select($"id_a".as("u"), $"id_b".as("v"))
-    val cc = Graph.connectedComponents(pairs)
-      .localCheckpoint() // membership + sizes both read it
+    // every doc (singletons included) arrives labeled — no spine rejoin
+    val cc = Dedup.simhashComponents(docs, "text", "doc_id")
+      .select($"id".as("doc_id"), $"comp")
+      .localCheckpoint() // sizes + output both read it
     val sizes = cc.groupBy($"comp").agg(count(lit(1)).as("n_members"))
-    docs.select($"doc_id")
-      .join(broadcast(cc.withColumnRenamed("id", "doc_id")),
-        Seq("doc_id"), "left")
-      .withColumn("comp", coalesce($"comp", $"doc_id"))
-      .join(broadcast(sizes), Seq("comp"), "left")
-      .withColumn("n_members", coalesce($"n_members", lit(1L)))
+    cc.join(sizes, Seq("comp"))
       .withColumn("weight_ppm",
         expr("CAST(1000000 DIV n_members AS BIGINT)"))
       .select($"doc_id", $"comp", $"n_members", $"weight_ppm")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Graph, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** LLM-training-data pipeline surface over `documents` and
   * `embeddings`: text statistics, quality signals, language-ID,
@@ -896,12 +896,15 @@ object TrainingData {
       .orderBy($"user_id")
   }
 
-  /** Near-dup GROUPS: SimHash pairs closed into transitive components
-    * by the iterative [[graft.operators.Graph.connectedComponents]],
-    * labeled by min doc_id — a chain a~b~c is ONE dedup group even
-    * when a≁c directly. The oracle closes the same pairs with a
-    * recursive CTE, so the iterative Spark operator is hash-checked
-    * against a declarative fixpoint.
+  /** Near-dup GROUPS: the verified SimHash graph closed into
+    * transitive components by [[graft.operators.Dedup.simhashComponents]]
+    * — distinct signatures collapse BEFORE the band join, so the pair
+    * space (candidates, Hamming verify, CC) lives on signatures, never
+    * on docs: a million identical docs cost one node, not 10¹² pairs.
+    * Labels are min doc_id — a chain a~b~c is ONE dedup group even
+    * when a≁c directly. The oracle closes the doc-level pairs with a
+    * recursive CTE, so the signature-space factoring is hash-checked
+    * against the declarative doc-space fixpoint.
     */
   val q88_neardup_groups: Q = Q(
     "q88_neardup_groups",
@@ -932,14 +935,12 @@ object TrainingData {
       |GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin) {
     (spark, dir) =>
     import spark.implicits._
-    val pairs = Dedup.simhashNearDupPairs(
+    Dedup.simhashComponents(
         Tables.loadParallel(spark, dir, "documents"), "text", "doc_id",
         maxDist = 3, bands = 4)
-      .select($"id_a".as("u"), $"id_b".as("v"))
-    Graph.connectedComponents(pairs)
       .groupBy($"comp")
       .agg(count(lit(1)).as("n_members"))
-      .filter($"n_members" >= 2)
+      .filter($"n_members" >= 2) // singletons are not dedup groups
       .orderBy($"comp")
   }
 
