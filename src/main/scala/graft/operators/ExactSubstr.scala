@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Let, TextFunctions}
+
+/** Minimal-length EXACT substring dedup across documents (the
+  * "Deduplicating Training Data Makes Language Models Better"
+  * operator, Lee et al. 2021 — their ExactSubstr with a length
+  * threshold): find every maximal cross-document duplicated token run
+  * of length ≥ `minTokens`, with EXACT boundaries, and optionally
+  * strip the non-canonical copies. Where [[Dedup.removeDupSpans]]
+  * removes ANY duplicated k-gram (fixed k-gram granularity — its unit
+  * IS the threshold), this operator detects arbitrarily long shared
+  * runs and applies the length cut the ExactSubstr recipe prescribes
+  * (50 tokens there): short incidental n-gram collisions survive,
+  * long verbatim quotations don't.
+  *
+  * Formulation — sorted k-gram ANCHOR EXTENSION, Spark-shaped (the
+  * suffix-array step of the paper re-expressed as the matching-
+  * diagonal scan [[Dedup.longestDupSpan]] established): a shared run
+  * of length L ≥ k contains exactly L−k+1 k-gram matches at
+  * consecutive positions in both docs — one diagonal
+  * (pos_a − pos_b = const) of the match matrix. Runs come from the
+  * classic rownumber-difference grouping per (pair, diagonal); the
+  * length filter then keeps runs ≥ minTokens, and per-document
+  * interval union merges overlapping marks from different partners.
+  *
+  * Canonicality: for every run the LOWER doc id keeps its copy; the
+  * higher side is marked. Chains resolve naturally (a quotes b quotes
+  * c ⇒ a survives, b and c lose their copies to interval union).
+  * Within-doc repeats are OUT of scope here (doc_a < doc_b) —
+  * [[Dedup.removeDupSpans]] owns that case at k-gram granularity.
+  *
+  * Scale shape: text is read ONCE into (doc, pos, 60-bit long) rows
+  * ([[graft.plans.Md5PrefixLongs]] in the scan — text never
+  * shuffles); the wide moves key on the shingle hash and on
+  * (doc_a, doc_b, diag) — both well-spread; the interval merge is a
+  * per-document window (bounded by the doc's own token count). Like
+  * every shingle-bucketed dedup here the candidate cost is Σ_hash
+  * df²; strip boilerplate first (q128) or cap df with `maxDf` on
+  * corpora with ultra-hot k-grams.
+  */
+object ExactSubstr {
+
+  /** Merged duplicated-span intervals per MARKED document: one row
+    * per maximal union interval `(doc, start, len)` — `start` is the
+    * 0-based token index, `len` ≥ `minTokens` tokens. A doc appears
+    * iff some lower-id doc shares a run of ≥ `minTokens` tokens with
+    * it.
+    *
+    * @param k         anchor unit in tokens (runs shorter than k are
+    *                  invisible — the candidate guarantee)
+    * @param minTokens report/strip threshold, ≥ k
+    * @param maxDf     optional stop-gram cap: drop shingle hashes in
+    *                  more than this many docs before pairing (None =
+    *                  exact; capped runs can only shrink)
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minTokens: Int = 16, maxDf: Option[Long] = None)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minTokens >= k,
+      s"minTokens ($minTokens) must be >= k ($k): runs shorter than " +
+        "the anchor unit are never candidates")
+    val g0 = df
+      .select(col(idCol).as("doc"),
+        posexplode_outer(
+          graft.plans.Md5PrefixLongs(
+            TextFunctions.positionalShingles(col(textCol), k)))
+          .as(Seq("pos", "hv")))
+      .filter(col("hv").isNotNull)
+      .localCheckpoint() // self-joined: don't re-shingle both sides
+    val g = maxDf match {
+      case Some(cap) =>
+        val rare = g0.groupBy(col("hv"))
+          .agg(countDistinct(col("doc")).as("_df"))
+          .filter(col("_df") <= cap)
+          .select(col("hv"))
+        g0.join(rare, Seq("hv"), "left_semi")
+      case None => g0
+    }
+    val matches = g.select(col("doc").as("doc_a"),
+        col("pos").as("pos_a"), col("hv"))
+      .join(g.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
+        col("hv")), Seq("hv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_b"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    val wRun = Window.partitionBy(col("doc_a"), col("doc_b"),
+      col("diag")).orderBy(col("pos_b"))
+    val marked = matches
+      .withColumn("grp", col("pos_b") - row_number().over(wRun))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pos_b")).as("start"),
+        (count(lit(1)) + lit(k - 1)).cast("long").as("len"))
+      .filter(col("len") >= minTokens)
+      // the higher doc id is the marked side; different partners /
+      // diagonals can mark identical intervals — dedup before merging
+      .select(col("doc_b").as("doc"), col("start").cast("long"),
+        col("len"))
+      .distinct()
+    mergeIntervals(marked)
+  }
+
+  /** Interval union per doc (gaps-and-islands): input
+    * `(doc, start, len)`, output the same schema with overlapping/
+    * touching intervals coalesced. Per-doc window only — bounded by
+    * the doc's own span count.
+    */
+  private def mergeIntervals(spans: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("start"), col("e"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    spans
+      .withColumn("e", col("start") + col("len"))
+      .withColumn("_maxe", max(col("e")).over(wPrev))
+      .withColumn("_new",
+        when(col("_maxe").isNull || col("start") > col("_maxe"), 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(w))
+      .groupBy(col("doc"), col("_isl"))
+      .agg(min(col("start")).as("start"),
+        (max(col("e")) - min(col("start"))).as("len"))
+      .select(col("doc"), col("start"), col("len"))
+  }
+
+  /** Strip the marked copies: every token of a doc covered by a
+    * ≥ `minTokens` run already present in a lower-id doc is dropped,
+    * and the doc re-joined from survivors — the transform
+    * counterpart of [[dupSpans]], same reconstruct discipline as
+    * [[Dedup.removeDupSpans]] (marks move as (doc, int, int) rows;
+    * text rides only the final doc-keyed join).
+    *
+    * @return one row per input doc: `idCol, clean_text, n_tokens,
+    *         n_removed` (n_tokens = original count).
+    */
+  def strip(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minTokens: Int = 16, maxDf: Option[Long] = None)
+      : DataFrame = {
+    val marks = dupSpans(df, idCol, textCol, k, minTokens, maxDf)
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("start"), col("len"))).as("_spans"))
+    df.select(col(idCol).as("doc"), col(textCol).as("_text"))
+      .join(marks, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        Let(TextFunctions.lowerTokens(col("_text")),
+            coalesce(col("_spans"),
+              array().cast("array<struct<start:bigint,len:bigint>>"))) {
+          (toks, spans) =>
+            Let(transform(
+                filter(sequence(lit(0), size(toks) - 1),
+                  i => !exists(spans, s =>
+                    i.cast("long") >= s.getField("start") &&
+                      i.cast("long") <
+                        s.getField("start") + s.getField("len"))),
+                i => element_at(toks, i + 1))) { kept =>
+              struct(
+                array_join(kept, " ").as("clean_text"),
+                size(toks).cast("long").as("n_tokens"),
+                (size(toks) - size(kept)).cast("long").as("n_removed"))
+            }
+        }.as("_o"))
+      .select(col(idCol), col("_o.clean_text"), col("_o.n_tokens"),
+        col("_o.n_removed"))
+  }
+}

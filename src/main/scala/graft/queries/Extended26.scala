@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Exact._
+import graft.operators.{ExactSubstr, PrefixSum}
+
+/** Round-9 tranche: exact-substring dedup at a LENGTH THRESHOLD (the
+  * Lee et al. 2021 ExactSubstr recipe — detect and strip maximal
+  * cross-document duplicated token runs ≥ L with exact boundaries,
+  * where q216/q262 operate at fixed k-gram granularity), and the
+  * fact-scale NTILE demonstrator (the q125 two-phase-rank discipline
+  * applied to the 6 M-row lineitem table — the table where a
+  * partition-less window would actually kill the job).
+  *
+  * Reference anchor: the curriculum's dedup homework
+  * (`2-fact-data-modeling`) and window labs
+  * (`4-applying-analytical-patterns/lecture-lab/
+  * window_based_analysis.sql`), scaled Spark-first.
+  */
+object Extended26 {
+
+  // shared detection CTEs (k = 8, minTokens = 16): positional 8-gram
+  // 60-bit hashes → cross-doc hash join → maximal diagonal runs via
+  // the rownumber-difference trick → runs >= 16 tokens mark the
+  // HIGHER doc id side (the lower id keeps its copy)
+  private val DupRunCtes =
+    """t AS (SELECT doc_id,
+      |    string_split_regex(lower(text), '\s+') AS tk FROM documents),
+      |g0 AS (SELECT doc_id, tk,
+      |    unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS i FROM t),
+      |occ AS (SELECT doc_id, i - 1 AS pos,
+      |    ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))
+      |      ::BIGINT AS hv FROM g0),
+      |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      |  FROM occ a JOIN occ b ON a.hv = b.hv AND a.doc_id < b.doc_id),
+      |r AS (SELECT da, db, pa - pb AS diag, pb,
+      |    pb - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
+      |      ORDER BY pb) AS grp FROM m),
+      |runs AS (SELECT da, db, diag, grp, MIN(pb) AS s,
+      |    COUNT(*) + 7 AS len FROM r GROUP BY 1, 2, 3, 4),
+      |marks AS (SELECT DISTINCT db AS doc_id, s, len FROM runs
+      |  WHERE len >= 16)""".stripMargin
+
+  /** Long-duplicate-span detection ([[ExactSubstr.dupSpans]], k = 8,
+    * L = 16): per marked document, the merged ≥16-token duplicated
+    * intervals — span count, covered tokens, longest span. The oracle
+    * replays anchors → diagonal runs → interval union declaratively,
+    * so run boundaries AND the per-doc union are hash-checked. Only
+    * docs sharing a ≥16-token run with a lower-id doc appear.
+    */
+  val q287_dup_span_detect: Q = Q(
+    "q287_dup_span_detect",
+    s"""WITH $DupRunCtes,
+      |o AS (SELECT doc_id, s, s + len AS e,
+      |    MAX(s + len) OVER (PARTITION BY doc_id ORDER BY s, s + len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      |  FROM marks),
+      |isl AS (SELECT doc_id, s, e,
+      |    SUM(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+      |  FROM o),
+      |sp AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+      |  CAST(MAX(e - s) AS BIGINT) AS max_span
+      |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    ExactSubstr.dupSpans(Tables.loadParallel(spark, dir, "documents"),
+        "doc_id", "text", k = 8, minTokens = 16)
+      .groupBy($"doc".as("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"len").as("dup_tokens"),
+        max($"len").as("max_span"))
+      .orderBy($"doc_id")
+  }
+
+  /** Long-duplicate-span REMOVAL ([[ExactSubstr.strip]]): every token
+    * of a doc covered by a ≥16-token run already present in a
+    * lower-id doc is dropped; output is content-checked via
+    * md5(clean_text) so the whole reconstruct — boundaries, token
+    * order, joins — is hash-verified without shipping corpus text
+    * through the compare.
+    */
+  val q288_dup_span_strip: Q = Q(
+    "q288_dup_span_strip",
+    s"""WITH $DupRunCtes,
+      |mp0 AS (SELECT doc_id, unnest(range(s + 1, s + len + 1)) AS i
+      |  FROM marks),
+      |mpos AS (SELECT DISTINCT doc_id, i FROM mp0),
+      |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+      |  FROM t),
+      |keep AS (SELECT p.doc_id, p.i, p.tk[p.i] AS w FROM pos p
+      |  ANTI JOIN mpos USING (doc_id, i)),
+      |agg AS (SELECT doc_id,
+      |    array_to_string(list(w ORDER BY i), ' ') AS clean_text,
+      |    CAST(COUNT(*) AS BIGINT) AS n_kept FROM keep GROUP BY 1)
+      |SELECT t.doc_id, md5(COALESCE(a.clean_text, '')) AS clean_md5,
+      |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.tk) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    ExactSubstr.strip(Tables.loadParallel(spark, dir, "documents"),
+        "doc_id", "text", k = 8, minTokens = 16)
+      .select($"doc_id", md5($"clean_text").as("clean_md5"),
+        $"n_tokens", $"n_removed")
+      .orderBy($"doc_id")
+  }
+
+  /** Fact-scale NTILE(100): price percentile buckets over the WHOLE
+    * lineitem table — the q125 rewrite pattern proven where it
+    * matters: the global ordinal rides
+    * [[PrefixSum.withOrdinals]]' range-partitioned two-phase scan
+    * (never WindowExec's single-task funnel), and the bucket id is a
+    * pure integer function of (rank, n). At 100 TB this plan's only
+    * corpus-sized moves are the range exchange and the bucket
+    * aggregate; the oracle's ntile window proves bucket-boundary
+    * agreement row for row.
+    */
+  val q289_fact_ntile: Q = Q(
+    "q289_fact_ntile",
+    """WITH d AS (SELECT l_extendedprice,
+      |    ntile(100) OVER (ORDER BY l_extendedprice, l_orderkey,
+      |      l_linenumber) AS pct
+      |  FROM lineitem)
+      |SELECT pct, COUNT(*) AS n_items,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val (ranked, n) = PrefixSum.withOrdinals(
+      Tables.loadParallel(spark, dir, "lineitem")
+        .select($"l_extendedprice", $"l_orderkey", $"l_linenumber"),
+      Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "rn")
+    val k = 100L
+    val small = n / k
+    val big = small + 1
+    val rem = n % k
+    val cut = rem * big
+    ranked
+      .withColumn("pct",
+        when($"rn" <= cut, expr(s"(rn - 1) DIV $big + 1"))
+          .otherwise(expr(s"$rem + (rn - 1 - $cut) DIV " +
+            s"${math.max(small, 1L)} + 1"))
+          .cast("int"))
+      .groupBy($"pct")
+      .agg(count(lit(1)).as("n_items"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price"),
+        dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"pct")
+  }
+
+  val all: Seq[Q] = Seq(q287_dup_span_detect, q288_dup_span_strip,
+    q289_fact_ntile)
+}
