@@ -752,14 +752,41 @@ class PlanShapeSpec extends SparkSpec {
       s"a join here means patterns degraded to a cross join:\n$p")
   }
 
-  test("q272's group membership and sizes broadcast back over the " +
-    "corpus — the doc spine never shuffles for the weights") {
-    val p = plan("q272_soft_dedup_weights")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
-      s"cc membership and group sizes must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") &&
-      !p.contains("ShuffledHashJoin"),
-      s"the doc spine must not shuffle into the weight joins:\n$p")
+  test("simhashComponents' pair stage (q88/q272's group assembly) " +
+    "joins DISTINCT SIGNATURES only — doc ids never enter pair space, " +
+    "Hamming verify present") {
+    import spark.implicits._
+    // the final query plans hide this stage behind checkpoint
+    // boundaries, so pin the stage itself (package-private seam)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val distinctSigs = docs
+      .select(graft.operators.Dedup.simhash($"text").as("sig"))
+      .distinct()
+    val pairs = graft.operators.Dedup.simhashSigPairs(
+      distinctSigs, maxDist = 3, bands = 4)
+    assert(pairs.columns.toSeq == Seq("u", "v"))
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("bit_count"),
+      s"the exact Hamming verify must gate the candidates:\n$p")
+    assert(!p.contains("doc_id"),
+      s"doc ids entered the pair space — B² per bucket returns:\n$p")
+    // the distinct-signature collapse must sit BELOW the band join:
+    // both join inputs read the aggregated (distinct) sig relation
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"sig distinct missing below the band self-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+  }
+
+  test("q88/q272 final plans stay pair-free: checkpointed label " +
+    "tables, no cartesian, no doc-pair columns") {
+    Seq("q88_neardup_groups", "q272_soft_dedup_weights").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("id_a") && !p.contains("id_b"),
+        s"$q: doc-pair space reappeared:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no all-pairs:\n$p")
+      assert(p.contains("ExistingRDD"),
+        s"$q: the component table must be checkpointed once:\n$p")
+    }
   }
 
   test("q273's waterfill never plans a partition-less window — rank " +
@@ -923,5 +950,52 @@ class PlanShapeSpec extends SparkSpec {
       s"first-occurrence reduction means no per-bucket rescans:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"no all-pairs:\n$p")
+  }
+
+  test("q287's span detection never moves text: every exchange " +
+    "carries (doc, pos, 60-bit hash) rows only") {
+    val df = SparkEntry.queries("q287_dup_span_detect")(spark, sfDir)
+    val sections = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+      .split("\n\n")
+    sections.filter(s => s.startsWith("(") &&
+      s.linesIterator.next().contains("Exchange")).foreach { s =>
+      assert(!s.contains("text#"),
+        s"corpus text entered an exchange:\n$s")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must stay hash-bucketed:\n$p")
+  }
+
+  test("q289's fact-scale ntile plans ZERO windows of any kind — the " +
+    "global ordinal is the two-phase scan, the bucket a pure " +
+    "integer function") {
+    val df = SparkEntry.queries("q289_fact_ntile")(spark, sfDir)
+    assert(PlanScan.globalWindowCount(df) == 0)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"a window on the 6M-row fact table funnels it into one task:\n$p")
+  }
+
+  test("q125/q126/q212 plan ZERO partition-less windows — global " +
+    "ranks come from PrefixSum's two-phase scan, never WindowExec's " +
+    "single-task funnel") {
+    Seq("q125_ntile_deciles", "q126_dist_ranks", "q212_quantile_norm")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        assert(PlanScan.globalWindowCount(df) == 0,
+          s"$q plans a partition-less window — the whole relation " +
+            "funnels through one task")
+      }
+    // q125/q126 need no window AT ALL (q212 keeps its bounded
+    // per-source rank window)
+    Seq("q125_ntile_deciles", "q126_dist_ranks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must rank via the ordinal scan, not any window:\n$p")
+    }
   }
 }

@@ -18,6 +18,13 @@ Checks:
      snapshot class).
   5. Every queries/Extended*.scala object is registered in
      SparkEntry.scala (an unregistered file is dead surface).
+  6. The no-partition-less-window rule, made mechanical: every ledger
+     row must carry a gwin= count (PlanScan counts WindowExec /
+     WindowGroupLimitExec nodes with an empty partitionSpec — Spark's
+     "moving all data to a single partition" path), and any nonzero
+     count must sit on the allowlist below with its boundedness
+     argument. This is the r8-verdict gap: three corpus-scale global
+     windows survived seven rounds of prose-only review.
 """
 import glob
 import json
@@ -26,6 +33,22 @@ import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Queries ALLOWED a partition-less window, each with the reason its
+# window input is bounded by construction. Anything else with gwin>0
+# fails preflight: rewrite via PrefixSum.withOrdinals / Percentiles
+# range partitioning (see q125/q126/q212's round-9 rewrites).
+GWIN_ALLOWLIST = {
+    "q107_null_ordering": "customer filtered to c_custkey <= 300 rows",
+    "q112_vocab_encode": "window ranks the top-100 AFTER .limit(100)",
+    "q194_temperature_mix": "apportionment over one row per language",
+    "q209_seasonality": "24 clock-hour rollup rows",
+    "q214_changepoint": "per-day rollup, calendar-bounded",
+    "q23_frames": "per-day rollup, calendar-bounded",
+    "q275_doremi_mix": "largest-remainder over the 20-row strata table",
+    "q282_interleave_schedule":
+        "apportionment/schedule windows over one row per source",
+}
 
 
 def read(path):
@@ -42,6 +65,22 @@ def main() -> int:
     if sorted(led) != sorted(led_sf):
         errs.append("EXCHANGES.txt vs EXCHANGES_sf0.1.txt: query sets differ "
                     f"({len(led)} vs {len(led_sf)} rows)")
+
+    for ledger in ("EXCHANGES.txt", "EXCHANGES_sf0.1.txt"):
+        for line in read(ledger).splitlines():
+            if not line.strip():
+                continue
+            name = line.split()[0]
+            m = re.search(r"\bgwin=(\d+)\b", line)
+            if not m:
+                errs.append(f"{ledger}: {name} has no gwin= count "
+                            "(stale ledger format — regenerate)")
+            elif int(m.group(1)) > 0 and name not in GWIN_ALLOWLIST:
+                errs.append(
+                    f"{ledger}: {name} plans {m.group(1)} partition-less "
+                    "window(s) and is not on the bounded-input allowlist "
+                    "— rewrite via PrefixSum.withOrdinals or annotate "
+                    "its boundedness in GWIN_ALLOWLIST")
 
     coverage = read("COVERAGE.md")
     undocumented = [q for q in led if q not in coverage]
@@ -61,7 +100,10 @@ def main() -> int:
         if not os.path.exists(os.path.join(REPO, bench)):
             errs.append(f"STATUS.md references {bench}, which does not exist "
                         "(the phantom-snapshot class)")
-    snaps = sorted(glob.glob(os.path.join(REPO, "BENCH_local_r*.json")))
+    # numeric round sort: lexicographic would rank r8 above r10 once
+    # rounds hit double digits, silently re-validating a stale snapshot
+    snaps = sorted(glob.glob(os.path.join(REPO, "BENCH_local_r*.json")),
+                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
     if snaps:
         newest = snaps[-1]
         data = json.load(open(newest))
@@ -70,6 +112,42 @@ def main() -> int:
             errs.append(f"{os.path.basename(newest)} missing medians for "
                         f"{len(missing)} ledger queries: "
                         f"{', '.join(sorted(missing)[:10])}")
+
+    # determinism-sweep ledger: set-identical to the query surface,
+    # coverage never stale (every query swept within ~one rotation;
+    # sweep-0 entries are new queries awaiting their first run, capped
+    # so "never ran the spec" can't hide behind "new")
+    dl_path = os.path.join(REPO, "tools/determinism_ledger.txt")
+    if not os.path.exists(dl_path):
+        errs.append("tools/determinism_ledger.txt missing — "
+                    "DeterminismSpec writes it; run sbt test")
+    else:
+        dl = {}
+        for line in read("tools/determinism_ledger.txt").splitlines():
+            if line.strip():
+                q, s = line.split()
+                dl[q] = int(s)
+        if set(dl) != set(led):
+            extra = sorted(set(dl) - set(led))[:5]
+            miss = sorted(set(led) - set(dl))[:5]
+            errs.append("determinism ledger != query surface "
+                        f"(extra: {extra}, missing: {miss})")
+        swept = [s for s in dl.values() if s > 0]
+        if swept:
+            rotation = -(-len(dl) // 20) + 2  # ceil(N/20) + slack
+            stale = [q for q, s in dl.items()
+                     if 0 < s < max(swept) - rotation]
+            if stale:
+                errs.append(f"{len(stale)} queries not width-swept "
+                            f"within one rotation: {sorted(stale)[:10]}")
+            # sweep 0 = no RECORDED sweep yet (ledger introduced round
+            # 9). Least-recent selection touches all N queries within
+            # ceil(N/20) sweeps, so once that many have run, remaining
+            # zeros mean the spec stopped running — fail loudly.
+            zeros = [q for q, s in dl.items() if s == 0]
+            if max(swept) > rotation and len(zeros) > 25:
+                errs.append(f"{len(zeros)} queries have NEVER been "
+                            "width-swept (sweep 0) — run DeterminismSpec")
 
     entry = read("src/main/scala/graft/SparkEntry.scala")
     for f in sorted(glob.glob(os.path.join(
