@@ -155,6 +155,89 @@ object Extended26 {
       .orderBy($"pct")
   }
 
+  /** Within-document repetition filters (the Gopher/MassiveText
+    * quality rules, Rae et al. 2021, token-level analog): per doc and
+    * n ∈ {2,3,4}, the fraction of n-gram INSTANCES that are repeats
+    * (1 − distinct/total, in exact basis points) plus the most
+    * frequent 4-gram's count and instance share — the "document
+    * stuck in a loop" signal quality pipelines cut on. All ratios
+    * are exact integer divisions of counts (cross-engine identical).
+    *
+    * Scale shape: ONE generator explodes all three n-gram streams
+    * tagged by n (no per-doc quadratic in-row counting — a repeated
+    * 4-gram census via nested array functions would be O(len²) per
+    * row); two keyed aggregates (map-side combinable) and a
+    * broadcast-free pivot by the 3-value n column; the doc spine
+    * left-joins the (doc)-keyed stats, so short docs (< n tokens)
+    * report zeros instead of vanishing.
+    */
+  val q290_repetition_stats: Q = Q(
+    "q290_repetition_stats",
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(text), '\s+') AS tk FROM documents),
+      |nn AS (SELECT unnest([2, 3, 4]) AS n),
+      |gi AS (SELECT doc_id, n, tk,
+      |    unnest(range(1, greatest(len(tk) - n + 1, 0) + 1)) AS i
+      |  FROM t CROSS JOIN nn),
+      |g AS (SELECT doc_id, n,
+      |    array_to_string(tk[i:i+n-1], ' ') AS gram FROM gi),
+      |c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g
+      |  GROUP BY 1, 2, 3),
+      |s AS (SELECT doc_id, n, SUM(c) AS tot, COUNT(*) AS dis,
+      |    MAX(c) AS mx FROM c GROUP BY 1, 2),
+      |p AS (SELECT doc_id,
+      |    MAX(CASE WHEN n = 2 THEN 10000 * (tot - dis) // tot END) AS r2,
+      |    MAX(CASE WHEN n = 3 THEN 10000 * (tot - dis) // tot END) AS r3,
+      |    MAX(CASE WHEN n = 4 THEN 10000 * (tot - dis) // tot END) AS r4,
+      |    MAX(CASE WHEN n = 4 THEN mx END) AS m4,
+      |    MAX(CASE WHEN n = 4 THEN 10000 * mx // tot END) AS s4
+      |  FROM s GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(COALESCE(p.r2, 0) AS BIGINT) AS rep2_bp,
+      |  CAST(COALESCE(p.r3, 0) AS BIGINT) AS rep3_bp,
+      |  CAST(COALESCE(p.r4, 0) AS BIGINT) AS rep4_bp,
+      |  CAST(COALESCE(p.m4, 0) AS BIGINT) AS top4_cnt,
+      |  CAST(COALESCE(p.s4, 0) AS BIGINT) AS top4_bp
+      |FROM t LEFT JOIN p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions.positionalShingles
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val grams = docs.select($"doc_id",
+        explode(concat(
+          transform(positionalShingles($"text", 2),
+            x => struct(lit(2).as("n"), x.as("gram"))),
+          transform(positionalShingles($"text", 3),
+            x => struct(lit(3).as("n"), x.as("gram"))),
+          transform(positionalShingles($"text", 4),
+            x => struct(lit(4).as("n"), x.as("gram"))))).as("x"))
+      .select($"doc_id", $"x.n".as("n"), $"x.gram".as("gram"))
+    val s = grams.groupBy($"doc_id", $"n", $"gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n")
+      .agg(sum($"c").as("tot"), count(lit(1)).as("dis"),
+        max($"c").as("mx"))
+    val p = s.groupBy($"doc_id")
+      .agg(
+        max(when($"n" === 2, expr("10000 * (tot - dis) DIV tot")))
+          .as("r2"),
+        max(when($"n" === 3, expr("10000 * (tot - dis) DIV tot")))
+          .as("r3"),
+        max(when($"n" === 4, expr("10000 * (tot - dis) DIV tot")))
+          .as("r4"),
+        max(when($"n" === 4, $"mx")).as("m4"),
+        max(when($"n" === 4, expr("10000 * mx DIV tot"))).as("s4"))
+    docs.select($"doc_id")
+      .join(p, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"r2", lit(0L)).as("rep2_bp"),
+        coalesce($"r3", lit(0L)).as("rep3_bp"),
+        coalesce($"r4", lit(0L)).as("rep4_bp"),
+        coalesce($"m4", lit(0L)).as("top4_cnt"),
+        coalesce($"s4", lit(0L)).as("top4_bp"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Q] = Seq(q287_dup_span_detect, q288_dup_span_strip,
-    q289_fact_ntile)
+    q289_fact_ntile, q290_repetition_stats)
 }

@@ -40,12 +40,42 @@ def ledger(path):
     return out
 
 
+def calib(path):
+    """The snapshot's host-speed calibration pair (round 9+), or {}."""
+    with open(path) as f:
+        try:
+            return json.load(f).get("calib", {})
+        except Exception:
+            return {}
+
+
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     old, new = load(old_path), load(new_path)
     led = ledger(os.path.join(repo, "EXCHANGES.txt"))
+
+    # overall drift + host-speed separation: the calibration pair is
+    # SF- and plan-independent, so query-median drift ~= calib drift
+    # means the VM changed speed, not the engine
+    import statistics
+    ratios = [new[k] / old[k] for k in set(old) & set(new)
+              if old[k] > 0 and new[k] > 0]
+    if ratios:
+        med = statistics.median(ratios)
+        print(f"overall: median query ratio {med:.3f} "
+              f"({len(ratios)} common)")
+        oc, nc = calib(old_path), calib(new_path)
+        for key in ("cpu_md5_sec", "spark_range_sec"):
+            if oc.get(key) and nc.get(key):
+                print(f"calib {key}: {oc[key]:.3f} -> {nc[key]:.3f} "
+                      f"(ratio {nc[key] / oc[key]:.3f})")
+        if oc.get("cpu_md5_sec") and nc.get("cpu_md5_sec"):
+            host = nc["cpu_md5_sec"] / oc["cpu_md5_sec"]
+            resid = med / host if host > 0 else float("nan")
+            print(f"host-normalized residual: {resid:.3f} "
+                  "(≈1.0 ⇒ host drift, not engine drift)")
     movers, plan_drift = [], []
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]
