@@ -64,15 +64,74 @@ object ExactSubstr {
     require(minTokens >= k,
       s"minTokens ($minTokens) must be >= k ($k): runs shorter than " +
         "the anchor unit are never candidates")
-    val g0 = df
-      .select(col(idCol).as("doc"),
+    val g = capDf(occOf(df, idCol, textCol, k), maxDf)
+    val matches = g.select(col("doc").as("doc_a"),
+        col("pos").as("pos_a"), col("hv"))
+      .join(g.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
+        col("hv")), Seq("hv"))
+      .filter(col("doc_a") < col("doc_b"))
+    mergeIntervals(markedRuns(matches, k, minTokens))
+  }
+
+  /** The incremental ARRIVAL pattern (the q286/q167 shape for exact
+    * substrings): today's `delta` probed against the standing
+    * `history` index — detected spans land on DELTA docs only, and
+    * the history×history pair space is never touched (it was already
+    * resolved the day history arrived). Candidates are
+    * history⋈delta plus delta⋈delta; with every history id below
+    * every delta id (the append-only contract, REQUIRED — checked on
+    * the ids that actually collide), the output is IDENTICAL to
+    * running [[dupSpans]] over history ∪ delta and keeping the delta
+    * docs (property-pinned). History text is re-shingled but never
+    * enters pair space against itself — at corpus scale the occ
+    * index is the staged table a daily pipeline persists.
+    */
+  def incrementalDupSpans(history: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, minTokens: Int = 16)
+      : DataFrame = {
+    require(minTokens >= k,
+      s"minTokens ($minTokens) must be >= k ($k)")
+    val gh = occOf(history, idCol, textCol, k)
+    val gd = occOf(delta, idCol, textCol, k)
+    val dSide = gd.select(col("doc").as("doc_b"),
+      col("pos").as("pos_b"), col("hv"))
+    // history → delta: history is always the canonical (lower-id)
+    // side; the assert makes the append-only contract loud instead of
+    // silently mis-marking (a history id above a delta id would have
+    // been the marked side in the full formulation)
+    val hMatches = gh.select(col("doc").as("doc_a"),
+        col("pos").as("pos_a"), col("hv"))
+      .join(dSide, Seq("hv"))
+      .select(assert_true(col("doc_a") < col("doc_b"),
+        lit("incrementalDupSpans: history ids must all be below " +
+          "delta ids")).as("_ok"),
+        col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"))
+      .filter(col("_ok").isNull) // assert_true yields NULL on pass
+      .drop("_ok")
+    val dMatches = gd.select(col("doc").as("doc_a"),
+        col("pos").as("pos_a"), col("hv"))
+      .join(dSide, Seq("hv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"))
+    mergeIntervals(
+      markedRuns(hMatches.unionByName(dMatches), k, minTokens))
+  }
+
+  /** (doc, pos, 60-bit hash) anchor index — text leaves the plan
+    * here; checkpointed because every caller joins it at least twice.
+    */
+  private def occOf(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
         posexplode_outer(
           graft.plans.Md5PrefixLongs(
             TextFunctions.positionalShingles(col(textCol), k)))
           .as(Seq("pos", "hv")))
       .filter(col("hv").isNotNull)
-      .localCheckpoint() // self-joined: don't re-shingle both sides
-    val g = maxDf match {
+      .localCheckpoint()
+
+  private def capDf(g0: DataFrame, maxDf: Option[Long]): DataFrame =
+    maxDf match {
       case Some(cap) =>
         val rare = g0.groupBy(col("hv"))
           .agg(countDistinct(col("doc")).as("_df"))
@@ -81,27 +140,26 @@ object ExactSubstr {
         g0.join(rare, Seq("hv"), "left_semi")
       case None => g0
     }
-    val matches = g.select(col("doc").as("doc_a"),
-        col("pos").as("pos_a"), col("hv"))
-      .join(g.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
-        col("hv")), Seq("hv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pos_b"),
-        (col("pos_a") - col("pos_b")).as("diag"))
+
+  /** Maximal diagonal runs ≥ minTokens from (doc_a, doc_b, pos_a,
+    * pos_b) anchor matches; the HIGHER doc id is the marked side.
+    * Distinct because different partners/diagonals can mark identical
+    * intervals.
+    */
+  private def markedRuns(matches: DataFrame, k: Int, minTokens: Int)
+      : DataFrame = {
+    val m = matches.select(col("doc_a"), col("doc_b"), col("pos_b"),
+      (col("pos_a") - col("pos_b")).as("diag"))
     val wRun = Window.partitionBy(col("doc_a"), col("doc_b"),
       col("diag")).orderBy(col("pos_b"))
-    val marked = matches
-      .withColumn("grp", col("pos_b") - row_number().over(wRun))
+    m.withColumn("grp", col("pos_b") - row_number().over(wRun))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
       .agg(min(col("pos_b")).as("start"),
         (count(lit(1)) + lit(k - 1)).cast("long").as("len"))
       .filter(col("len") >= minTokens)
-      // the higher doc id is the marked side; different partners /
-      // diagonals can mark identical intervals — dedup before merging
       .select(col("doc_b").as("doc"), col("start").cast("long"),
         col("len"))
       .distinct()
-    mergeIntervals(marked)
   }
 
   /** Interval union per doc (gaps-and-islands): input

@@ -155,6 +155,50 @@ object Extended26 {
       .orderBy($"pct")
   }
 
+  /** Incremental long-dup-span detection
+    * ([[ExactSubstr.incrementalDupSpans]], the q286/q167 arrival
+    * pattern for exact substrings): today's crawl (doc_id > cut)
+    * probed against the standing corpus (doc_id ≤ cut) — history
+    * never re-pairs against itself, delta docs carry the marks, and
+    * with append-only ids the result is EXACTLY the full q287 answer
+    * restricted to delta docs (property-pinned; the oracle states it
+    * that way declaratively). cut = max doc_id div 2, the q286
+    * convention.
+    */
+  val q291_incremental_dup_spans: Q = Q(
+    "q291_incremental_dup_spans",
+    s"""WITH $DupRunCtes,
+      |cutc AS (SELECT MAX(doc_id) // 2 AS cut FROM documents),
+      |m2 AS (SELECT m.doc_id, m.s, m.len FROM marks m, cutc
+      |  WHERE m.doc_id > cutc.cut),
+      |o AS (SELECT doc_id, s, s + len AS e,
+      |    MAX(s + len) OVER (PARTITION BY doc_id ORDER BY s, s + len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      |  FROM m2),
+      |isl AS (SELECT doc_id, s, e,
+      |    SUM(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+      |  FROM o),
+      |sp AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+      |  CAST(MAX(e - s) AS BIGINT) AS max_span
+      |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    val cut = docs.agg(max($"doc_id")).as[Long].head() / 2
+    ExactSubstr.incrementalDupSpans(
+        docs.filter($"doc_id" <= cut),
+        docs.filter($"doc_id" > cut),
+        "doc_id", "text", k = 8, minTokens = 16)
+      .groupBy($"doc".as("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"len").as("dup_tokens"),
+        max($"len").as("max_span"))
+      .orderBy($"doc_id")
+  }
+
   /** Within-document repetition filters (the Gopher/MassiveText
     * quality rules, Rae et al. 2021, token-level analog): per doc and
     * n ∈ {2,3,4}, the fraction of n-gram INSTANCES that are repeats
@@ -239,5 +283,5 @@ object Extended26 {
   }
 
   val all: Seq[Q] = Seq(q287_dup_span_detect, q288_dup_span_strip,
-    q289_fact_ntile, q290_repetition_stats)
+    q289_fact_ntile, q290_repetition_stats, q291_incremental_dup_spans)
 }

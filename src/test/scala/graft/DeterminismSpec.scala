@@ -61,7 +61,9 @@ class DeterminismSpec extends SparkSpec {
       }
     }
     // record only queries that actually passed the sweep, THEN fail
-    val swept = sample.filterNot(n => failures.exists(_.startsWith(n)))
+    // (match on "name:" — a bare prefix could collide across names)
+    val swept = sample.filterNot(n =>
+      failures.exists(_.startsWith(n + ":")))
     val updated = ledger ++ swept.map(_ -> sweepId)
     java.nio.file.Files.write(LedgerPath,
       updated.toSeq.sortBy(_._1)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.scalacheck.{Gen, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 import graft.SparkSpec
 
 /** [[ExactSubstr]] vs a quadratic sequential reference: on tiny-vocab
@@ -88,6 +88,46 @@ object ExactSubstrProps extends Properties("ExactSubstr") {
       }
       gotSets == expect && disjoint && inBounds
     }
+
+  property("incrementalDupSpans == full dupSpans restricted to the " +
+    "delta docs (append-only id contract)") =
+    forAll(corpusGen) { case (texts, minTokens) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val cut = docs.size / 2
+      val hist = docs.filter(_._1 < cut)
+      val delta = docs.filter(_._1 >= cut)
+      (hist.nonEmpty && delta.nonEmpty) ==> {
+        val full = ExactSubstr.dupSpans(
+            docs.toDF("doc_id", "text").repartition(3),
+            "doc_id", "text", k, minTokens)
+          .as[(Long, Long, Long)].collect()
+          .filter(_._1 >= cut).toSet
+        val inc = ExactSubstr.incrementalDupSpans(
+            hist.toDF("doc_id", "text"),
+            delta.toDF("doc_id", "text").repartition(2),
+            "doc_id", "text", k, minTokens)
+          .as[(Long, Long, Long)].collect().toSet
+        inc == full
+      }
+    }
+
+  property("incrementalDupSpans FAILS LOUDLY when a history id sits " +
+    "above a colliding delta id") = {
+    val shared = Vector.fill(8)("a").mkString(" ")
+    val hist = Seq((5L, shared)).toDF("doc_id", "text")
+    val delta = Seq((0L, shared)).toDF("doc_id", "text")
+    try {
+      ExactSubstr.incrementalDupSpans(hist, delta,
+        "doc_id", "text", k, minTokens = k).collect()
+      false // silent mis-marking — the contract the assert guards
+    } catch {
+      case e: Throwable =>
+        Iterator.iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null).take(8)
+          .exists(t => Option(t.getMessage)
+            .exists(_.contains("history ids must all be below")))
+    }
+  }
 
   property("strip rebuilds each doc from exactly the unmarked tokens") =
     forAll(corpusGen) { case (texts, minTokens) =>
