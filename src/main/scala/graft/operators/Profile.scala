@@ -219,6 +219,173 @@ object Profile {
           |  (10000 * _topc) DIV _n END AS topk_mass_bp""".stripMargin)
   }
 
+  /** Token counts ranked 1..V by (count desc, token asc) — the shared
+    * spine of [[zipfFit]] and [[rankFreqOctaves]]. Ranks ride
+    * [[PrefixSum]]'s two-phase scan, so a billion-type vocabulary
+    * never funnels into the partition-less-window single-task trap
+    * (the oracle states the same rank declaratively with
+    * ROW_NUMBER — DuckDB may window freely, the ENGINE may not).
+    */
+  private def rankedTokenCounts(df: DataFrame, textCol: Column)
+      : DataFrame = {
+    val wc = df
+      .select(explode(TextFunctions.lowerTokens(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    PrefixSum.exclusive(
+        wc.withColumn("_negc", -col("c")).withColumn("_one", lit(1L)),
+        Seq("_negc", "w"), "_one", "_rk0")
+      .select(col("w"), col("c"), (col("_rk0") + 1L).as("rk"))
+  }
+
+  /** Zipf's-law fit over the token rank–frequency distribution: OLS
+    * of ⌊log₂ count⌋ on ⌊log₂ rank⌋ in EXACT integer arithmetic (the
+    * no-transcendentals discipline — every "log" is a binary bit
+    * length, every division a guarded integer DIV both engines replay
+    * identically). A healthy natural-language corpus fits slope ≈ −1
+    * with high r²; template spam flattens the head, OCR noise fattens
+    * the tail. One row: `n_types, n_tokens, sx, sy, sxy, sxx` (the
+    * raw sums, so callers can re-derive any precision they like) plus
+    *
+    *  - `slope_milli` = 1000·(nΣxy − ΣxΣy)/(nΣx² − (Σx)²), floored
+    *    symmetrically (negative slopes floor toward zero — the CASE
+    *    keeps both engines on non-negative DIV, where `//` ≡ `DIV`);
+    *  - `r2_bp` = num²/(den·Syy) in basis points, computed as
+    *    ((10⁴·|num| div den)·|num|) div Syy — dividing EARLY keeps
+    *    every intermediate within decimal(38,0) at 10⁹-type scale
+    *    (num ~ 4·10³·V², so num² would overflow at V ≥ 10⁸).
+    *
+    * Scale shape: one tokenize + keyed count, the rank scan, one
+    * 7-sum aggregate — the corpus is touched once, the vocab twice,
+    * nothing collects but the scan's one-long-per-partition offsets.
+    */
+  def zipfFit(df: DataFrame, textCol: Column): DataFrame =
+    rankedTokenCounts(df, textCol)
+      .select(flog2(col("rk")).as("x"), flog2(col("c")).as("y"),
+        col("c"))
+      .agg(
+        count(lit(1)).as("_n"),
+        coalesce(sum(col("c")), lit(0L)).as("_nt"),
+        coalesce(sum(col("x")), lit(0L)).as("_sx"),
+        coalesce(sum(col("y")), lit(0L)).as("_sy"),
+        coalesce(sum((col("x") * col("y")).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("_sxy"),
+        coalesce(sum((col("x") * col("x")).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("_sxx"),
+        coalesce(sum((col("y") * col("y")).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("_syy"))
+      .withColumn("_num",
+        expr("CAST(_n AS DECIMAL(38,0)) * _sxy " +
+          "- CAST(_sx AS DECIMAL(38,0)) * _sy"))
+      .withColumn("_den",
+        expr("CAST(_n AS DECIMAL(38,0)) * _sxx " +
+          "- CAST(_sx AS DECIMAL(38,0)) * _sx"))
+      .withColumn("_svy",
+        expr("CAST(_n AS DECIMAL(38,0)) * _syy " +
+          "- CAST(_sy AS DECIMAL(38,0)) * _sy"))
+      .selectExpr(
+        "CAST(_n AS BIGINT) AS n_types",
+        "CAST(_nt AS BIGINT) AS n_tokens",
+        "CAST(_sx AS BIGINT) AS sx",
+        "CAST(_sy AS BIGINT) AS sy",
+        "CAST(_sxy AS BIGINT) AS sxy",
+        "CAST(_sxx AS BIGINT) AS sxx",
+        """CASE WHEN _den = 0 THEN CAST(0 AS BIGINT)
+          |  WHEN _num >= 0 THEN CAST((1000 * _num) DIV _den AS BIGINT)
+          |  ELSE -CAST((1000 * (0 - _num)) DIV _den AS BIGINT)
+          |  END AS slope_milli""".stripMargin,
+        """CASE WHEN _den = 0 OR _svy = 0 THEN CAST(0 AS BIGINT)
+          |  ELSE CAST((((10000 * abs(_num)) DIV _den) * abs(_num))
+          |    DIV _svy AS BIGINT) END AS r2_bp""".stripMargin)
+
+  /** Rank–frequency table by OCTAVE of rank (octave = ⌊log₂ rank⌋ —
+    * ranks 1 / 2–3 / 4–7 / …): per octave the type count, token mass,
+    * min/max frequency, and mass share in basis points. Under Zipf,
+    * mass-per-octave is roughly flat — a glance-readable shape test
+    * that complements [[zipfFit]]'s single slope. ≤ 64 octaves by
+    * construction, so everything after the rank scan is bounded.
+    *
+    * Scale shape: the vocab-sized rank scan feeds ONE ≤64-row keyed
+    * rollup (checkpointed — the total-mass pass and the share pass
+    * both read it); the corpus total is Σ mass over those rows, so
+    * the token stream is touched exactly once.
+    */
+  def rankFreqOctaves(df: DataFrame, textCol: Column): DataFrame = {
+    val oct = rankedTokenCounts(df, textCol)
+      .groupBy(flog2(col("rk")).as("octave"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("mass"),
+        min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+      .localCheckpoint() // ≤64 rows; totals + share pass both read it
+    val tot = oct.agg(coalesce(sum(col("mass")), lit(0L)).as("_tot"))
+    oct.crossJoin(broadcast(tot))
+      .selectExpr("octave", "n_types", "mass", "min_c", "max_c",
+        """CASE WHEN _tot = 0 THEN CAST(0 AS BIGINT)
+          |  ELSE CAST((10000 * mass) DIV _tot AS BIGINT)
+          |  END AS mass_bp""".stripMargin)
+      .orderBy(col("octave"))
+  }
+
+  /** Per-source divergence from the REST of the corpus — "which crawl
+    * is distributionally alien?": for each source, its unique-type
+    * count and mass share, and the exact total-variation distance
+    * between its unigram distribution and the rest-of-corpus
+    * distribution, in basis points. Complements [[vocabDrift]] (old
+    * vs new snapshot) and q188 (share drift) with a one-vs-rest
+    * static decomposition.
+    *
+    * TVD(s, r) = [Σ_{w∈s} |c_s·n_r − c_r·n_s| + n_s·(n_r −
+    * Σ_{w∈s} c_r)] / (2·n_s·n_r) — the second term folds every token
+    * type ABSENT from s algebraically, so the (source × vocab) frame
+    * is only as large as the observed (source, token) pairs; nothing
+    * ever materializes the missing-word cross product. Internal
+    * products reach n_s·n_r ≈ N² — decimal(38,0) (oracle: HUGEINT),
+    * safe to N ≈ 10¹⁸ tokens.
+    *
+    * Scale shape: ONE tokenize builds the (source, token) counts
+    * (checkpointed — the token marginal, the source totals and the
+    * join all read it); the token marginal joins vocab-keyed, the
+    * bounded source-totals table and the scalar N broadcast; one
+    * keyed aggregate per source finishes. The corpus is touched once.
+    */
+  def sourceDivergence(df: DataFrame, keyCol: String, textCol: Column)
+      : DataFrame = {
+    val sw = df
+      .select(col(keyCol).cast("string").as("src"),
+        explode(TextFunctions.lowerTokens(textCol)).as("w"))
+      .groupBy(col("src"), col("w")).agg(count(lit(1)).as("cs"))
+      .localCheckpoint() // marginal + totals + join all read it
+    val wt = sw.groupBy(col("w"))
+      .agg(sum(col("cs")).as("ct"), count(lit(1)).as("nsrc"))
+    val st = sw.groupBy(col("src"))
+      .agg(sum(col("cs")).as("ns"), count(lit(1)).as("ntypes"))
+    val tt = sw.agg(coalesce(sum(col("cs")), lit(0L)).as("nn"))
+    sw.join(wt, Seq("w"))
+      .join(broadcast(st), Seq("src"))
+      .crossJoin(broadcast(tt))
+      .groupBy(col("src"))
+      .agg(min(col("ns")).as("_ns"), min(col("ntypes")).as("_ntypes"),
+        min(col("nn")).as("_nn"),
+        sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("_ut"),
+        sum(when(col("nsrc") === 1, col("cs")).otherwise(0L)).as("_um"),
+        sum((col("ct") - col("cs")).cast("decimal(38,0)")).as("_scr"),
+        sum(abs(col("cs").cast("decimal(38,0)")
+            * (col("nn") - col("ns"))
+          - (col("ct") - col("cs")).cast("decimal(38,0)")
+            * col("ns"))).as("_sabs"))
+      .selectExpr("src AS source",
+        "CAST(_ns AS BIGINT) AS n_tokens",
+        "CAST(_ntypes AS BIGINT) AS n_types",
+        "CAST(_ut AS BIGINT) AS uniq_types",
+        "CAST(_um AS BIGINT) AS uniq_mass",
+        """CASE WHEN _ns = 0 THEN CAST(0 AS BIGINT)
+          |  ELSE (10000 * _um) DIV _ns END AS uniq_mass_bp""".stripMargin,
+        """CASE WHEN _ns = 0 OR _nn - _ns = 0 THEN CAST(0 AS BIGINT)
+          |  ELSE CAST((10000 * (_sabs + CAST(_ns AS DECIMAL(38,0))
+          |      * ((_nn - _ns) - _scr)))
+          |    DIV (2 * CAST(_ns AS DECIMAL(38,0)) * (_nn - _ns))
+          |    AS BIGINT) END AS tvd_bp""".stripMargin)
+      .orderBy(col("source"))
+  }
+
   /** Vocabulary growth curve (the Heaps'-law measurement): cumulative
     * distinct types vs cumulative tokens at `buckets` equal-rank
     * document cutpoints, documents ordered by id. Sub-linear growth

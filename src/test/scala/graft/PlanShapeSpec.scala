@@ -998,4 +998,33 @@ class PlanShapeSpec extends SparkSpec {
         s"$q must rank via the ordinal scan, not any window:\n$p")
     }
   }
+
+  test("q292/q293's vocabulary ranks plan ZERO windows — the oracle " +
+    "may ROW_NUMBER, the engine ranks via PrefixSum's two-phase scan") {
+    Seq("q292_zipf_fit", "q293_rank_freq_octaves").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(PlanScan.globalWindowCount(df) == 0,
+        s"$q plans a partition-less window over the vocabulary")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        s"$q must rank via the ordinal scan, not any window:\n$p")
+    }
+  }
+
+  test("q294's silhouette broadcasts only the bounded centroid/total " +
+    "tables — embedding codes never enter a broadcast, no windows") {
+    val df = SparkEntry.queries("q294_cluster_quality")(spark, sfDir)
+    assert(PlanScan.globalWindowCount(df) == 0)
+    val sections = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+      .split("\n\n")
+    val bcasts = sections.filter(s => s.startsWith("(") &&
+      s.linesIterator.next().contains("BroadcastExchange"))
+    assert(bcasts.nonEmpty, "the centroid table must broadcast")
+    bcasts.foreach { s =>
+      assert(!s.contains("codes#") && !s.contains("embedding#"),
+        s"the corpus side entered a broadcast:\n$s")
+    }
+  }
 }
