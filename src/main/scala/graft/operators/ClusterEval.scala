@@ -129,6 +129,74 @@ object ClusterEval {
       .orderBy(col("label"))
   }
 
+  /** Davies–Bouldin audit per label in exact integer space: for each
+    * label i, the worst ratio over other labels j of
+    * `r_ij_milli = 1000·(ā_i + ā_j)/d_ij` where ā = mean squared
+    * distance to the own centroid and d_ij = squared centroid–centroid
+    * distance — computed as the single floor
+    * `1000·(a_i·n_j + a_j·n_i) div (n_i·n_j·d_ij)` (one division at
+    * the end; internal products ride decimal(38,0) / HUGEINT, safe to
+    * n ≈ 10¹⁵ points). Lower is better-separated; the argmax names
+    * the confuser. Merged centroids (d_ij = 0) pin the sentinel 10⁹
+    * milli — "infinitely confusable", deterministically, instead of a
+    * divide-by-zero. Ties break to the smaller other-label. A
+    * single-label input yields zero rows (DB is undefined).
+    *
+    * Scale shape: one in-row distance pass (same broadcast centroid
+    * row as [[silhouette]]) reduced to k (n, Σa) rows; everything
+    * after — the k² ratio table, the per-label max — is
+    * label-bounded. The per-label argmax window partitions by label
+    * (bounded, never partition-less).
+    *
+    * @return one row per label (k ≥ 2): `label, n, a_sum,
+    *         worst_label, db_milli`, ordered by label
+    */
+  def daviesBouldin(vecs: DataFrame, idCol: String, labelCol: String,
+      codesCol: String): DataFrame = {
+    val pts = selectPts(vecs, idCol, labelCol, codesCol)
+    val cents = centsRow(pts)
+    val stats = pts
+      .crossJoin(broadcast(cents))
+      .withColumn("a", sqDist(col("codes"),
+        element_at(filter(col("cents"),
+          c => c("l") === col("label")), 1)("cv")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("a_sum"))
+      .localCheckpoint() // k rows distilled from the corpus pass —
+                         // both sides of the ratio table read it
+    val centTable = cents
+      .select(explode(col("cents")).as("c"))
+      .select(col("c.l").as("l"), col("c.cv").as("cv"))
+    val pairs = centTable.as("x")
+      .crossJoin(broadcast(centTable.as("y")))
+      .filter(col("x.l") =!= col("y.l"))
+      .select(col("x.l").as("li"), col("y.l").as("lj"),
+        sqDist(col("x.cv"), col("y.cv")).as("dij"))
+    val ratios = pairs
+      .join(broadcast(stats.select(col("label").as("li"),
+        col("n").as("ni"), col("a_sum").as("ai"))), Seq("li"))
+      .join(broadcast(stats.select(col("label").as("lj"),
+        col("n").as("nj"), col("a_sum").as("aj"))), Seq("lj"))
+      .withColumn("r_milli", expr(
+        """CASE WHEN dij = 0 THEN CAST(1000000000 AS BIGINT)
+          |  ELSE CAST((1000 * (CAST(ai AS DECIMAL(38,0)) * nj
+          |      + CAST(aj AS DECIMAL(38,0)) * ni))
+          |    DIV (CAST(ni AS DECIMAL(38,0)) * nj * dij) AS BIGINT)
+          |  END""".stripMargin))
+    import org.apache.spark.sql.expressions.Window
+    // bounded k² rows; the window partitions by label — never the
+    // partition-less single-task funnel
+    ratios
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("li"))
+        .orderBy(col("r_milli").desc, col("lj"))))
+      .filter(col("_rn") === 1)
+      .join(broadcast(stats.select(col("label").as("li"), col("n"),
+        col("a_sum"))), Seq("li"))
+      .select(col("li").as("label"), col("n"), col("a_sum"),
+        col("lj").as("worst_label"), col("r_milli").as("db_milli"))
+      .orderBy(col("label"))
+  }
+
   /** Nearest-centroid confusion matrix — the classifier-free label-
     * noise detector: each point is assigned to its closest label
     * centroid (exact squared L2 on int codes; ties break to the

@@ -30,9 +30,10 @@ object Extended27 {
       |r AS (SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
       |  FROM wc)""".stripMargin
 
-  // q294/q297 shared oracle CTEs: int8 codes + floor-mean centroids +
-  // all (point, centroid) squared distances
-  private val CentroidCtes =
+  // q294/q297/q299/q300 shared oracle CTEs: int8 codes + floor-mean
+  // centroids + all (point, centroid) squared distances (DuckDB
+  // inlines CTEs lazily, so queries referencing only `c` pay only `c`)
+  private[queries] val CentroidCtes =
     """r0 AS (SELECT vec_id, label, embedding,
       |    CAST(list_min(embedding) AS DOUBLE) AS mn,
       |    CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{ClusterEval, Coreset}
+
+/** Round-9 tranche XV: cluster-separation index + diversity coreset —
+  * the remaining two pieces of the embedding-curation toolkit after
+  * q294/q297: a per-label Davies–Bouldin separation audit and greedy
+  * k-center exemplar selection, both in the exact int-code geometry
+  * (every comparison an integer both engines replay identically).
+  *
+  * Reference anchor: the curriculum's vector/similarity labs
+  * (`3-spark-fundamentals`); the audits are the training-data
+  * extension.
+  */
+object Extended28 {
+
+  private def dD(a: String, b: String): String =
+    s"CAST(list_reduce(list_transform(range(1, 65), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), " +
+      "(u, v) -> u + v) AS BIGINT)"
+
+  /** Davies–Bouldin separation audit ([[ClusterEval.daviesBouldin]]):
+    * per label the worst `1000·(ā_i + ā_j)/d_ij` over other labels —
+    * one exact floor per pair, merged centroids pinned to the 10⁹
+    * sentinel, ties to the smaller other-label. Lower = better
+    * separated; `worst_label` names the confuser.
+    */
+  val q299_davies_bouldin: Q = Q(
+    "q299_davies_bouldin",
+    s"""WITH ${Extended27.CentroidCtes},
+      |st AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(d2) AS BIGINT) AS a_sum
+      |  FROM pd WHERE clabel = label GROUP BY 1),
+      |pr AS (SELECT x.label AS li, y.label AS lj,
+      |    ${dD("x.cent", "y.cent")} AS dij
+      |  FROM cent x, cent y WHERE x.label <> y.label),
+      |r AS (SELECT li, lj,
+      |    CASE WHEN dij = 0 THEN CAST(1000000000 AS BIGINT)
+      |      ELSE CAST((1000 * (CAST(a1.a_sum AS HUGEINT) * a2.n
+      |          + CAST(a2.a_sum AS HUGEINT) * a1.n))
+      |        // (CAST(a1.n AS HUGEINT) * a2.n * dij) AS BIGINT)
+      |      END AS r_milli
+      |  FROM pr JOIN st a1 ON a1.label = pr.li
+      |  JOIN st a2 ON a2.label = pr.lj),
+      |w AS (SELECT li, lj, r_milli, ROW_NUMBER() OVER (
+      |    PARTITION BY li ORDER BY r_milli DESC, lj) AS rn FROM r)
+      |SELECT li AS label, st.n, st.a_sum, lj AS worst_label,
+      |  r_milli AS db_milli
+      |FROM w JOIN st ON st.label = w.li WHERE rn = 1
+      |ORDER BY label""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.loadParallel(spark, dir, "embeddings")
+    ClusterEval.daviesBouldin(
+      emb.select($"vec_id", $"label",
+        ClusterEval.int8Codes($"embedding").as("codes")),
+      "vec_id", "label", "codes")
+  }
+
+  /** Greedy k-center coreset ([[Coreset.kCenterGreedy]], k = 6): the
+    * 6 maximally-spread exemplars of the embedding table with their
+    * selection-time distances (the non-increasing radius sequence).
+    * The oracle unrolls the 6 greedy rounds declaratively (the q261
+    * discipline), so every argmax — including id tie-breaks and the
+    * LEAST-chained min-distance updates — is hash-checked.
+    */
+  val q300_kcenter_coreset: Q = {
+    val steps = (2 to 6).map { i =>
+      s"""s$i AS (SELECT vec_id, codes, md FROM d${i - 1}
+         |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin +
+        (if (i < 6)
+          s""",
+             |d$i AS (SELECT d.vec_id, d.codes,
+             |    LEAST(d.md, ${dD("d.codes", "s.codes")}) AS md
+             |  FROM d${i - 1} d, s$i s
+             |  WHERE d.vec_id <> s.vec_id)""".stripMargin
+        else "")
+    }.mkString(",\n")
+    Q("q300_kcenter_coreset",
+      s"""WITH ${Extended27.CentroidCtes},
+        |s1 AS (SELECT vec_id, codes FROM c ORDER BY vec_id LIMIT 1),
+        |d1 AS (SELECT d.vec_id, d.codes,
+        |    ${dD("d.codes", "s.codes")} AS md
+        |  FROM c d, s1 s WHERE d.vec_id <> s.vec_id),
+        |$steps
+        |SELECT CAST(1 AS INT) AS step, vec_id,
+        |  CAST(0 AS BIGINT) AS sel_d2 FROM s1
+        |UNION ALL SELECT 2, vec_id, md FROM s2
+        |UNION ALL SELECT 3, vec_id, md FROM s3
+        |UNION ALL SELECT 4, vec_id, md FROM s4
+        |UNION ALL SELECT 5, vec_id, md FROM s5
+        |UNION ALL SELECT 6, vec_id, md FROM s6
+        |ORDER BY step""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val emb = Tables.loadParallel(spark, dir, "embeddings")
+      Coreset.kCenterGreedy(
+        emb.select($"vec_id",
+          ClusterEval.int8Codes($"embedding").as("codes")),
+        "vec_id", "codes", k = 6)
+        .orderBy($"step")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q299_davies_bouldin, q300_kcenter_coreset)
+}

@@ -1011,20 +1011,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q294's silhouette broadcasts only the bounded centroid/total " +
-    "tables — embedding codes never enter a broadcast, no windows") {
-    val df = SparkEntry.queries("q294_cluster_quality")(spark, sfDir)
-    assert(PlanScan.globalWindowCount(df) == 0)
-    val sections = df.queryExecution
-      .explainString(org.apache.spark.sql.execution.ExplainMode
-        .fromString("formatted"))
-      .split("\n\n")
-    val bcasts = sections.filter(s => s.startsWith("(") &&
-      s.linesIterator.next().contains("BroadcastExchange"))
-    assert(bcasts.nonEmpty, "the centroid table must broadcast")
-    bcasts.foreach { s =>
-      assert(!s.contains("codes#") && !s.contains("embedding#"),
-        s"the corpus side entered a broadcast:\n$s")
+  test("q294/q299's cluster audits broadcast only the bounded " +
+    "centroid/stats tables — embedding codes never enter a " +
+    "broadcast, no partition-less windows") {
+    Seq("q294_cluster_quality", "q299_davies_bouldin").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(PlanScan.globalWindowCount(df) == 0,
+        s"$q plans a partition-less window")
+      val sections = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+        .split("\n\n")
+      val bcasts = sections.filter(s => s.startsWith("(") &&
+        s.linesIterator.next().contains("BroadcastExchange"))
+      assert(bcasts.nonEmpty, s"$q: the centroid table must broadcast")
+      bcasts.foreach { s =>
+        assert(!s.contains("codes#") && !s.contains("embedding#"),
+          s"$q: the corpus side entered a broadcast:\n$s")
+      }
     }
   }
 }

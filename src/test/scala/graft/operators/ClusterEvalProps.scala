@@ -62,6 +62,41 @@ object ClusterEvalProps extends Properties("ClusterEval") {
       got == ref(pts)
     }
 
+  property("daviesBouldin == brute-force reference incl. the " +
+    "merged-centroid sentinel and the single-label empty result") =
+    forAll(genPts) { pts =>
+      val cents: Map[Long, Seq[Long]] = pts.groupBy(_._2).map {
+        case (l, ps) =>
+          l -> (0 until Dim).map(d => ps.map(_._3(d)).sum / ps.size)
+      }
+      def d2(a: Seq[Long], b: Seq[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val stats = pts.groupBy(_._2).map { case (l, ps) =>
+        l -> ((ps.size.toLong, ps.map(p => d2(p._3, cents(l))).sum))
+      }
+      val want = stats.keys.toSeq.sorted.flatMap { li =>
+        val (ni, ai) = stats(li)
+        val rs = stats.keys.toSeq.sorted.filter(_ != li).map { lj =>
+          val (nj, aj) = stats(lj)
+          val dij = d2(cents(li), cents(lj))
+          val r =
+            if (dij == 0) 1000000000L
+            else ((1000 * (BigInt(ai) * nj + BigInt(aj) * ni))
+              / (BigInt(ni) * nj * dij)).toLong
+          (r, lj)
+        }
+        if (rs.isEmpty) None
+        else {
+          val (r, lj) = rs.maxBy { case (r, lj) => (r, -lj) }
+          Some((li, ni, ai, lj, r))
+        }
+      }
+      val df = pts.toDF("id", "label", "codes").repartition(5)
+      val got = ClusterEval.daviesBouldin(df, "id", "label", "codes")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      got == want
+    }
+
   property("nearestCentroidConfusion == brute-force argmin with " +
     "smaller-label ties") =
     forAll(genPts) { pts =>
