@@ -195,4 +195,43 @@ object Sampling {
       .withColumn("pos",
         expr("((2 * k - 1) * 1000000) div (2 * w_ppm)"))
   }
+
+  /** Deterministic stratified k-fold assignment — the
+    * cross-validation / shard-split primitive: within each stratum,
+    * rows ranked by the frozen `(md5(id), id)` order get
+    * `fold = (local_rank − 1) mod k`, so the k folds partition every
+    * stratum with sizes differing by AT MOST ONE (exact balance, not
+    * expected balance — a `hash(id) mod k` split only balances in
+    * expectation) while the md5 order keeps membership
+    * partitioning-independent and rerun-stable.
+    *
+    * Scale shape — why this survives a billion-row stratum where
+    * `row_number() OVER (PARTITION BY strata)` would funnel each
+    * stratum through ONE task: local ranks derive from
+    * [[PrefixSum.withOrdinals]]' GLOBAL two-phase scan over
+    * (strata, md5, id) — ranks within a stratum are contiguous in
+    * that order, so `local_rank = global_rank − stratum_base`, with
+    * the per-stratum bases an exclusive prefix over the
+    * aggregate-bounded stratum counts (broadcast back). One range
+    * exchange + one bounded-table broadcast; no per-stratum task.
+    *
+    * @param strataCol bounded-cardinality stratum key (the offsets
+    *                  table must broadcast)
+    * @return df columns + `fold` (0..k−1, long)
+    */
+  def stratifiedFolds(df: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = df.withColumn("_h", md5(col(idCol).cast("string")))
+    val counts = d.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_c"))
+    val offs = PrefixSum.exclusive(counts, Seq(strataCol), "_c", "_cum")
+      .select(col(strataCol), (col("_cum") + 1L).as("_base"))
+    val (ranked, _) = PrefixSum.withOrdinals(d,
+      Seq(strataCol, "_h", idCol), "_rn")
+    ranked.join(broadcast(offs), Seq(strataCol))
+      .withColumn("fold",
+        expr(s"CAST((_rn - _base) % $k AS BIGINT)"))
+      .drop("_h", "_rn", "_base")
+  }
 }

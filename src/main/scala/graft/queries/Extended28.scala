@@ -2,16 +2,18 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{ClusterEval, Coreset}
+import graft.operators.{ClusterEval, Coreset, Sampling}
 
-/** Round-9 tranche XV: cluster-separation index + diversity coreset —
-  * the remaining two pieces of the embedding-curation toolkit after
-  * q294/q297: a per-label Davies–Bouldin separation audit and greedy
-  * k-center exemplar selection, both in the exact int-code geometry
-  * (every comparison an integer both engines replay identically).
+/** Round-9 tranches XV+XVI: cluster-separation index, diversity
+  * coreset, exact stratified k-fold split, and Chao1 vocabulary
+  * richness — the embedding-curation closers after q294/q297 plus
+  * two split/diversity primitives, all in the exact-integer
+  * discipline (every comparison an integer both engines replay
+  * identically).
   *
   * Reference anchor: the curriculum's vector/similarity labs
-  * (`3-spark-fundamentals`); the audits are the training-data
+  * (`3-spark-fundamentals`) and its train/test splitting
+  * (`assignment_3_spark.py`); the audits are the training-data
   * extension.
   */
 object Extended28 {
@@ -102,5 +104,81 @@ object Extended28 {
     }
   }
 
-  val all: Seq[Q] = Seq(q299_davies_bouldin, q300_kcenter_coreset)
+  /** Exact stratified 5-fold split ([[Sampling.stratifiedFolds]],
+    * strata = lang): per (lang, fold) the doc count, id checksum and
+    * min id — fold sizes within a stratum provably differ by ≤ 1
+    * (exact balance, not `hash mod k`'s expected balance), membership
+    * frozen by the (md5(id), id) order. The oracle states the same
+    * split with a per-stratum window; the ENGINE's local ranks come
+    * from the global two-phase scan minus broadcast stratum bases, so
+    * a billion-row stratum never funnels through one window task.
+    */
+  val q301_stratified_folds: Q = Q(
+    "q301_stratified_folds",
+    """WITH d AS (SELECT doc_id, lang,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
+      |    PARTITION BY lang ORDER BY h, doc_id) - 1 AS lr FROM d)
+      |SELECT lang, CAST(lr % 5 AS BIGINT) AS fold,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    Sampling.stratifiedFolds(
+        Tables.loadParallel(spark, dir, "documents")
+          .select($"doc_id", $"lang"),
+        "doc_id", "lang", k = 5)
+      .groupBy($"lang", $"fold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("id_checksum"),
+        min($"doc_id").as("min_id"))
+      .orderBy($"lang", $"fold")
+  }
+
+  /** Chao1 vocabulary-richness estimate per source (the
+    * species-richness lower bound, bias-corrected form): observed
+    * types t plus f₁(f₁−1)/(2(f₂+1)) from the singleton/doubleton
+    * counts — "how much vocabulary has this source NOT shown yet?",
+    * the diversity complement of q280's growth curve. Exact milli
+    * (one guarded integer DIV); defined even with zero doubletons.
+    */
+  val q302_chao1_richness: Q = Q(
+    "q302_chao1_richness",
+    """WITH wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source,
+      |      unnest(string_split_regex(lower(text), '\s+')) AS w
+      |    FROM documents) t GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |  CAST(1000 * COUNT(*)
+      |    + (1000 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+      |        AS BIGINT)
+      |      * (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |        - 1))
+      |    // (2 * (CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+      |        AS BIGINT) + 1)) AS BIGINT) AS chao1_milli
+      |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.TextFunctions.lowerTokens
+    Tables.loadParallel(spark, dir, "documents")
+      .select($"source", explode(lowerTokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("f2"))
+      .selectExpr("source", "n_tokens", "n_types", "f1", "f2",
+        """CAST(1000 * n_types
+          |  + (1000 * f1 * (f1 - 1)) DIV (2 * (f2 + 1))
+          |  AS BIGINT) AS chao1_milli""".stripMargin)
+      .orderBy($"source")
+  }
+
+  val all: Seq[Q] = Seq(q299_davies_bouldin, q300_kcenter_coreset,
+    q301_stratified_folds, q302_chao1_richness)
 }
