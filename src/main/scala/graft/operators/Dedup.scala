@@ -524,12 +524,35 @@ object Dedup {
     * compounding the band key with a cheap blocking attribute.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3, bands: Int = 4): DataFrame = {
+      maxDist: Int = 3, bands: Int = 4): DataFrame =
+    hashNearDupPairs(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")),
+      maxDist, bands)
+
+  /** The pigeonhole band join of [[simhashNearDupPairs]] generalized
+    * to ANY precomputed fixed-width Hamming signature — text simhash,
+    * image dHash ([[Multimodal.dHash60]]), audio fingerprints: two
+    * signatures within Hamming distance `maxDist < bands` must agree
+    * exactly on at least one of the `bands` equal segments, so an
+    * equi-join on (band_id, band_value) is a complete candidate set
+    * and the popcount check verifies it exactly. Same scale shape as
+    * the simhash form: one candidate shuffle on the band key, never
+    * all-pairs.
+    *
+    * @param sigs    (id, sig) — sig an integral column using the low
+    *                `sigBits` bits
+    * @param sigBits signature width; must divide into `bands` equal
+    *                segments
+    */
+  def hashNearDupPairs(sigs: DataFrame, maxDist: Int = 3,
+      bands: Int = 4, sigBits: Int = 60): DataFrame = {
     require(maxDist < bands, "pigeonhole needs maxDist < bands")
-    val bits = 60 / bands
+    require(sigBits % bands == 0 && sigBits > 0 && sigBits < 64,
+      s"sigBits ($sigBits) must be a positive multiple of bands " +
+        s"($bands) below 64")
+    val bits = sigBits / bands
     val mask = (1L << bits) - 1
-    val banded = df
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band_id"))
       .withColumn("band_val",

@@ -41,6 +41,80 @@ object Multimodal {
         .as("meta"))
   }
 
+  /** 60-bit difference hash (dHash) of a row-major 6×11 grayscale
+    * grid — the perceptual image fingerprint near-dup pipelines bucket
+    * on: bit (r, c) = grid(r, c+1) > grid(r, c), 10 gradient bits per
+    * row × 6 rows = 60 bits (the repo's simhash width, so
+    * [[Dedup.hashNearDupPairs]]' 4×15 banding applies unchanged, and
+    * bit 59 stays clear of the BIGINT sign — DuckDB's `<<` overflows
+    * at bit 63, Spark's wraps; 60 bits sidesteps both). Pure column
+    * arithmetic over the grid, so a deterministic pixel source is
+    * oracle-checkable end-to-end; real decodes feed the same grid from
+    * [[imageDecoder]]'s pixels (spec-proven — codecs can't run in
+    * SQL).
+    *
+    * @param gray array<long> of 66 luma values, row-major 6 rows × 11
+    *             columns (the downsample: one column overlap per
+    *             gradient, the standard dHash shape)
+    */
+  def dHash60(gray: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(59)), i => {
+        val r = floor(i / 10).cast("int")
+        val c = (i % 10).cast("int")
+        val idx0 = r * 11 + c
+        when(element_at(gray, idx0 + 2) > element_at(gray, idx0 + 1),
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Real-codec feeder for [[dHash60]]: decode image bytes with the
+    * JDK codec and block-average the luma plane down to a rows×cols
+    * grid (rows=6, cols=11 for the 60-bit hash). Integer floors
+    * everywhere — the grid is deterministic for given bytes, so the
+    * downstream hash/banding pipeline behaves exactly as the
+    * oracle-checked synthetic-grid path (q303). Returns empty on
+    * undecodable bytes (the quarantine convention of
+    * [[imageDecoder]]).
+    */
+  def imageGridDecoder(rows: Int, cols: Int)
+      : Array[Byte] => Seq[Long] = { bytes =>
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) Seq.empty
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      (0 until rows).flatMap { r =>
+        (0 until cols).map { c =>
+          val x0 = c * w / cols
+          val x1 = math.max(x0 + 1, (c + 1) * w / cols)
+          val y0 = r * h / rows
+          val y1 = math.max(y0 + 1, (r + 1) * h / rows)
+          var s = 0L
+          var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(math.min(x, w - 1),
+                math.min(y, h - 1))
+              s += (299L * ((rgb >> 16) & 0xff)
+                + 587L * ((rgb >> 8) & 0xff)
+                + 114L * (rgb & 0xff)) / 1000L
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          s / n
+        }
+      }
+    }
+  }
+
   /** STUB decode: real pipelines decode `bytes` with a codec here.
     * This stand-in derives deterministic per-item "features" from the
     * payload so downstream plumbing (schema, joins, aggregation) is

@@ -179,6 +179,66 @@ object Extended28 {
       .orderBy($"source")
   }
 
+  /** Image near-dup detection by perceptual hash
+    * ([[graft.operators.Multimodal.dHash60]] +
+    * [[graft.operators.Dedup.hashNearDupPairs]]): each document
+    * carries a deterministic synthetic 6×11 grayscale grid (pixel =
+    * pure integer function of (doc_id, position) with ~1-cell sparse
+    * noise, so same-class images are near- but not exact-duplicates),
+    * hashed to a 60-bit gradient dHash and joined by the 4×15-band
+    * pigeonhole; verified pairs (Hamming ≤ 3) aggregate to a
+    * per-distance census. The WHOLE pipeline — downsample, gradient
+    * bits, banding, popcount verify — is exact integer arithmetic the
+    * oracle replays bit-identically; a real decode feeds the same
+    * grid from ImageIO pixels (spec-proven — codecs can't run in
+    * SQL).
+    */
+  val q303_image_neardup: Q = Q(
+    "q303_image_neardup",
+    """WITH g AS (SELECT doc_id, list_transform(range(0, 66), p ->
+      |    ((doc_id % 512) * 37 + (p // 11) * 11 + (p % 11) * 7
+      |      + (doc_id % 512) * (p // 11) * (p % 11)
+      |      + CASE WHEN (doc_id * 7919 + p) % 97 = 0
+      |        THEN 50 ELSE 0 END) % 256) AS gr
+      |  FROM documents),
+      |s AS (SELECT doc_id AS id, list_reduce(list_transform(
+      |    range(0, 60), i ->
+      |    CASE WHEN gr[(i // 10) * 11 + (i % 10) + 2]
+      |        > gr[(i // 10) * 11 + (i % 10) + 1]
+      |      THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+      |    (a, b) -> a | b) AS sig FROM g),
+      |bd AS (SELECT id, sig, b, (sig >> (b * 15)) & 32767 AS bv
+      |  FROM s, (SELECT unnest(range(0, 4)) AS b) bb),
+      |cand AS (SELECT DISTINCT a.id AS id_a, x.id AS id_b,
+      |    bit_count(xor(a.sig, x.sig)) AS dist
+      |  FROM bd a JOIN bd x ON a.b = x.b AND a.bv = x.bv
+      |    AND a.id < x.id)
+      |SELECT CAST(dist AS INT) AS dist,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(id_a + id_b) AS BIGINT) AS ids_checksum
+      |FROM cand WHERE dist <= 3 GROUP BY 1 ORDER BY 1""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    val cl = pmod($"doc_id", lit(512L))
+    val gray = transform(sequence(lit(0), lit(65)), p => {
+      val r = floor(p / 11).cast("long")
+      val c = (p % 11).cast("long")
+      pmod(cl * 37L + r * 11L + c * 7L + cl * r * c
+        + when(pmod($"doc_id" * 7919L + p, lit(97L)) === 0, 50L)
+          .otherwise(0L),
+        lit(256L))
+    })
+    val sigs = Tables.loadParallel(spark, dir, "documents")
+      .select($"doc_id".as("id"),
+        Multimodal.dHash60(gray).as("sig"))
+    Dedup.hashNearDupPairs(sigs, maxDist = 3, bands = 4)
+      .groupBy($"dist")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"id_a" + $"id_b").as("ids_checksum"))
+      .orderBy($"dist")
+  }
+
   val all: Seq[Q] = Seq(q299_davies_bouldin, q300_kcenter_coreset,
-    q301_stratified_folds, q302_chao1_richness)
+    q301_stratified_folds, q302_chao1_richness, q303_image_neardup)
 }
