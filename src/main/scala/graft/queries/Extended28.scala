@@ -229,9 +229,16 @@ object Extended28 {
           .otherwise(0L),
         lit(256L))
     })
+    // Let-bind the 66-cell grid: dHash60's 60 gradient lambdas would
+    // otherwise re-inline (and re-evaluate) the whole grid per bit —
+    // the documented HOF trap Let exists for. Checkpoint the (id,
+    // 60-bit sig) longs: both band-join sides read them, and 16
+    // bytes/row is cheap at any corpus size.
     val sigs = Tables.loadParallel(spark, dir, "documents")
       .select($"doc_id".as("id"),
-        Multimodal.dHash60(gray).as("sig"))
+        graft.functions.Let(gray)(g => Multimodal.dHash60(g))
+          .as("sig"))
+      .localCheckpoint()
     Dedup.hashNearDupPairs(sigs, maxDist = 3, bands = 4)
       .groupBy($"dist")
       .agg(count(lit(1)).as("n_pairs"),
