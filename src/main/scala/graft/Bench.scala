@@ -20,7 +20,7 @@ object Bench {
     val warmups = SparkEntry.benchQueries.toSeq.map { case (_, fn) =>
       scala.concurrent.Future {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     scala.concurrent.Await.result(
@@ -85,7 +85,7 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -98,12 +98,6 @@ object Bench {
       name -> (if (ts.nonEmpty) median(ts) else -1.0)
     }
     val errors = names.filter(times(_).isEmpty)
-    // Locale.ROOT: a comma-decimal default locale would print "1,234"
-    // and corrupt the machine-parsed JSON line
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     // headline total sums the ORACLE-CHECKED queries only, so it stays
     // comparable across rounds; bench-only attribution labels (q240a/b)
     // report in "queries" but don't double-count the work q240 already
@@ -111,9 +105,22 @@ object Bench {
     val total = results
       .filter { case (k, _) => SparkEntry.queries.contains(k) }
       .map(_._2).filter(_ >= 0).sum
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calibJson = s"""{"cpu_md5_sec":${r3(calibCpu)},"spark_range_sec":${r3(calibSpark)}}"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"calib":$calibJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // full payload to a FILE, one compact ≤1900-byte line to stdout —
+    // the driver keeps only the last ~2000 stdout chars, and round 9's
+    // single 12 KB line came back front-truncated (parsed: null). See
+    // BenchFormat for the contract.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_FULL.json")
+    val fullJson = BenchFormat.fullJson(results, total, runs, calibCpu,
+      calibSpark, errors, sfDir)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $fullPath: $e")
+    }
+    println(BenchFormat.compactLine(results, total, runs, calibCpu,
+      calibSpark, errors, sfDir, fullPath))
     spark.stop()
   }
 }

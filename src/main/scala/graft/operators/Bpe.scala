@@ -123,6 +123,13 @@ object Bpe {
             merges += Merge(a, b, cnt)
             cur = cur.withColumn("s", mergeStep($"s", a, b))
             round += 1
+            // round-count-proofing (the Graph-loop discipline): the
+            // replace chain grows one mergeStep per round, so analysis
+            // cost over the lineage is quadratic in rounds without a
+            // periodic cut. Every 16 rounds, pin the current
+            // vocabulary table and restart the chain from it —
+            // per-round wall time stays flat at any merge count.
+            if (round % 16 == 0) cur = cur.localCheckpoint()
           case None => done = true
         }
       }

@@ -22,6 +22,14 @@ object Coreset {
   /** Greedy k-center: seed = smallest id, then k−1 rounds of "add the
     * point farthest from the selected set" (ties to the smaller id).
     *
+    * `idCol` must be UNIQUE: the seed pick and the per-round
+    * exclusion are both keyed by id, so a duplicated id would make
+    * the seed nondeterministic and silently shrink the candidate pool
+    * (every row sharing a picked id drops out). Enforced with one
+    * up-front aggregate — loud failure beats a quietly wrong coreset,
+    * and the guard costs one map-side-combined pass before a loop
+    * that scans the corpus k times anyway.
+    *
     * Scale shape: the selected set is ≤ k code vectors, shipped into
     * each round as a broadcast LITERAL; the per-point min-distance is
     * an in-row fold (nested higher-order functions, no UDF) and the
@@ -50,6 +58,13 @@ object Coreset {
     import spark.implicits._
     val pts = vecs.select(col(idCol).cast("long").as("id"),
       col(codesCol).as("codes"))
+    val dup = pts.groupBy(col("id")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select(col("id")).head(1)
+    require(dup.isEmpty,
+      s"kCenterGreedy: '$idCol' must be unique, but id " +
+        s"${dup.headOption.map(_.get(0)).orNull} appears more than " +
+        "once — duplicate ids make the seed pick nondeterministic " +
+        "and silently shrink the candidate pool")
     val seed = pts.orderBy(col("id")).limit(1)
       .as[(Long, Seq[Long])].collect()
     if (seed.isEmpty) {

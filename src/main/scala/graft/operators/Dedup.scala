@@ -522,6 +522,13 @@ object Dedup {
     * band space saturates (birthday collisions inflate candidates) —
     * scale by widening the signature (e.g. 64-bit, 4×16) or
     * compounding the band key with a cheap blocking attribute.
+    *
+    * BEHAVIOR CHANGE (round 9): `bands` must now divide the 60-bit
+    * signature width ([[hashNearDupPairs]]' `require`). Non-divisor
+    * counts (7, 8) formerly worked via silent 60/bands truncation —
+    * still complete (uncovered top bits only ever ADD candidates) but
+    * quietly weaker than asked; callers relying on that should pass a
+    * divisor (2, 3, 4, 5, 6, 10, 12, 15, 20, 30, 60).
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3, bands: Int = 4): DataFrame =

@@ -82,7 +82,9 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Throwable => null }
+      // NonFatal only: undecodable bytes quarantine, but an OOM or
+      // linkage error must kill the task, not masquerade as bad data
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) Seq.empty
     else {
       val w = img.getWidth

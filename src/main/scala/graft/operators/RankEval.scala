@@ -45,13 +45,26 @@ object RankEval {
     // everything below runs on the bounded per-score rows (collected —
     // the Percentiles offsets-regime discipline, bounded by the score
     // construction, so no single-partition window is needed at all)
-    val rows = df
+    // loud bounded-regime guard (the Percentiles discipline): the
+    // collect is sized by DISTINCT scores, which the caller promises
+    // is bounded (basis-point scores ≤ 10001 values). A raw
+    // high-cardinality score column must fail with a named error, not
+    // OOM the driver — limit(cap+1) bounds what ever reaches the
+    // driver, and the cap+1'th row proves the contract was broken.
+    val cap = 262144
+    val rows0 = df
       .select(col(scoreCol).cast("long").as("s"),
         col(labelCol).cast("long").as("y"))
       .groupBy($"s")
       .agg(count(lit(1)).as("cnt"), sum($"y").as("pos"))
+      .limit(cap + 1)
       .as[(Long, Long, Long)].collect()
-      .sortBy(_._1) // (s, cnt, pos) ascending score
+    require(rows0.length <= cap,
+      s"aucAndBestF1: more than $cap distinct values in '$scoreCol' — " +
+        "this operator's driver state is sized by distinct scores " +
+        "(quantize the score, e.g. to basis points, or use the fully " +
+        "distributed groupedAuc path)")
+    val rows = rows0.sortBy(_._1) // (s, cnt, pos) ascending score
     if (rows.isEmpty)
       return Seq
         .empty[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]

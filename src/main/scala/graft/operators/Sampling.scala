@@ -229,9 +229,14 @@ object Sampling {
       .select(col(strataCol), (col("_cum") + 1L).as("_base"))
     val (ranked, _) = PrefixSum.withOrdinals(d,
       Seq(strataCol, "_h", idCol), "_rn")
-    ranked.join(broadcast(offs), Seq(strataCol))
+    // null-safe (<=>) on the stratum key: groupBy emits a NULL-key
+    // offsets row, and a plain equi-join would silently discard every
+    // null-stratum input row instead of folding it — NULL is a
+    // legitimate stratum here (it still gets exact k-way balance)
+    ranked.join(broadcast(offs.withColumnRenamed(strataCol, "_strata")),
+        col(strataCol) <=> col("_strata"))
       .withColumn("fold",
         expr(s"CAST((_rn - _base) % $k AS BIGINT)"))
-      .drop("_h", "_rn", "_base")
+      .drop("_h", "_rn", "_base", "_strata")
   }
 }

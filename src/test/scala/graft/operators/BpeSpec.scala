@@ -71,6 +71,48 @@ class BpeSpec extends SparkSpec {
     assert(tokensOf("lowest", merges) == Seq("low", "e", "s", "t"))
   }
 
+  test("learn survives 64+ merge rounds (periodic localCheckpoint " +
+    "cuts the replace-chain lineage) and still matches the " +
+    "sequential reference") {
+    // enough pair diversity to sustain >64 distinct merges: 40 words
+    // over an 8-letter alphabet, deterministic pseudo-random content
+    val words = (0 until 40).map { i =>
+      val sb = new StringBuilder
+      var x = i * 2654435761L + 17
+      for (_ <- 0 until 14) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb += ('a' + ((x >>> 33) % 8)).toChar
+      }
+      (sb.toString, (i % 5 + 1).toLong)
+    }
+    val merges = Bpe.learn(words.toDF("w", "f"), 64)
+    assert(merges.size == 64, s"expected 64 merges, got ${merges.size}")
+    // sequential reference (the BpeProps fold) on the same corpus
+    def applyMerge(syms: List[String], a: String, b: String)
+        : List[String] = {
+      val out = List.newBuilder[String]
+      var rest = syms
+      while (rest.nonEmpty) rest match {
+        case x :: y :: t if x == a && y == b => out += (a + b); rest = t
+        case x :: t => out += x; rest = t
+        case Nil => ()
+      }
+      out.result()
+    }
+    var ws = words.toList.map { case (w, f) =>
+      w.toList.map(_.toString) -> f }
+    merges.foreach { m =>
+      val pc = collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      ws.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach(p => pc(p) += f) }
+      val ((a, b), cnt) = pc.minBy { case ((x, y), c) => (-c, x, y) }
+      assert((m.a, m.b, m.cnt) == (a, b, cnt),
+        s"merge diverged from reference at rank: $m vs ($a,$b,$cnt)")
+      ws = ws.map { case (syms, f) => applyMerge(syms, a, b) -> f }
+    }
+  }
+
   test("wordFreq filters non-alnum and counts occurrences") {
     val docs = Seq("The cat -- the CAT", "cat!").toDF("text")
     val wf = Bpe.wordFreq(docs, $"text").as[(String, Long)].collect().toMap

@@ -51,4 +51,27 @@ object FoldsProps extends Properties("StratifiedFolds") {
       }
       got == ref(rows, k) && balanced
     }
+
+  private val genNullIn: Gen[(List[(Long, Option[String])], Int)] = for {
+    n <- Gen.chooseNum(1, 40)
+    k <- Gen.chooseNum(1, 6)
+    rows <- Gen.listOfN(n, Gen.chooseNum(0, 3))
+  } yield (rows.zipWithIndex.map { case (s, i) =>
+    (i.toLong * 7 + 3, if (s == 0) None else Some(s"st$s"))
+  }, k)
+
+  property("NULL is a legitimate stratum (r9 advisory): null-key " +
+    "rows fold — never silently dropped — with the same exact " +
+    "balance, via the null-safe offsets join") =
+    forAll(genNullIn) { case (rows, k) =>
+      val df = rows.toDF("id", "strata").repartition(5)
+      val got = Sampling.stratifiedFolds(df, "id", "strata", k)
+        .select($"id", $"fold").as[(Long, Long)].collect().toMap
+      val expected = rows.groupBy(_._2).flatMap { case (_, g) =>
+        g.sortBy { case (id, _) => (md5hex(id.toString), id) }
+          .zipWithIndex
+          .map { case ((id, _), i) => id -> (i % k).toLong }
+      }
+      got.size == rows.size && got == expected
+    }
 }

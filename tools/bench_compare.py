@@ -50,8 +50,20 @@ def calib(path):
 
 
 def main():
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    # --gate[=LIMIT]: fail (exit 2) unless the host-normalized residual
+    # computes AND is <= LIMIT (default 1.05) — the round-close engine-
+    # drift tripwire the r9 verdict asked to be exercised end-to-end,
+    # not just printed. A residual that can't compute (missing calib)
+    # also fails: "couldn't check" must never read as "checked OK".
+    gate = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--gate"):
+            gate = float(a.split("=", 1)[1]) if "=" in a else 1.05
+        else:
+            args.append(a)
+    old_path, new_path = args[0], args[1]
+    threshold = float(args[2]) if len(args) > 2 else 1.5
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     old, new = load(old_path), load(new_path)
     led = ledger(os.path.join(repo, "EXCHANGES.txt"))
@@ -62,6 +74,7 @@ def main():
     import statistics
     ratios = [new[k] / old[k] for k in set(old) & set(new)
               if old[k] > 0 and new[k] > 0]
+    resid = None
     if ratios:
         med = statistics.median(ratios)
         print(f"overall: median query ratio {med:.3f} "
@@ -73,9 +86,21 @@ def main():
                       f"(ratio {nc[key] / oc[key]:.3f})")
         if oc.get("cpu_md5_sec") and nc.get("cpu_md5_sec"):
             host = nc["cpu_md5_sec"] / oc["cpu_md5_sec"]
-            resid = med / host if host > 0 else float("nan")
+            resid = med / host if host > 0 else None
             print(f"host-normalized residual: {resid:.3f} "
                   "(≈1.0 ⇒ host drift, not engine drift)")
+    if gate is not None:
+        if resid is None:
+            print(f"GATE FAIL: residual could not compute (missing "
+                  "calib pair or no common queries)")
+            return 2
+        if resid > gate:
+            print(f"GATE FAIL: engine residual {resid:.3f} > {gate} — "
+                  "host-independent slowdown; find the plan change "
+                  "(bench_compare movers + EXCHANGES diff) before "
+                  "closing the round")
+            return 2
+        print(f"GATE OK: engine residual {resid:.3f} <= {gate}")
     movers, plan_drift = [], []
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]

@@ -38,13 +38,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # window input is bounded by construction. Anything else with gwin>0
 # fails preflight: rewrite via PrefixSum.withOrdinals / Percentiles
 # range partitioning (see q125/q126/q212's round-9 rewrites).
+# Since round 10 every entry here must ALSO carry an EXECUTABLE bound
+# in GwinBoundsSpec.scala (which runs the exact subplan feeding each
+# partition-less window and asserts its row count) — check 7 below
+# fails preflight if an entry's spec bound disappears.
 GWIN_ALLOWLIST = {
     "q107_null_ordering": "customer filtered to c_custkey <= 300 rows",
     "q112_vocab_encode": "window ranks the top-100 AFTER .limit(100)",
     "q194_temperature_mix": "apportionment over one row per language",
     "q209_seasonality": "24 clock-hour rollup rows",
     "q214_changepoint": "per-day rollup, calendar-bounded",
-    "q23_frames": "per-day rollup, calendar-bounded",
+    "q23_frames": "per-day o_orderdate rollup: TPC-H calendar = 2406 "
+                  "distinct days at any corpus size",
     "q275_doremi_mix": "largest-remainder over the 20-row strata table",
     "q282_interleave_schedule":
         "apportionment/schedule windows over one row per source",
@@ -148,6 +153,25 @@ def main() -> int:
             if max(swept) > rotation and len(zeros) > 25:
                 errs.append(f"{len(zeros)} queries have NEVER been "
                             "width-swept (sweep 0) — run DeterminismSpec")
+
+    # 7. GWIN allowlist ⇔ executable bounds: every allowlisted query
+    # must carry a numeric bound in GwinBoundsSpec (which executes the
+    # window-feeding subplan and asserts the count), and the spec must
+    # not hold bounds for queries no longer allowlisted. This turns
+    # the prose annotations above into enforced contracts — deleting a
+    # spec row or renaming a query fails preflight, not just review.
+    gwin_spec_path = "src/test/scala/graft/GwinBoundsSpec.scala"
+    if not os.path.exists(os.path.join(REPO, gwin_spec_path)):
+        errs.append(f"{gwin_spec_path} missing — the GWIN allowlist "
+                    "has no executable bounds")
+    else:
+        spec_bounds = dict(re.findall(
+            r'"(q\w+)" -> \(\((\d+)L', read(gwin_spec_path)))
+        if set(spec_bounds) != set(GWIN_ALLOWLIST):
+            errs.append(
+                "GWIN allowlist vs GwinBoundsSpec bounds diverge "
+                f"(allowlist-only: {sorted(set(GWIN_ALLOWLIST) - set(spec_bounds))}, "
+                f"spec-only: {sorted(set(spec_bounds) - set(GWIN_ALLOWLIST))})")
 
     entry = read("src/main/scala/graft/SparkEntry.scala")
     for f in sorted(glob.glob(os.path.join(
