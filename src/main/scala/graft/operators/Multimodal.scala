@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * JDK's own `javax.imageio` codecs (PNG/JPEG/GIF/BMP, headless-safe)
   * into [[decodePartitions]], so byte→pixels→features runs end-to-end
   * distributed (MultimodalCodecSpec proves exact pixel sums on real
-  * PNGs). Audio/video have no JDK codec and stay STUBBED
+  * PNGs). AUDIO decodes for real too — [[audioDecoder]] /
+  * [[pcmWindowDecoder]] plug `javax.sound.sampled.AudioSystem`
+  * (WAV/PCM, AIFF, AU — all stock-JDK) into the same seam, feeding
+  * the SAME per-window energy grid the column pipeline computes
+  * (AudioCodecSpec proves exact sample sums and window energies on
+  * real WAV bytes). VIDEO alone has no JDK codec and stays STUBBED
   * (`decodePixelsStub` derives deterministic fake features from the
-  * bytes) — everything around the seam (schema, binary handling,
+  * bytes) — everything around that one seam (schema, binary handling,
   * metadata structs, batch shape, partitioning) is real Spark and
   * tested, and a codec build swaps one function.
   */
@@ -115,6 +120,153 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Exact decoded-audio features — the audio analog of
+    * [[ImageFeatures]]: sample rate, exact sample count, and the
+    * integer sum of absolute 16-bit sample values (deterministic, so
+    * the distributed decode is assertable bit-for-bit against a local
+    * reference). `ok=false` quarantines undecodable payloads.
+    */
+  final case class AudioFeatures(sampleRate: Int, nSamples: Long,
+      absSum: Long, ok: Boolean)
+
+  /** Decode audio bytes with the stock JDK codec
+    * (`javax.sound.sampled.AudioSystem`: WAV/PCM, AIFF, AU) to 16-bit
+    * signed channel-0 samples. Returns null for unrecognized or
+    * non-16-bit-PCM payloads (the quarantine convention). Frames are
+    * parsed per the container's declared endianness; multi-channel
+    * audio takes channel 0 (the dedup/fingerprint convention — energy
+    * grids must be channel-stable, not mixdown-dependent).
+    */
+  private def readPcm16(bytes: Array[Byte]): (Int, Array[Int]) = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (in == null) null
+    else
+      try {
+        val fmt = in.getFormat
+        val pcm = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (fmt.getEncoding != pcm || fmt.getSampleSizeInBits != 16) null
+        else {
+          val raw = in.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val n = raw.length / frameSize
+          val out = new Array[Int](n)
+          val (lo, hi) = if (fmt.isBigEndian) (1, 0) else (0, 1)
+          var i = 0
+          while (i < n) {
+            val base = i * frameSize
+            out(i) = ((raw(base + hi).toInt << 8) |
+              (raw(base + lo) & 0xff)).toShort.toInt
+            i += 1
+          }
+          (fmt.getSampleRate.toInt, out)
+        }
+      } catch {
+        case _: java.io.IOException => null
+      } finally in.close()
+  }
+
+  /** REAL audio decode via the JDK codec — exact integer sample
+    * statistics, quarantine on undecodable bytes. Shape: a decoder
+    * function to hand to [[decodePartitions]], mirroring
+    * [[imageDecoder]].
+    */
+  def audioDecoder(): Array[Byte] => AudioFeatures = { bytes =>
+    val dec = readPcm16(bytes)
+    if (dec == null) AudioFeatures(0, 0L, 0L, ok = false)
+    else {
+      val (rate, samples) = dec
+      var s = 0L
+      var i = 0
+      while (i < samples.length) { s += math.abs(samples(i).toLong); i += 1 }
+      AudioFeatures(rate, samples.length.toLong, s, ok = true)
+    }
+  }
+
+  /** Real-codec feeder for the per-window energy grid: decode audio
+    * bytes and emit one exact energy (Σ sample², in longs) per
+    * hop-spaced window — the SAME window arithmetic as the column
+    * pipeline [[windowEnergies]] (trailing partial window included),
+    * so real decoded bytes and SQL-synthesized samples flow through
+    * one grid shape and the codec-law spec can assert them equal.
+    * Empty on quarantine (the [[imageGridDecoder]] convention).
+    */
+  def pcmWindowDecoder(windowSamples: Int, hopSamples: Int)
+      : Array[Byte] => Seq[Long] = { bytes =>
+    require(windowSamples > 0 && hopSamples > 0,
+      "window and hop must be positive")
+    val dec = readPcm16(bytes)
+    if (dec == null) Seq.empty
+    else {
+      val samples = dec._2
+      val n = samples.length
+      if (n == 0) Seq.empty
+      else (0 to (n - 1) / hopSamples).map { w =>
+        val start = w * hopSamples
+        val end = math.min(start + windowSamples, n)
+        var e = 0L
+        var i = start
+        while (i < end) {
+          e += samples(i).toLong * samples(i); i += 1
+        }
+        e
+      }
+    }
+  }
+
+  /** Synthesize a one-channel 16-bit PCM WAV container from samples —
+    * the fixture-builder for codec-law specs and media test tables
+    * (the encode direction of [[audioDecoder]], via the same JDK
+    * codec so round-trips are exact: PCM is lossless).
+    */
+  def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Per-window audio energies as a PURE COLUMN function: window w
+    * (0-based, hop-spaced, trailing partial included) gets
+    * Σ sample² over [w·hop, min(w·hop+windowLen, n)) — exact longs,
+    * so SQL-synthesized samples are oracle-checkable end-to-end while
+    * real decodes feed the identical grid from [[pcmWindowDecoder]]
+    * (spec-proven — codecs can't run in SQL). Same descending-
+    * `sequence` guard as [[sampleFrames]]: zero samples means an
+    * empty array, never a fabricated window.
+    *
+    * @param samples array<long> of decoded (or synthesized) sample
+    *                values
+    */
+  def windowEnergies(samples: Column, windowLen: Int, hop: Int)
+      : Column = {
+    require(windowLen > 0 && hop > 0, "window and hop must be positive")
+    val n = size(samples)
+    val nWin = (floor((n - 1) / hop) + 1).cast("int")
+    when(n >= 1,
+      transform(sequence(lit(0), nWin - 1), w =>
+        aggregate(
+          slice(samples, w * hop + 1, lit(windowLen)),
+          lit(0L), (acc, x) => acc + x * x)))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** STUB decode: real pipelines decode `bytes` with a codec here.

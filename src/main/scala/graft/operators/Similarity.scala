@@ -108,6 +108,55 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster-assign every vector ([[ivfAssign]],
+    * centroids broadcast), find near-dup pairs ONLY within each
+    * cluster (equi-join on centroid_id — never cross-cluster
+    * all-pairs), and keep one representative per duplicate pair via
+    * the [[Dedup.nearDupDedup]] discipline: drop every id that
+    * appears as the LARGER side of a verified pair (exact for pair
+    * clusters; a chain keeps its smallest id — the aggressive-dedup
+    * stance).
+    *
+    * Scale shape: within-cluster pair cost is Σ c² over cluster
+    * sizes — the knob is the centroid count, exactly the SemDeDup
+    * recipe (more cells → smaller c). The assignment is computed ONCE
+    * and localCheckpointed (both pair sides read it; re-deriving
+    * would re-run the centroid scan twice), norms are hoisted per
+    * side so each candidate pair costs one codegen'd [[dot]] fold,
+    * and the pair join shuffles on centroid_id only — vectors never
+    * ride an all-pairs or cross-cluster exchange.
+    *
+    * @param vectors      (vec_id, embedding)
+    * @param centroids    (centroid_id, centroid) — bounded, broadcast
+    * @param cosThreshold within-cluster pairs at cosine ≥ this are
+    *                     duplicates
+    * @return one row per input vector: (vec_id, centroid_id, kept)
+    */
+  def semDedup(vectors: DataFrame, centroids: DataFrame,
+      cosThreshold: Double): DataFrame = {
+    val sided = ivfAssign(vectors, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("_n", norm(col("embedding")))
+      .localCheckpoint()
+    val a = sided.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("_n").as("na"))
+    val b = sided.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("_n").as("nb"))
+    val drops = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >=
+        cosThreshold)
+      .select(col("id_b").as("_drop_id"))
+      .distinct()
+    sided.select(col("vec_id"), col("centroid_id"))
+      .join(drops, col("vec_id") === col("_drop_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        col("_drop_id").isNull.as("kept"))
+  }
+
   /** Full Lloyd's k-means fit: `rounds` iterations of cosine
     * assignment ([[ivfAssign]]) + centroid update, seeded from the
     * vectors with `vec_id < k`.

@@ -1031,4 +1031,51 @@ class PlanShapeSpec extends SparkSpec {
       }
     }
   }
+
+  test("q305's semantic-dedup pairs are CLUSTER-BUCKETED: the pair " +
+    "stage is an equi-join on centroid_id over the checkpointed " +
+    "assignment — never a cartesian/all-pairs stage, and vectors " +
+    "never enter a broadcast") {
+    val df = SparkEntry.queries("q305_semantic_dedup")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") ||
+      // the ivfAssign centroid scan is a broadcast nested loop by
+      // design (8 broadcast centroids x corpus); the PAIR stage must
+      // not be — assert no cartesian without a broadcast side at all
+      !p.contains("CartesianProduct "),
+      s"q305 plans a cartesian pair stage:\n$p")
+    // the pair join itself: an equi join keyed on centroid_id
+    assert(p.contains("centroid_id"), "pair stage must key on the cell")
+    val sections = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+      .split("\n\n")
+    val pairJoins = sections.filter(s => s.startsWith("(") &&
+      (s.linesIterator.next().contains("SortMergeJoin") ||
+        s.linesIterator.next().contains("ShuffledHashJoin")))
+    assert(pairJoins.exists(_.contains("centroid_id")),
+      "the within-cluster pair stage must equi-join on centroid_id " +
+        "(cluster-bucketed), not fall back to an all-pairs shape")
+    val bcasts = sections.filter(s => s.startsWith("(") &&
+      s.linesIterator.next().contains("BroadcastExchange"))
+    bcasts.foreach { s =>
+      assert(!s.contains("va#") && !s.contains("vb#"),
+        s"q305: a corpus vector side entered a broadcast:\n$s")
+    }
+  }
+
+  test("q304's audio energies are one scan + in-row column math: no " +
+    "join, no window, no shuffle before the bucket aggregate; the " +
+    "sample array is Let-bound (synthesized once, not per window)") {
+    val df = SparkEntry.queries("q304_audio_energy")(spark, sfDir)
+    assert(PlanScan.globalWindowCount(df) == 0)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"q304 must not join:\n$p")
+    // Let-binding proof: the per-sample synth pmod appears a bounded
+    // number of times, not once per window lambda (the q303 lesson)
+    val synthCount = "pmod".r.findAllIn(p).length
+    assert(synthCount <= 24,
+      s"q304's sample synth inlined $synthCount times — the Let " +
+        "binding regressed (expect one synth + bucket pmods)")
+  }
 }

@@ -21,12 +21,20 @@ def load(path):
     with open(path) as f:
         doc = json.load(f)
     if "queries" not in doc and "tail" in doc:
-        # driver-format BENCH_rN.json: the builder's JSON line sits in
-        # the captured stdout tail, usually TRUNCATED at the front —
-        # regex-harvest the per-query pairs instead of parsing
+        # driver-format BENCH_rN.json. Round 10+: the tail holds ONE
+        # compact line whose "full" field names the complete payload
+        # file — follow it. Pre-r10 tails held a (usually front-
+        # truncated) giant line; regex-harvest those.
         import re
+        m = re.search(r'"full":"([^"]+)"', doc["tail"])
+        if m and os.path.exists(m.group(1)):
+            return load(m.group(1))
         pairs = re.findall(r'"(q[0-9][^"]*)":(-?[0-9.]+)', doc["tail"])
         return {k: float(v) for k, v in pairs if float(v) >= 0}
+    if "queries" not in doc and "parsed" in doc and doc["parsed"]:
+        full = doc["parsed"].get("full", "")
+        if full and os.path.exists(full):
+            return load(full)
     return {k: v for k, v in doc.get("queries", {}).items() if v >= 0}
 
 
@@ -41,12 +49,25 @@ def ledger(path):
 
 
 def calib(path):
-    """The snapshot's host-speed calibration pair (round 9+), or {}."""
+    """The snapshot's host-speed calibration pair (round 9+), or {}.
+    Driver-format artifacts carry it inside parsed/tail."""
     with open(path) as f:
         try:
-            return json.load(f).get("calib", {})
+            doc = json.load(f)
         except Exception:
             return {}
+    if doc.get("calib"):
+        return doc["calib"]
+    if isinstance(doc.get("parsed"), dict) and doc["parsed"].get("calib"):
+        return doc["parsed"]["calib"]
+    if "tail" in doc:
+        import re
+        m = re.search(r'"calib":\{"cpu_md5_sec":([0-9.]+),'
+                      r'"spark_range_sec":([0-9.]+)\}', doc["tail"])
+        if m:
+            return {"cpu_md5_sec": float(m.group(1)),
+                    "spark_range_sec": float(m.group(2))}
+    return {}
 
 
 def main():

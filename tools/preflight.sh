@@ -16,7 +16,7 @@ out=/tmp/preflight_verify
 rec=tools/preflight_last.txt
 fail=0
 
-echo "[preflight] 1/3 sbt test..."
+echo "[preflight] 1/4 sbt test..."
 if sbt -batch test > /tmp/preflight_test.log 2>&1; then
   t_ok="PASS ($(grep -Eo 'Passed: Total [0-9]+' /tmp/preflight_test.log | tail -1))"
 else
@@ -25,7 +25,7 @@ else
 fi
 echo "[preflight] sbt test: $t_ok"
 
-echo "[preflight] 2/3 oracle sweep at sf0.01..."
+echo "[preflight] 2/4 oracle sweep at sf0.01..."
 if sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out" \
     > /tmp/preflight_dump.log 2>&1; then
   n_ok=$(python3 tools/check_oracle.py /root/testdata/sf0.01 $out \
@@ -43,7 +43,7 @@ else
 fi
 echo "[preflight] oracle sweep: $o_ok"
 
-echo "[preflight] 3/3 documentation-drift check..."
+echo "[preflight] 3/4 documentation-drift check..."
 if python3 tools/drift_check.py > /tmp/preflight_drift.log 2>&1; then
   d_ok="PASS ($(tail -1 /tmp/preflight_drift.log))"
 else
@@ -51,6 +51,27 @@ else
   fail=1
 fi
 echo "[preflight] drift check: $d_ok"
+
+# stage 4: host-normalized engine-drift gate over the two newest
+# committed bench snapshots (r9 verdict ask #7: the residual must be
+# GATED and RECORDED, not just printed). Both snapshots carry the
+# cpu_md5/spark_range calibration pair, so a quiet-vs-noisy host
+# cannot masquerade as an engine regression (or hide one). Skipped
+# (recorded as such) when fewer than two snapshots exist.
+echo "[preflight] 4/4 bench residual gate..."
+snaps=$(ls BENCH_local_r*.json 2>/dev/null | sort -V | tail -2)
+if [ "$(echo "$snaps" | wc -w)" -lt 2 ]; then
+  b_ok="SKIP (fewer than two bench snapshots)"
+else
+  if python3 tools/bench_compare.py $snaps --gate \
+      > /tmp/preflight_bench.log 2>&1; then
+    b_ok="PASS ($(grep '^GATE' /tmp/preflight_bench.log | tail -1), $(echo $snaps | tr '\n' ' '))"
+  else
+    b_ok="FAIL ($(grep '^GATE' /tmp/preflight_bench.log | tail -1) — /tmp/preflight_bench.log)"
+    fail=1
+  fi
+fi
+echo "[preflight] bench gate: $b_ok"
 
 verdict=$([ $fail -eq 0 ] && echo PASS || echo FAIL)
 {
@@ -60,6 +81,7 @@ verdict=$([ $fail -eq 0 ] && echo PASS || echo FAIL)
   echo "sbt test: $t_ok"
   echo "oracle sweep (sf0.01): $o_ok"
   echo "drift check: $d_ok"
+  echo "bench residual gate: $b_ok"
 } > $rec
 cat $rec
 exit $fail
