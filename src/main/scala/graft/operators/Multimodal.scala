@@ -249,14 +249,26 @@ object Multimodal {
     * Σ sample² over [w·hop, min(w·hop+windowLen, n)) — exact longs,
     * so SQL-synthesized samples are oracle-checkable end-to-end while
     * real decodes feed the identical grid from [[pcmWindowDecoder]]
-    * (spec-proven — codecs can't run in SQL). Same descending-
-    * `sequence` guard as [[sampleFrames]]: zero samples means an
-    * empty array, never a fabricated window.
+    * (spec-proven — codecs can't run in SQL). Computed by the native
+    * [[graft.plans.WindowEnergiesExpr]] kernel (one primitive loop
+    * per row — the HOF form boxed every sample ~window/hop times and
+    * dominated q304's bench cost); [[windowEnergiesFold]] keeps the
+    * composable semantics it is property-pinned against. Zero samples
+    * means an empty array, never a fabricated window.
     *
     * @param samples array<long> of decoded (or synthesized) sample
     *                values
     */
   def windowEnergies(samples: Column, windowLen: Int, hop: Int)
+      : Column =
+    graft.plans.WindowEnergiesExpr(samples, windowLen, hop)
+
+  /** The composable fold form (interpreted HOFs) — kept as the
+    * reference semantics [[graft.plans.WindowEnergiesExpr]] is
+    * property-tested against (the [[Similarity.dotFold]] convention).
+    * Same descending-`sequence` guard as [[sampleFrames]].
+    */
+  def windowEnergiesFold(samples: Column, windowLen: Int, hop: Int)
       : Column = {
     require(windowLen > 0 && hop > 0, "window and hop must be positive")
     val n = size(samples)

@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.SparkSpec
+
+/** ScalaCheck: the native [[WindowEnergiesExpr]] kernel ≡ the
+  * composable HOF reference
+  * ([[graft.operators.Multimodal.windowEnergiesFold]]) for random
+  * sample arrays, window/hop shapes, and partitionings — including
+  * the empty array, single sample, exact-multiple and mid-window
+  * lengths, and negative sample values (energy squares them away).
+  */
+object WindowEnergiesSpec extends Properties("WindowEnergies") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  import graft.operators.Multimodal
+
+  private val genIn: Gen[(List[Seq[Long]], Int, Int)] = for {
+    win <- Gen.chooseNum(1, 9)
+    hop <- Gen.chooseNum(1, 9)
+    rows <- Gen.nonEmptyListOf(for {
+      n <- Gen.chooseNum(0, 40)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-200L, 200L))
+    } yield vs: Seq[Long])
+  } yield (rows, win, hop)
+
+  property("native kernel == HOF fold reference, any window/hop, " +
+    "any partitioning") =
+    forAll(genIn) { case (rows, win, hop) =>
+      val df = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "samples").repartition(3)
+      val both = df.select($"id",
+          Multimodal.windowEnergies($"samples", win, hop).as("native"),
+          Multimodal.windowEnergiesFold($"samples", win, hop).as("ref"))
+        .as[(Long, Seq[Long], Seq[Long])].collect()
+      both.forall { case (_, n, r) => n == r }
+    }
+
+  property("sequential law: energies are exact Σ s² over " +
+    "[w*hop, min(w*hop+win, n))") =
+    forAll(genIn) { case (rows, win, hop) =>
+      val df = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "samples")
+      val got = df.select($"id",
+          Multimodal.windowEnergies($"samples", win, hop).as("e"))
+        .as[(Long, Seq[Long])].collect().toMap
+      rows.zipWithIndex.forall { case (s, i) =>
+        val expect =
+          if (s.isEmpty) Seq.empty[Long]
+          else (0 to (s.size - 1) / hop).map { w =>
+            s.slice(w * hop, math.min(w * hop + win, s.size))
+              .map(v => v * v).sum
+          }
+        got(i.toLong) == expect
+      }
+    }
+}
