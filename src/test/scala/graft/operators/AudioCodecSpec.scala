@@ -93,6 +93,37 @@ class AudioCodecSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("AIFF (big-endian PCM) decodes to the SAME samples as WAV — " +
+    "the endianness branch of the frame parser, exercised for real") {
+    val s = synthSamples(9, 300)
+    // encode the same samples as big-endian AIFF via the JDK codec
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val raw = new Array[Byte](s.length * 2)
+    for (i <- s.indices) {
+      raw(2 * i) = ((s(i) >> 8) & 0xff).toByte // high byte first
+      raw(2 * i + 1) = (s(i) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, s.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val rows = Seq(
+      1L -> bos.toByteArray, // AIFF, big-endian
+      2L -> Multimodal.wavBytes(s, 8000)) // WAV, little-endian
+    val out = Multimodal
+      .decodePartitions(rows.toDF("media_id", "bytes"),
+        Multimodal.audioDecoder _)
+      .collect().toMap
+    assert(out(1L).ok && out(2L).ok)
+    assert(out(1L).nSamples == s.length.toLong &&
+      out(1L).nSamples == out(2L).nSamples)
+    assert(out(1L).absSum == out(2L).absSum,
+      "AIFF and WAV encodings of identical samples must decode to " +
+        "identical stats — the endianness branch diverged")
+    assert(out(1L).absSum == s.map(v => math.abs(v.toLong)).sum)
+  }
+
   test("multi-channel and big-endian containers decode channel 0 " +
     "consistently (AIFF is big-endian in the same JDK codec)") {
     val s = synthSamples(5, 120)
