@@ -107,5 +107,16 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"unicode_normalize form must be a literal string, got $other")
       }))
+    Bridge.registerFunction(spark, "window_energies", exprs => {
+      def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+          what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"window_energies $what must be a literal int, got $other")
+      }
+      WindowEnergiesExpr(exprs(0), litInt(exprs(1), "windowLen"),
+        litInt(exprs(2), "hop"))
+    })
   }
 }

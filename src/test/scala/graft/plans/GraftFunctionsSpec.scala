@@ -147,4 +147,18 @@ class GraftFunctionsSpec extends SparkSpec {
         .head()
     }
   }
+
+  test("window_energies is callable from SQL with literal window/hop " +
+    "and agrees with the Column-side kernel") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT window_energies(array(1L, 2L, 3L, 4L, 5L), 3, 2) AS e")
+      .head()
+    // windows: [1,2,3]=14, [3,4,5]=50, [5]=25 (trailing partial)
+    assert(row.getSeq[Long](0) == Seq(14L, 50L, 25L))
+    intercept[Exception] {
+      spark.sql(
+        "SELECT window_energies(array(1L), 1 + 2, 2)").head()
+    }
+  }
 }
