@@ -1,5 +1,60 @@
 package graft
 object Bench {
+
+  /** Loggers behind Spark's "No Partition Defined for Window
+    * operation!" warning (emitted by WindowExecBase; the Logging
+    * trait names the logger after the CONCRETE node class).
+    */
+  private val GwinLoggers = Seq(
+    "org.apache.spark.sql.execution.window.WindowExec",
+    "org.apache.spark.sql.execution.window.WindowGroupLimitExec")
+
+  /** Queries allowlisted for a bounded-input partition-less window,
+    * read from the committed exchange ledger's gwin= counts (the same
+    * source drift_check + GwinBoundsSpec gate) — so the mute list
+    * can't drift from the allowlist.
+    */
+  private lazy val gwinAllowed: Set[String] =
+    try {
+      val src = scala.io.Source.fromFile("/root/repo/EXCHANGES.txt")
+      try src.getLines().flatMap { l =>
+        val parts = l.trim.split("\\s+")
+        val g = parts.collectFirst {
+          case s if s.startsWith("gwin=") => s.drop(5).toInt
+        }
+        if (parts.nonEmpty && g.exists(_ > 0)) Some(parts(0)) else None
+      }.toSet
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+
+  /** Queries whose BOUNDED partition-less windows execute EAGERLY
+    * (inside a localCheckpoint during query construction) — invisible
+    * to the final-plan ledger (their gwin= is 0) yet still warning at
+    * runtime. Each entry's boundedness is executable in
+    * GwinBoundsSpec's eager section. Found round 11: q239's
+    * apportionment windows (allocateLargestRemainder over the
+    * per-source stratum table) run under `alloc.localCheckpoint()`.
+    */
+  private val EagerGwinAllowed = Set("q239_stratified_sample")
+
+  /** Run `f` with the global-window warning muted — ONLY for queries
+    * whose partition-less window is ledger-allowlisted (bounded input,
+    * bounds executable in GwinBoundsSpec) or declared eager-bounded
+    * above. Their warnings are indistinguishable in the log from a
+    * real scale-killer's, so muting them makes a NEW unbounded-window
+    * warning stand out in the bench tail instead of drowning among
+    * the known-benign ones.
+    */
+  private def muteGwinWarnings[A](mute: Boolean)(f: => A): A = {
+    if (!mute) return f
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val before = GwinLoggers.map(n => n -> LogManager.getLogger(n).getLevel)
+    GwinLoggers.foreach(Configurator.setLevel(_, Level.ERROR))
+    try f
+    finally before.foreach { case (n, l) => Configurator.setLevel(n, l) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,15 +72,21 @@ object Bench {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val warmups = SparkEntry.benchQueries.toSeq.map { case (_, fn) =>
-      scala.concurrent.Future {
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case scala.util.control.NonFatal(_) => () }
+    // warmup is 8-way concurrent, so per-query mute scoping is
+    // impossible here — mute globally for its duration; a real
+    // scale-killer's warning still surfaces unmuted in the measured
+    // passes below
+    muteGwinWarnings(mute = true) {
+      val warmups = SparkEntry.benchQueries.toSeq.map { case (_, fn) =>
+        scala.concurrent.Future {
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(warmups),
+        scala.concurrent.duration.Duration.Inf)
     }
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(warmups),
-      scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
     // settle before measuring: the warmup leaves cached plans plus a
     // GC + ContextCleaner backlog (broadcast/shuffle cleanup runs
@@ -83,7 +144,9 @@ object Bench {
       // would let Catalyst prune all per-row computation away and
       // under-measure projection-heavy queries)
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        muteGwinWarnings(gwinAllowed(name) || EagerGwinAllowed(name)) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
         times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
       } catch { case scala.util.control.NonFatal(_) => () }
     }

@@ -199,9 +199,12 @@ object Multimodal {
     * Empty on quarantine (the [[imageGridDecoder]] convention).
     */
   def pcmWindowDecoder(windowSamples: Int, hopSamples: Int)
-      : Array[Byte] => Seq[Long] = { bytes =>
+      : Array[Byte] => Seq[Long] = {
+    // fail at construction on the driver (like windowEnergiesFold),
+    // not as a mid-job executor task error inside the lambda
     require(windowSamples > 0 && hopSamples > 0,
       "window and hop must be positive")
+    bytes =>
     val dec = readPcm16(bytes)
     if (dec == null) Seq.empty
     else {

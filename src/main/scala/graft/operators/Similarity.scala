@@ -108,25 +108,68 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("cos"))
   }
 
+  /** The SemDeDup assignment stage: every vector joined back to its
+    * [[ivfAssign]] cell with its norm hoisted, localCheckpointed ONCE
+    * (both pair sides read it; re-deriving would re-run the centroid
+    * scan twice). Exposed so the plan guard can drive the real pair
+    * stage against real inputs.
+    *
+    * @return (vec_id, centroid_id, embedding, _n), checkpointed
+    */
+  def semDedupAssignment(vectors: DataFrame, centroids: DataFrame)
+      : DataFrame =
+    ivfAssign(vectors, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("_n", norm(col("embedding")))
+      .localCheckpoint()
+
+  /** The SemDeDup pair stage, exposed as its own seam so the plan
+    * guard (PlanShapeSpec) can pin its shape directly: verified
+    * within-cluster duplicate pairs at cosine ≥ τ over a checkpointed
+    * (vec_id, centroid_id, embedding, _n) assignment — an equi-join
+    * on centroid_id ONLY (never cross-cluster all-pairs), norms
+    * hoisted per side so each candidate pair costs one codegen'd
+    * [[dot]] fold.
+    *
+    * @return (u, v) with u < v — each verified duplicate pair once
+    */
+  def semDedupPairs(sided: DataFrame, cosThreshold: Double)
+      : DataFrame = {
+    val a = sided.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("_n").as("na"))
+    val b = sided.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("_n").as("nb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >=
+        cosThreshold)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): cluster-assign every vector ([[ivfAssign]],
     * centroids broadcast), find near-dup pairs ONLY within each
-    * cluster (equi-join on centroid_id — never cross-cluster
-    * all-pairs), and keep one representative per duplicate pair via
-    * the [[Dedup.nearDupDedup]] discipline: drop every id that
-    * appears as the LARGER side of a verified pair (exact for pair
-    * clusters; a chain keeps its smallest id — the aggressive-dedup
-    * stance).
+    * cluster ([[semDedupPairs]] — equi-join on centroid_id, never
+    * cross-cluster all-pairs), close the verified pairs into
+    * components ([[Graph.connectedComponents]], the q88 machinery),
+    * and keep exactly ONE representative per component: its minimum
+    * vec_id. Component-exact per the paper — a chain a–b–c where
+    * cos(a,b) and cos(b,c) pass but cos(a,c) doesn't keeps exactly
+    * {a} (the pre-r11 one-hop drop rule dropped both b and c, leaving
+    * a component with a kept member whose own kept-neighbor was
+    * dropped).
     *
     * Scale shape: within-cluster pair cost is Σ c² over cluster
     * sizes — the knob is the centroid count, exactly the SemDeDup
     * recipe (more cells → smaller c). The assignment is computed ONCE
     * and localCheckpointed (both pair sides read it; re-deriving
-    * would re-run the centroid scan twice), norms are hoisted per
-    * side so each candidate pair costs one codegen'd [[dot]] fold,
-    * and the pair join shuffles on centroid_id only — vectors never
-    * ride an all-pairs or cross-cluster exchange.
+    * would re-run the centroid scan twice), the pair join shuffles on
+    * centroid_id only — vectors never ride an all-pairs or
+    * cross-cluster exchange — and the component closure runs in the
+    * id space (pairs only, no vectors), hybrid driver/distributed
+    * per [[Graph.connectedComponents]]'s bounded-solve discipline.
     *
     * @param vectors      (vec_id, embedding)
     * @param centroids    (centroid_id, centroid) — bounded, broadcast
@@ -136,25 +179,17 @@ object Similarity {
     */
   def semDedup(vectors: DataFrame, centroids: DataFrame,
       cosThreshold: Double): DataFrame = {
-    val sided = ivfAssign(vectors, centroids)
-      .select(col("vec_id"), col("centroid_id"))
-      .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("_n", norm(col("embedding")))
-      .localCheckpoint()
-    val a = sided.select(col("centroid_id"), col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("_n").as("na"))
-    val b = sided.select(col("centroid_id"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("_n").as("nb"))
-    val drops = a.join(b, Seq("centroid_id"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >=
-        cosThreshold)
-      .select(col("id_b").as("_drop_id"))
-      .distinct()
+    val sided = semDedupAssignment(vectors, centroids)
+    // min-label closure: comps = (id, comp); a vector is the kept
+    // representative iff it IS its component's min label (vectors in
+    // no pair have no comps row and stay kept)
+    val comps = Graph.connectedComponents(
+      semDedupPairs(sided, cosThreshold))
     sided.select(col("vec_id"), col("centroid_id"))
-      .join(drops, col("vec_id") === col("_drop_id"), "left")
+      .join(comps, col("vec_id") === col("id"), "left")
       .select(col("vec_id"), col("centroid_id"),
-        col("_drop_id").isNull.as("kept"))
+        (col("comp").isNull || col("comp") === col("vec_id"))
+          .as("kept"))
   }
 
   /** Full Lloyd's k-means fit: `rounds` iterations of cosine

@@ -25,7 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Edge semantics: zero samples → EMPTY array (never a fabricated
   * window — the descending-`sequence` guard of the HOF form); null
   * ELEMENTS count as 0 (samples are non-null by construction; the
-  * guard keeps the expression total); null INPUT → null.
+  * guard keeps the expression total); null INPUT → null. Overflow
+  * THROWS (`Math.multiplyExact`/`addExact`) — the fold reference uses
+  * Column `+`/`*` which error under the session's ANSI mode, and
+  * window_energies is SQL-registered for arbitrary ARRAY<BIGINT>, so
+  * silent wraparound would diverge from the documented equivalence
+  * exactly on the inputs a prop generator never reaches.
   */
 case class WindowEnergiesExpr(child: Expression, windowLen: Int,
     hop: Int) extends UnaryExpression with CodegenFallback {
@@ -57,7 +62,7 @@ case class WindowEnergiesExpr(child: Expression, windowLen: Int,
       while (i < end) {
         if (!arr.isNullAt(i)) {
           val s = arr.getLong(i)
-          e += s * s
+          e = Math.addExact(e, Math.multiplyExact(s, s))
         }
         i += 1
       }

@@ -76,16 +76,19 @@ object Extended29 {
     * vectors 0..7 seed the cells (the q48 convention), within-cell
     * cosine ≥ 0.30 marks duplicate pairs (this synthetic corpus tops
     * out near 0.40 — 0.95 would be vacuous here; the operator is
-    * threshold-parametric), larger ids drop. The oracle replays
-    * assignment (rn = 1 over cos DESC, centroid_id — q48's exact
-    * recipe), the within-cell pair scan, and the drop list
-    * declaratively; output is the per-cell kept/total census plus a
+    * threshold-parametric), pairs close into connected components
+    * and each component keeps exactly its MIN vec_id (the paper's
+    * keep-one-per-cluster semantics, r11 upgrade from the one-hop
+    * larger-id drop). The oracle replays assignment (rn = 1 over cos
+    * DESC, centroid_id — q48's exact recipe), the within-cell pair
+    * scan, and the min-label fixpoint via a recursive CTE (the q88
+    * discipline); output is the per-cell kept/total census plus a
     * kept-id checksum so the exact survivor SET is hash-pinned, not
     * just its size.
     */
   val q305_semantic_dedup: Q = Q(
     "q305_semantic_dedup",
-    """WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
+    """WITH RECURSIVE c AS (SELECT vec_id AS centroid_id, embedding AS ce
       |  FROM embeddings WHERE vec_id < 8),
       |scored AS (SELECT vec_id, centroid_id,
       |    list_reduce(list_transform(range(1, 65),
@@ -106,19 +109,26 @@ object Extended29 {
       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
       |      (x, y) -> x + y)) AS nrm
       |  FROM assign a JOIN embeddings e USING (vec_id)),
-      |drops AS (SELECT DISTINCT y.vec_id AS drop_id
+      |pairs AS (SELECT x.vec_id AS u, y.vec_id AS v
       |  FROM sided x JOIN sided y
       |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
       |  WHERE list_reduce(list_transform(range(1, 65),
       |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
-      |      (u, v) -> u + v) / (x.nrm * y.nrm) >= 0.30)
+      |      (a, b) -> a + b) / (x.nrm * y.nrm) >= 0.30),
+      |sym AS (SELECT u AS a, v AS b FROM pairs
+      |  UNION ALL SELECT v, u FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT s.b, r.lab FROM reach r JOIN sym s ON r.id = s.a),
+      |cc AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id)
       |SELECT centroid_id,
       |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
-      |  CAST(SUM(CASE WHEN d.drop_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_kept,
-      |  CAST(SUM(CASE WHEN d.drop_id IS NULL THEN s.vec_id ELSE 0 END)
-      |    AS BIGINT) AS kept_checksum
-      |FROM sided s LEFT JOIN drops d ON s.vec_id = d.drop_id
+      |  CAST(SUM(CASE WHEN k.comp IS NULL OR k.comp = s.vec_id
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN k.comp IS NULL OR k.comp = s.vec_id
+      |    THEN s.vec_id ELSE 0 END) AS BIGINT) AS kept_checksum
+      |FROM sided s LEFT JOIN cc k ON s.vec_id = k.id
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val emb = Tables.loadParallel(spark, dir, "embeddings")

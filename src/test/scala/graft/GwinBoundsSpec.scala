@@ -85,6 +85,31 @@ class GwinBoundsSpec extends SparkSpec {
     children.toSeq.map(_.execute().count())
   }
 
+  // EAGER global windows — executed during query CONSTRUCTION (inside
+  // a localCheckpoint), so they never appear in the final plan the
+  // ledger counts (gwin=0) yet still take Spark's single-partition
+  // path at runtime (found round 11 via q239's bench warnings). Their
+  // boundedness is asserted here on the exact input the eager window
+  // ingests; Bench.EagerGwinAllowed mutes exactly these labels.
+  test("q239_stratified_sample's EAGER apportionment windows " +
+    "(allocateLargestRemainder under alloc.localCheckpoint) ingest " +
+    "one row per source — bounded at any corpus size") {
+    import org.apache.spark.sql.functions.{count, lit}
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach {
+      dir =>
+        // the stratum table IS the window input: documents grouped by
+        // source (the exact DataFrame q239 hands to the apportioner)
+        val strata = graft.core.Tables
+          .loadParallel(spark, dir, "documents")
+          .groupBy(org.apache.spark.sql.functions.col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val n = strata.count()
+        assert(n > 0 && n <= 16L,
+          s"q239's stratum table has $n rows at $dir — the eager " +
+            "window's one-row-per-source bound no longer holds")
+    }
+  }
+
   for ((name, (bound, why)) <- bounds.toSeq.sortBy(_._1)) {
     test(s"$name: every partition-less window ingests <= $bound rows " +
       s"($why), at sf0.001 and sf0.01") {

@@ -1036,20 +1036,28 @@ class PlanShapeSpec extends SparkSpec {
     "stage is an equi-join on centroid_id over the checkpointed " +
     "assignment — never a cartesian/all-pairs stage, and vectors " +
     "never enter a broadcast") {
-    val df = SparkEntry.queries("q305_semantic_dedup")(spark, sfDir)
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") ||
-      // the ivfAssign centroid scan is a broadcast nested loop by
-      // design (8 broadcast centroids x corpus); the PAIR stage must
-      // not be — assert no cartesian without a broadcast side at all
-      !p.contains("CartesianProduct "),
-      s"q305 plans a cartesian pair stage:\n$p")
-    // the pair join itself: an equi join keyed on centroid_id
-    assert(p.contains("centroid_id"), "pair stage must key on the cell")
-    val sections = df.queryExecution
+    // since the r11 connected-components upgrade the pair stage
+    // executes eagerly inside Graph.connectedComponents' edge
+    // checkpoint, so its shape is pinned at the semDedupPairs seam
+    // (the exact DataFrame semDedup feeds to the closure), driven by
+    // the same real inputs q305 uses
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.loadParallel(spark, sfDir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val sided = Similarity.semDedupAssignment(
+      emb.select(col("vec_id"), col("embedding")), centroids)
+    val pairs = Similarity.semDedupPairs(sided, 0.30)
+    val sections = pairs.queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
       .split("\n\n")
+    val cartesians = sections.filter(s => s.startsWith("(") &&
+      s.linesIterator.next().contains("CartesianProduct"))
+    assert(cartesians.isEmpty,
+      s"q305 pair stage plans a cartesian:\n${cartesians.mkString}")
     val pairJoins = sections.filter(s => s.startsWith("(") &&
       (s.linesIterator.next().contains("SortMergeJoin") ||
         s.linesIterator.next().contains("ShuffledHashJoin")))
@@ -1060,7 +1068,23 @@ class PlanShapeSpec extends SparkSpec {
       s.linesIterator.next().contains("BroadcastExchange"))
     bcasts.foreach { s =>
       assert(!s.contains("va#") && !s.contains("vb#"),
-        s"q305: a corpus vector side entered a broadcast:\n$s")
+        s"q305 pair stage: a corpus vector entered a broadcast:\n$s")
+    }
+    // and the COMPOSED query never plans a cartesian or broadcasts a
+    // vector column either (the closure and census run in id space)
+    val df = SparkEntry.queries("q305_semantic_dedup")(spark, sfDir)
+    val fullSections = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+      .split("\n\n")
+    assert(!fullSections.exists(s => s.startsWith("(") &&
+      s.linesIterator.next().contains("CartesianProduct")),
+      "q305's composed plan contains a cartesian stage")
+    fullSections.filter(s => s.startsWith("(") &&
+      s.linesIterator.next().contains("BroadcastExchange")).foreach {
+      s =>
+        assert(!s.contains("embedding#"),
+          s"q305: a corpus vector side entered a broadcast:\n$s")
     }
   }
 

@@ -124,6 +124,75 @@ class AudioCodecSpec extends SparkSpec {
     assert(out(1L).absSum == s.map(v => math.abs(v.toLong)).sum)
   }
 
+  test("format-matrix codec law over {WAV, AIFF, AU} x {8, 16, 24} " +
+    "bits: every 16-bit container decodes to the JVM-reference stats " +
+    "and energy grid; every 8/24-bit payload QUARANTINES (ok=false / " +
+    "empty energies) — never throws, never returns wrong samples") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val s = synthSamples(11, 200)
+    val (win, hop) = (40, 16)
+    val refEnergies: Seq[Long] =
+      (0 to (s.length - 1) / hop).map { w =>
+        s.slice(w * hop, math.min(w * hop + win, s.length))
+          .map(v => v.toLong * v).sum
+      }
+    val types = Seq(
+      "wav" -> AudioFileFormat.Type.WAVE,
+      "aiff" -> AudioFileFormat.Type.AIFF,
+      "au" -> AudioFileFormat.Type.AU)
+    def encode(t: AudioFileFormat.Type, bits: Int): Array[Byte] = {
+      // the JDK normalizes endianness per container (WAV little,
+      // AIFF/AU big) — encode accordingly so 16-bit payloads carry
+      // OUR samples; 8/24-bit payload bytes are arbitrary (they must
+      // quarantine on width, content never read as 16-bit)
+      val big = t != AudioFileFormat.Type.WAVE
+      val fmt = new AudioFormat(8000f, bits, 1, true, big)
+      val bpf = bits / 8
+      val raw = new Array[Byte](s.length * bpf)
+      if (bits == 16) {
+        for (i <- s.indices) {
+          val (lo, hi) = if (big) (1, 0) else (0, 1)
+          raw(2 * i + hi) = ((s(i) >> 8) & 0xff).toByte
+          raw(2 * i + lo) = (s(i) & 0xff).toByte
+        }
+      } else {
+        for (i <- raw.indices) raw(i) = (i * 7).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(raw),
+          fmt, s.length.toLong), t, bos)
+      bos.toByteArray
+    }
+    val rows = for {
+      ((tn, t), ti) <- types.zipWithIndex
+      (bits, bi) <- Seq(8, 16, 24).zipWithIndex
+    } yield ((ti * 3 + bi + 1).toLong, tn, bits, encode(t, bits))
+    val df = rows.map { case (id, _, _, b) => (id, b) }
+      .toDF("media_id", "bytes").repartition(3)
+    val stats = Multimodal
+      .decodePartitions(df, Multimodal.audioDecoder _)
+      .collect().toMap
+    val energies = Multimodal
+      .decodePartitions(df, () => Multimodal.pcmWindowDecoder(win, hop))
+      .collect().toMap
+    rows.foreach { case (id, tn, bits, _) =>
+      if (bits == 16) {
+        assert(stats(id).ok && stats(id).nSamples == s.length.toLong &&
+          stats(id).absSum == s.map(v => math.abs(v.toLong)).sum,
+          s"$tn/$bits-bit: 16-bit container must decode exactly")
+        assert(energies(id) == refEnergies,
+          s"$tn/$bits-bit: energy grid != JVM reference")
+      } else {
+        assert(!stats(id).ok && stats(id).nSamples == 0L,
+          s"$tn/$bits-bit must quarantine (ok=false), not decode")
+        assert(energies(id).isEmpty,
+          s"$tn/$bits-bit must produce an EMPTY energy row")
+      }
+    }
+  }
+
   test("multi-channel and big-endian containers decode channel 0 " +
     "consistently (AIFF is big-endian in the same JDK codec)") {
     val s = synthSamples(5, 120)

@@ -7,10 +7,11 @@ import graft.SparkSpec
 /** ScalaCheck: [[Similarity.semDedup]] ≡ the sequential SemDeDup
   * reference — assign each vector to its highest-cosine centroid
   * (ties to the smaller centroid id), mark within-cluster pairs at
-  * cosine ≥ τ, drop the larger id of every marked pair — independent
-  * of partitioning. The reference folds doubles LEFT-TO-RIGHT exactly
-  * like the codegen'd VectorDot, so threshold comparisons can't
-  * diverge at the ulp.
+  * cosine ≥ τ, close pairs into connected components, keep exactly
+  * the MIN id of every component (the paper's keep-one-per-cluster
+  * semantics) — independent of partitioning. The reference folds
+  * doubles LEFT-TO-RIGHT exactly like the codegen'd VectorDot, so
+  * threshold comparisons can't diverge at the ulp.
   */
 object SemDedupProps extends Properties("SemDedup") {
   private lazy val spark = SparkSpec.session
@@ -57,16 +58,32 @@ object SemDedupProps extends Properties("SemDedup") {
         .minBy { case (cid, s) => (-s, cid) }._1
       (id, v, best)
     }
-    val drops = (for {
+    val pairs = for {
       (ia, va, ca) <- assign
       (ib, vb, cb) <- assign
       if ca == cb && ia < ib && cos(va, vb) >= tau
-    } yield ib).toSet
-    assign.map { case (id, _, c) => id -> (c, !drops(id)) }.toMap
+    } yield (ia, ib)
+    // union-find min-label closure: keep exactly the component min
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    assign.map { case (id, _, c) =>
+      id -> (c, !parent.contains(id) || find(id) == id)
+    }.toMap
   }
 
   property("semDedup == sequential reference (assignment, " +
-    "within-cluster pairs, larger-id drop), any partitioning") =
+    "within-cluster pairs, component min-label keep), any " +
+    "partitioning") =
     forAll(genIn) { case (vs, cs, tau) =>
       val vdf = vs.toDF("vec_id", "embedding").repartition(5)
       val cdf = cs.toDF("centroid_id", "centroid")
@@ -77,21 +94,44 @@ object SemDedupProps extends Properties("SemDedup") {
       got == expected
     }
 
-  property("kept set is a maximal no-pair-above-tau set in the " +
-    "pairwise sense: every dropped vector has a SMALLER surviving-" +
-    "or-dropped witness at cos >= tau in its own cluster") =
+  property("kept vectors are an independent set of the pair graph: " +
+    "no two kept vectors in one cluster at cos >= tau (two kept " +
+    "duplicates would mean their components wrongly failed to merge)") =
     forAll(genIn) { case (vs, cs, tau) =>
       val vdf = vs.toDF("vec_id", "embedding").repartition(3)
       val cdf = cs.toDF("centroid_id", "centroid")
       val rows = Similarity.semDedup(vdf, cdf, tau)
         .as[(Long, Long, Boolean)].collect()
       val byId = vs.toMap
-      val assignOf = rows.map(r => r._1 -> r._2).toMap
-      rows.filter(!_._3).forall { case (id, c, _) =>
-        vs.exists { case (other, v) =>
-          other < id && assignOf(other) == c &&
-            cos(v, byId(id)) >= tau
+      val kept = rows.filter(_._3)
+      kept.forall { case (ia, ca, _) =>
+        kept.forall { case (ib, cb, _) =>
+          ia >= ib || ca != cb || cos(byId(ia), byId(ib)) < tau
         }
       }
     }
+
+  property("CHAIN a-b-c (cos(a,b),cos(b,c) >= tau, cos(a,c) < tau) " +
+    "keeps exactly {a}; V-shape (a-c, b-c pairs only) keeps exactly " +
+    "{a} too — one representative per COMPONENT, not per-pair drops " +
+    "(the pre-r11 rule kept {a,b} on the V)") = {
+    val centroid = List((0L, Seq(1f, 1f, 0f, 0f, 0f, 0f)))
+    val cdf = centroid.toDF("centroid_id", "centroid")
+    val e1 = Seq(1f, 0f, 0f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 1f, 0f, 0f, 0f, 0f)
+    val mid = Seq(1f, 1f, 0f, 0f, 0f, 0f)
+    // chain: 1-(1,0), 2-(1,1), 3-(0,1): pairs (1,2),(2,3) at ~0.707
+    val chain = List((1L, e1), (2L, mid), (3L, e2))
+      .toDF("vec_id", "embedding").repartition(2)
+    val gotChain = Similarity.semDedup(chain, cdf, 0.7)
+      .as[(Long, Long, Boolean)].collect()
+      .filter(_._3).map(_._1).toSet
+    // V: 1-(1,0), 2-(0,1), 3-(1,1): pairs (1,3),(2,3); cos(1,2)=0
+    val v = List((1L, e1), (2L, e2), (3L, mid))
+      .toDF("vec_id", "embedding").repartition(2)
+    val gotV = Similarity.semDedup(v, cdf, 0.7)
+      .as[(Long, Long, Boolean)].collect()
+      .filter(_._3).map(_._1).toSet
+    gotChain == Set(1L) && gotV == Set(1L)
+  }
 }

@@ -17,25 +17,78 @@ import sys
 import os
 
 
+def _compact_line(doc):
+    """The one ≤1900-byte JSON line graft.Bench prints (round 10+),
+    recovered from a driver artifact's parsed field or its tail."""
+    if isinstance(doc.get("parsed"), dict) and doc["parsed"]:
+        return doc["parsed"]
+    import re
+    for raw in reversed(doc.get("tail", "").splitlines()):
+        raw = raw.strip()
+        if raw.startswith('{"metric"'):
+            try:
+                return json.loads(raw)
+            except ValueError:
+                return None
+    return None
+
+
+def _from_compact(line):
+    """Resolve a compact bench line to {query: seconds}. The "full"
+    pointer (BENCH_FULL.json by default) is overwritten by EVERY bench
+    run, so an old driver artifact can silently resolve to a newer
+    round's numbers (every ratio 1.0, a real regression reads as 'no
+    movers'). Trust the full payload only when it AGREES with the
+    compact line (same label count, per-query centisecond match);
+    otherwise decode the line's own cs array using the full file's
+    (stable) label names, or give up to a loud empty result."""
+    full = line.get("full", "")
+    cs = line.get("cs") or []
+    nq = line.get("nq")
+    fq = {}
+    if full and os.path.exists(full):
+        try:
+            with open(full) as f:
+                fq = dict(json.load(f).get("queries", {}))
+        except ValueError:
+            fq = {}
+    if fq and len(fq) == nq:
+        names = sorted(fq)
+        if len(cs) == nq:
+            agree = sum(1 for n, c in zip(names, cs)
+                        if fq[n] < 0 or abs(round(fq[n] * 100) - c) <= 1)
+            if agree >= 0.9 * nq:
+                return {k: v for k, v in fq.items() if v >= 0}
+            # stale/overwritten full file: same surface, different
+            # numbers — the compact line is authoritative
+            print(f"NOTE: {full} disagrees with the compact line "
+                  f"({nq - agree}/{nq} labels off) — decoding the "
+                  "embedded cs array instead", file=sys.stderr)
+            return {n: c / 100.0 for n, c in zip(names, cs) if c >= 0}
+        return {k: v for k, v in fq.items() if v >= 0}
+    if fq:
+        print(f"NOTE: {full} has {len(fq)} labels but the compact "
+              f"line says nq={nq} — surface mismatch, cannot decode "
+              "the cs array; ignoring this artifact's queries",
+              file=sys.stderr)
+    return {}
+
+
 def load(path):
     with open(path) as f:
         doc = json.load(f)
-    if "queries" not in doc and "tail" in doc:
-        # driver-format BENCH_rN.json. Round 10+: the tail holds ONE
-        # compact line whose "full" field names the complete payload
-        # file — follow it. Pre-r10 tails held a (usually front-
-        # truncated) giant line; regex-harvest those.
-        import re
-        m = re.search(r'"full":"([^"]+)"', doc["tail"])
-        if m and os.path.exists(m.group(1)):
-            return load(m.group(1))
-        pairs = re.findall(r'"(q[0-9][^"]*)":(-?[0-9.]+)', doc["tail"])
-        return {k: float(v) for k, v in pairs if float(v) >= 0}
-    if "queries" not in doc and "parsed" in doc and doc["parsed"]:
-        full = doc["parsed"].get("full", "")
-        if full and os.path.exists(full):
-            return load(full)
-    return {k: v for k, v in doc.get("queries", {}).items() if v >= 0}
+    if "queries" in doc:
+        return {k: v for k, v in doc["queries"].items() if v >= 0}
+    # driver-format BENCH_rN.json. Round 10+: parsed/tail hold ONE
+    # compact line; resolve it (validating the "full" pointer, which
+    # is overwritten by every bench run). Pre-r10 tails held a
+    # (usually front-truncated) giant line; regex-harvest those.
+    line = _compact_line(doc)
+    if line is not None:
+        return _from_compact(line)
+    import re
+    pairs = re.findall(r'"(q[0-9][^"]*)":(-?[0-9.]+)', doc.get("tail", ""))
+    return {k: float(v) for k, v in pairs if float(v) >= 0}
 
 
 def ledger(path):

@@ -56,6 +56,17 @@ GWIN_ALLOWLIST = {
 }
 
 
+# Bench-only labels: timing splits of an oracle-checked composite,
+# registered in SparkEntry.benchQueries but (by design) carrying no
+# CORRECTNESS row. Check 4b asserts bench-label set = ledger set ∪
+# exactly these, and that each one's composite IS oracle-checked — so
+# the bench-vs-oracle count difference stays mechanical, not tribal.
+BENCH_ONLY_DERIVATIVES = {
+    "q240a_lm_train": "q240_backoff_lm_bits",
+    "q240b_lm_score": "q240_backoff_lm_bits",
+}
+
+
 def read(path):
     with open(os.path.join(REPO, path), encoding="utf-8") as f:
         return f.read()
@@ -117,6 +128,25 @@ def main() -> int:
             errs.append(f"{os.path.basename(newest)} missing medians for "
                         f"{len(missing)} ledger queries: "
                         f"{', '.join(sorted(missing)[:10])}")
+        # 4b. chain of custody for bench-only labels: anything the
+        # bench times beyond the oracle surface must be a DECLARED
+        # derivative of an oracle-checked composite
+        extra = set(data.get("queries", {})) - set(led)
+        undeclared = sorted(extra - set(BENCH_ONLY_DERIVATIVES))
+        if undeclared:
+            errs.append(f"{os.path.basename(newest)} times "
+                        f"{len(undeclared)} labels with no oracle row and "
+                        f"no BENCH_ONLY_DERIVATIVES entry: {undeclared[:10]}")
+        for label, composite in BENCH_ONLY_DERIVATIVES.items():
+            if label not in extra:
+                errs.append(f"declared bench-only derivative {label} is "
+                            f"not in {os.path.basename(newest)} (stale "
+                            "declaration — remove it or re-register the "
+                            "label in SparkEntry.benchQueries)")
+            if composite not in led:
+                errs.append(f"{label}'s composite {composite} is not "
+                            "oracle-checked — a derivative must split an "
+                            "oracle-green query")
 
     # determinism-sweep ledger: set-identical to the query surface,
     # coverage never stale (every query swept within ~one rotation;
