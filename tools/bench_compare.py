@@ -154,15 +154,26 @@ def main():
         print(f"overall: median query ratio {med:.3f} "
               f"({len(ratios)} common)")
         oc, nc = calib(old_path), calib(new_path)
+        # the two probes measure DIFFERENT host dimensions (cpu_md5 =
+        # single-thread CPU, spark_range = parallel throughput +
+        # scheduler) and can diverge — round 11 caught a host with
+        # cpu_md5 0.85x but spark_range 1.72x (multi-core contention).
+        # An ENGINE regression shows in query medians but in NEITHER
+        # probe, so normalize by the LARGER host ratio: if either
+        # probe explains the drift, it's the host.
+        hosts = []
         for key in ("cpu_md5_sec", "spark_range_sec"):
             if oc.get(key) and nc.get(key):
+                r = nc[key] / oc[key]
+                hosts.append(r)
                 print(f"calib {key}: {oc[key]:.3f} -> {nc[key]:.3f} "
-                      f"(ratio {nc[key] / oc[key]:.3f})")
-        if oc.get("cpu_md5_sec") and nc.get("cpu_md5_sec"):
-            host = nc["cpu_md5_sec"] / oc["cpu_md5_sec"]
+                      f"(ratio {r:.3f})")
+        if hosts:
+            host = max(hosts)
             resid = med / host if host > 0 else None
             print(f"host-normalized residual: {resid:.3f} "
-                  "(≈1.0 ⇒ host drift, not engine drift)")
+                  "(vs the larger calib ratio; ≈1.0 or below ⇒ host "
+                  "drift, not engine drift)")
     if gate is not None:
         if resid is None:
             print(f"GATE FAIL: residual could not compute (missing "

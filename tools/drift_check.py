@@ -203,6 +203,27 @@ def main() -> int:
                 f"(allowlist-only: {sorted(set(GWIN_ALLOWLIST) - set(spec_bounds))}, "
                 f"spec-only: {sorted(set(spec_bounds) - set(GWIN_ALLOWLIST))})")
 
+    # 7b. EAGER gwin allowlist ⇔ executable bounds: queries whose
+    # bounded global windows run during query construction (inside a
+    # localCheckpoint — invisible to the final-plan ledger) are
+    # declared in Bench.EagerGwinAllowed so their warnings are muted
+    # by name. Each declared name must carry an eager bound test in
+    # GwinBoundsSpec, or the mute is prose-only (the round-9 gap all
+    # over again).
+    bench_src = read("src/main/scala/graft/Bench.scala")
+    m = re.search(r"EagerGwinAllowed\s*=\s*Set\(([^)]*)\)", bench_src)
+    eager = set(re.findall(r'"(q\w+)"', m.group(1))) if m else set()
+    if not m:
+        errs.append("Bench.scala: EagerGwinAllowed set not found — "
+                    "the eager-window mute declaration moved or died")
+    gwin_spec = read(gwin_spec_path) if os.path.exists(
+        os.path.join(REPO, gwin_spec_path)) else ""
+    for q in sorted(eager):
+        if f"{q}'s EAGER" not in gwin_spec:
+            errs.append(f"Bench.EagerGwinAllowed declares {q} but "
+                        "GwinBoundsSpec has no eager bound test titled "
+                        f"\"{q}'s EAGER ...\" — add the executable bound")
+
     entry = read("src/main/scala/graft/SparkEntry.scala")
     for f in sorted(glob.glob(os.path.join(
             REPO, "src/main/scala/graft/queries/Extended*.scala"))):
