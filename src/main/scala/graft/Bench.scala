@@ -35,7 +35,7 @@ object Bench {
     * apportionment windows (allocateLargestRemainder over the
     * per-source stratum table) run under `alloc.localCheckpoint()`.
     */
-  private val EagerGwinAllowed = Set("q239_stratified_sample")
+  private[graft] val EagerGwinAllowed = Set("q239_stratified_sample")
 
   /** Run `f` with the global-window warning muted — ONLY for queries
     * whose partition-less window is ledger-allowlisted (bounded input,
