@@ -83,7 +83,11 @@ object Multimodal {
     * [[imageDecoder]]).
     */
   def imageGridDecoder(rows: Int, cols: Int)
-      : Array[Byte] => Seq[Long] = { bytes =>
+      : Array[Byte] => Seq[Long] = {
+    // fail at construction on the driver (the pcmWindowDecoder rule):
+    // a 0/negative grid would divide by zero inside every task
+    require(rows > 0 && cols > 0, "grid dims must be positive")
+    bytes =>
     val img =
       try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
