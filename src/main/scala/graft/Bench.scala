@@ -1,58 +1,52 @@
 package graft
 object Bench {
 
-  /** Loggers behind Spark's "No Partition Defined for Window
-    * operation!" warning (emitted by WindowExecBase; the Logging
-    * trait names the logger after the CONCRETE node class).
-    */
-  private val GwinLoggers = Seq(
-    "org.apache.spark.sql.execution.window.WindowExec",
-    "org.apache.spark.sql.execution.window.WindowGroupLimitExec")
-
-  /** Queries allowlisted for a bounded-input partition-less window,
-    * read from the committed exchange ledger's gwin= counts (the same
-    * source drift_check + GwinBoundsSpec gate) — so the mute list
-    * can't drift from the allowlist.
-    */
-  private lazy val gwinAllowed: Set[String] =
-    try {
-      val src = scala.io.Source.fromFile("/root/repo/EXCHANGES.txt")
-      try src.getLines().flatMap { l =>
-        val parts = l.trim.split("\\s+")
-        val g = parts.collectFirst {
-          case s if s.startsWith("gwin=") => s.drop(5).toInt
-        }
-        if (parts.nonEmpty && g.exists(_ > 0)) Some(parts(0)) else None
-      }.toSet
-      finally src.close()
-    } catch { case scala.util.control.NonFatal(_) => Set.empty }
-
-  /** Queries whose BOUNDED partition-less windows execute EAGERLY
-    * (inside a localCheckpoint during query construction) — invisible
-    * to the final-plan ledger (their gwin= is 0) yet still warning at
-    * runtime. Each entry's boundedness is executable in
-    * GwinBoundsSpec's eager section. Found round 11: q239's
-    * apportionment windows (allocateLargestRemainder over the
-    * per-source stratum table) run under `alloc.localCheckpoint()`.
-    */
-  private[graft] val EagerGwinAllowed = Set("q239_stratified_sample")
-
   /** Run `f` with the global-window warning muted — ONLY for queries
-    * whose partition-less window is ledger-allowlisted (bounded input,
-    * bounds executable in GwinBoundsSpec) or declared eager-bounded
-    * above. Their warnings are indistinguishable in the log from a
-    * real scale-killer's, so muting them makes a NEW unbounded-window
-    * warning stand out in the bench tail instead of drowning among
-    * the known-benign ones.
+    * [[Gwin]] allowlists (ledger gwin= rows with GwinBoundsSpec
+    * bounds, or declared eager-bounded). Their warnings are
+    * indistinguishable in the log from a real scale-killer's, so
+    * muting them makes a NEW unbounded-window warning stand out in
+    * the bench tail instead of drowning among the known-benign ones.
+    *
+    * Muted by message CONTENT, not logger level (r11 ADVICE): a
+    * log4j2 filter drops exactly the "No Partition Defined" text, so
+    * a different WindowExec warning from an allowlisted query still
+    * surfaces — the same discrimination GwinWarningSweepSpec applies.
     */
-  private def muteGwinWarnings[A](mute: Boolean)(f: => A): A = {
+  private[graft] def muteGwinWarnings[A](mute: Boolean)(f: => A): A = {
     if (!mute) return f
-    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
     import org.apache.logging.log4j.core.config.Configurator
-    val before = GwinLoggers.map(n => n -> LogManager.getLogger(n).getLevel)
-    GwinLoggers.foreach(Configurator.setLevel(_, Level.ERROR))
+    import org.apache.logging.log4j.core.filter.AbstractFilter
+    val muteFilter = new AbstractFilter(
+        Filter.Result.DENY, Filter.Result.NEUTRAL) {
+      override def filter(event: LogEvent): Filter.Result =
+        if (event.getMessage.getFormattedMessage
+            .contains(Gwin.WarningText)) Filter.Result.DENY
+        else Filter.Result.NEUTRAL
+    }
+    // resolve the context through SPARK's classloader (the sweep
+    // spec's lesson: under layered classloaders the default context
+    // can differ from the one the Spark jars' loggers live in)
+    val ctx = LogManager.getContext(
+      classOf[org.apache.spark.sql.execution.window.WindowExec]
+        .getClassLoader, false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    // setLevel first (at the current effective level — no level
+    // change): it materializes a SPECIFIC LoggerConfig per logger, so
+    // the filter attaches there and never to the root config
+    Gwin.WindowLoggers.foreach { n =>
+      Configurator.setLevel(n, LogManager.getLogger(n).getLevel)
+      cfg.getLoggerConfig(n).addFilter(muteFilter)
+    }
+    ctx.updateLoggers()
     try f
-    finally before.foreach { case (n, l) => Configurator.setLevel(n, l) }
+    finally {
+      Gwin.WindowLoggers.foreach(n =>
+        cfg.getLoggerConfig(n).removeFilter(muteFilter))
+      ctx.updateLoggers()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -144,7 +138,7 @@ object Bench {
       // would let Catalyst prune all per-row computation away and
       // under-measure projection-heavy queries)
       try {
-        muteGwinWarnings(gwinAllowed(name) || EagerGwinAllowed(name)) {
+        muteGwinWarnings(Gwin.allowed(name)) {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
         times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)

@@ -72,7 +72,11 @@ object Similarity {
     */
   def hardNegatives(queries: DataFrame, candidates: DataFrame,
       k: Int): DataFrame = {
-    val q = queries.withColumn("_qnorm", norm(col("qvec")))
+    // broadcast() made EXPLICIT (r11 verdict nit): the scaladoc's
+    // scale contract is "small query side replicated, candidates
+    // stream" — leaving it to Catalyst's size estimate would let a
+    // stats misestimate silently flip this into a CartesianProduct
+    val q = broadcast(queries.withColumn("_qnorm", norm(col("qvec"))))
     val c = candidates.withColumn("_cnorm", norm(col("cvec")))
     val scored = q
       .crossJoin(c)

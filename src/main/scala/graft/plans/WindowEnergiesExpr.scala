@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MathUtils}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -26,11 +26,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * window — the descending-`sequence` guard of the HOF form); null
   * ELEMENTS count as 0 (samples are non-null by construction; the
   * guard keeps the expression total); null INPUT → null. Overflow
-  * THROWS (`Math.multiplyExact`/`addExact`) — the fold reference uses
-  * Column `+`/`*` which error under the session's ANSI mode, and
-  * window_energies is SQL-registered for arbitrary ARRAY<BIGINT>, so
-  * silent wraparound would diverge from the documented equivalence
-  * exactly on the inputs a prop generator never reaches.
+  * THROWS via Catalyst's own `MathUtils.multiplyExact`/`addExact` —
+  * the SAME factory ANSI `+`/`*` call — so SQL callers of the
+  * registered window_energies see the identical error surface
+  * (SparkArithmeticException, error class ARITHMETIC_OVERFLOW) as the
+  * documented-equivalent Column fold, not a bare
+  * java.lang.ArithmeticException (r11 ADVICE).
   */
 case class WindowEnergiesExpr(child: Expression, windowLen: Int,
     hop: Int) extends UnaryExpression with CodegenFallback {
@@ -62,7 +63,7 @@ case class WindowEnergiesExpr(child: Expression, windowLen: Int,
       while (i < end) {
         if (!arr.isNullAt(i)) {
           val s = arr.getLong(i)
-          e = Math.addExact(e, Math.multiplyExact(s, s))
+          e = MathUtils.addExact(e, MathUtils.multiplyExact(s, s))
         }
         i += 1
       }

@@ -90,7 +90,7 @@ class GwinBoundsSpec extends SparkSpec {
   // ledger counts (gwin=0) yet still take Spark's single-partition
   // path at runtime (found round 11 via q239's bench warnings). Their
   // boundedness is asserted here on the exact input the eager window
-  // ingests; Bench.EagerGwinAllowed mutes exactly these labels.
+  // ingests; Gwin.EagerGwinAllowed mutes exactly these labels.
   test("q239_stratified_sample's EAGER apportionment windows " +
     "(allocateLargestRemainder under alloc.localCheckpoint) ingest " +
     "one row per source — bounded at any corpus size") {

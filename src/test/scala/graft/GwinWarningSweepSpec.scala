@@ -16,16 +16,17 @@ import org.apache.logging.log4j.core.config.Property
   * attached to the window-exec loggers and asserts that each "No
   * Partition Defined" warning attributes to a query that is either
   * ledger-allowlisted (gwin > 0 → GWIN_ALLOWLIST + GwinBoundsSpec
-  * bound) or declared eager-bounded (`Bench.EagerGwinAllowed` +
+  * bound) or declared eager-bounded (`Gwin.EagerGwinAllowed` +
   * GwinBoundsSpec's eager section). A new single-partition funnel —
   * final-plan OR eager — now fails `sbt test` by name instead of
   * hiding in a bench log.
   */
 class GwinWarningSweepSpec extends SparkSpec {
 
-  private val WindowLoggers = Seq(
-    "org.apache.spark.sql.execution.window.WindowExec",
-    "org.apache.spark.sql.execution.window.WindowGroupLimitExec")
+  // the allowlist and logger names come from ONE source — graft.Gwin
+  // (which Bench's mute also reads), so a query rename breaks exactly
+  // one declaration (r11 verdict ask #7)
+  private val WindowLoggers = Gwin.WindowLoggers
 
   test("every 'No Partition Defined' warning across the full query " +
     "surface attributes to a ledger-gwin or declared-eager query") {
@@ -35,18 +36,7 @@ class GwinWarningSweepSpec extends SparkSpec {
     // discard a previously-attached appender — the probe-caught
     // failure mode behind the vacuity tripwire below
     spark.range(1).count()
-    val ledgerGwin: Set[String] = {
-      val src = scala.io.Source.fromFile("/root/repo/EXCHANGES.txt")
-      try src.getLines().flatMap { l =>
-        val parts = l.trim.split("\\s+")
-        val g = parts.collectFirst {
-          case s if s.startsWith("gwin=") => s.drop(5).toInt
-        }
-        if (parts.nonEmpty && g.exists(_ > 0)) Some(parts(0)) else None
-      }.toSet
-      finally src.close()
-    }
-    val allowed = ledgerGwin ++ Bench.EagerGwinAllowed
+    val allowed = Gwin.ledgerAllowed ++ Gwin.EagerGwinAllowed
 
     // attribution: queries run strictly sequentially here, so a
     // volatile "current query" is exact up to warnings emitted by
@@ -59,7 +49,7 @@ class GwinWarningSweepSpec extends SparkSpec {
         false, Property.EMPTY_ARRAY) {
       override def append(event: LogEvent): Unit = {
         if (event.getMessage.getFormattedMessage
-            .contains("No Partition Defined")) {
+            .contains(Gwin.WarningText)) {
           hits.computeIfAbsent(current,
             _ => new java.util.concurrent.atomic.AtomicInteger())
             .incrementAndGet()
@@ -112,7 +102,7 @@ class GwinWarningSweepSpec extends SparkSpec {
         s"PrefixSum): ${offenders.mkString(", ")}")
     // the sweep must actually SEE the known warners — an appender
     // wiring regression would otherwise pass vacuously
-    assert(Bench.EagerGwinAllowed.forall(hits.containsKey),
+    assert(Gwin.EagerGwinAllowed.forall(hits.containsKey),
       s"declared eager queries emitted no warning — either the eager " +
         "window is gone (remove the declaration) or the appender " +
         s"wiring broke; saw: ${hits.keySet().asScala.toSeq.sorted}")

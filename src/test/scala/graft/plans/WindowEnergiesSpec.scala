@@ -37,6 +37,27 @@ object WindowEnergiesSpec extends Properties("WindowEnergies") {
       both.forall { case (_, n, r) => n == r }
     }
 
+  property("overflow error surface matches the ANSI Column fold: " +
+    "BOTH forms throw SparkArithmeticException (r11 ADVICE — the " +
+    "kernel used to throw bare java.lang.ArithmeticException)") =
+    forAll(Gen.const(())) { _ =>
+      val df = Seq((1L, Seq(Long.MaxValue, Long.MaxValue)))
+        .toDF("id", "samples")
+      def surface(c: org.apache.spark.sql.Column): String =
+        try {
+          df.select(c).collect(); "no-error"
+        } catch {
+          case e: Throwable =>
+            // unwrap Spark's task-failure wrapping to the root cause
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .toSeq.last.getClass.getName
+        }
+      val native = surface(Multimodal.windowEnergies($"samples", 4, 2))
+      val fold = surface(Multimodal.windowEnergiesFold($"samples", 4, 2))
+      native == "org.apache.spark.SparkArithmeticException" &&
+        native == fold
+    }
+
   property("sequential law: energies are exact Σ s² over " +
     "[w*hop, min(w*hop+win, n))") =
     forAll(genIn) { case (rows, win, hop) =>

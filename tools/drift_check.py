@@ -206,15 +206,17 @@ def main() -> int:
     # 7b. EAGER gwin allowlist ⇔ executable bounds: queries whose
     # bounded global windows run during query construction (inside a
     # localCheckpoint — invisible to the final-plan ledger) are
-    # declared in Bench.EagerGwinAllowed so their warnings are muted
-    # by name. Each declared name must carry an eager bound test in
+    # declared in Gwin.EagerGwinAllowed (the ONE gwin source Bench's
+    # mute and GwinWarningSweepSpec both read — r11 verdict ask #7).
+    # Each declared name must carry an eager bound test in
     # GwinBoundsSpec, or the mute is prose-only (the round-9 gap all
     # over again).
-    bench_src = read("src/main/scala/graft/Bench.scala")
-    m = re.search(r"EagerGwinAllowed\s*=\s*Set\(([^)]*)\)", bench_src)
+    gwin_src = read("src/main/scala/graft/Gwin.scala")
+    m = re.search(r"EagerGwinAllowed:\s*Set\[String\]\s*=\s*Set\(([^)]*)\)",
+                  gwin_src)
     eager = set(re.findall(r'"(q\w+)"', m.group(1))) if m else set()
     if not m:
-        errs.append("Bench.scala: EagerGwinAllowed set not found — "
+        errs.append("Gwin.scala: EagerGwinAllowed set not found — "
                     "the eager-window mute declaration moved or died")
     gwin_spec = read(gwin_spec_path) if os.path.exists(
         os.path.join(REPO, gwin_spec_path)) else ""
