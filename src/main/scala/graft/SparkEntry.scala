@@ -19,7 +19,7 @@ object SparkEntry {
       Extended22.all ++ Extended23.all ++ Extended24.all ++
       Extended25.all ++ Extended26.all ++ Extended27.all ++
       Extended28.all ++ Extended29.all ++ Extended30.all ++
-      Extended31.all
+      Extended31.all ++ Extended32.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -38,7 +38,7 @@ object Extended31 {
   // q305; decontam 13-gram dirty run >= 13 = q306; pack rule = q75
   // at a budget of 500 tokens/source so the greedy cut bites on the
   // post-dedup corpus)
-  private val MinhashSeedsSql = graft.operators.Dedup.MinhashSeeds
+  private[queries] val MinhashSeedsSql = graft.operators.Dedup.MinhashSeeds
     .take(16).zipWithIndex.map { case (s, i) => s"($i, $s::BIGINT)" }
     .mkString(", ")
 

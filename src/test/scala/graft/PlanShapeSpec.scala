@@ -1088,6 +1088,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q308's video decode is join-free and its keyed exchanges " +
+    "carry ids+energies only — frame bytes and grids never shuffle") {
+    val p = plan("q308_video_frames")
+    assert(!p.contains("Join"),
+      s"q308 is scan → per-partition decode → aggregate; no join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"one documents scan:\n$p")
+    val bad = keyedExchanges("q308_video_frames").filter(s =>
+      s.contains("grids#") || s.contains("grid#") || s.contains("bytes#"))
+    assert(bad.isEmpty,
+      "frame grids/bytes reached a keyed exchange — the decode must " +
+        "reduce to (id, energy) before shuffling:\n" + bad.mkString("\n"))
+  }
+
+  test("q309's incremental ladder keeps every stage checkpointed " +
+    "(ids-only keep lists), plans no cartesian, and never moves text " +
+    "through a keyed exchange") {
+    val df = SparkEntry.queries("q309_curation_incremental")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"),
+      s"stage keep lists must be checkpointed once:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"every ladder join is key-equi (fp / band_hash / hv / id):\n$p")
+    val bad = keyedExchanges("q309_curation_incremental")
+      .filter(_.contains("text#"))
+    assert(bad.isEmpty,
+      "document text reached a keyed exchange:\n" + bad.mkString("\n"))
+  }
+
   test("q304's audio energies are one scan + in-row column math: no " +
     "join, no window, no shuffle before the bucket aggregate; the " +
     "sample array is Let-bound (synthesized once, not per window)") {
