@@ -88,38 +88,12 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     Thread.sleep(3000)
-    // host-speed calibration: two fixed workloads, independent of SF
-    // and of every engine plan, timed like the queries (median of 3).
-    // Committed snapshots then carry their own speed normalizer: when
-    // every query moves by ~the same ratio as the calibration pair,
-    // the VM changed speed, not the engine — the r5→r9 recurring
-    // host-vs-plan question, answered mechanically by bench_compare.
-    def median3(f: => Double): Double = {
-      val xs = List(f, f, f).sorted
-      xs(1)
-    }
-    val calibCpu = median3 {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val t0 = System.nanoTime()
-      var i = 0
-      var acc = 0L
-      while (i < 300000) {
-        acc += md.digest(("graft-calib:" + i).getBytes("UTF-8"))(0)
-        i += 1
-      }
-      if (acc == Long.MinValue) print("") // keep the loop live
-      (System.nanoTime() - t0) / 1e9
-    }
-    val calibSpark = median3 {
-      import org.apache.spark.sql.functions.{col, expr, xxhash64}
-      val t0 = System.nanoTime()
-      // bit_xor, not sum: xxhash64 spans the full long range, so an
-      // ANSI-mode SUM over 2e8 of them overflows deterministically
-      spark.range(200000000L)
-        .select(xxhash64(col("id")).as("h"))
-        .agg(expr("bit_xor(h)")).collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // host-speed calibration pair (graft.core.Calib — shared with
+    // graft.Anchor so full-sweep snapshots and solo-anchor tables
+    // normalize identically)
+    val calibCpu = graft.core.Calib.median3(graft.core.Calib.cpuMd5())
+    val calibSpark =
+      graft.core.Calib.median3(graft.core.Calib.sparkRange(spark))
     // 3 ALTERNATING full passes, reporting the per-query MEDIAN: a
     // transient VM stall (noisy neighbor, GC storm) hits one contiguous
     // stretch of ONE pass, so the median of three passes separated in

@@ -5,7 +5,7 @@ package graft
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Sessions.local("32", logLevel = "ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def time(label: String, n: Int = 3)(
         df: => org.apache.spark.sql.DataFrame): Unit =
@@ -17,7 +17,7 @@ object Scratch {
 
     val names = if (args.isEmpty) Seq("q88_neardup_groups") else args.toSeq
     names.foreach { q =>
-      time(q)(SparkEntry.queries(q)(spark, dir))
+      time(q)(SparkEntry.benchQueries(q)(spark, dir))
     }
     spark.stop()
   }

@@ -191,90 +191,16 @@ object Extended31 {
       |  CAST(ck AS BIGINT) AS id_checksum
       |FROM st ORDER BY stage""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val docs = Tables.loadParallel(spark, dir, "documents")
-
-    // stage 1 — exact dedup: keep the min doc_id per fingerprint
-    // (q43's key); a map-side-combined group-by, never a window
-    val s1 = docs
-      .select($"doc_id", TextFunctions.fingerprint($"text").as("_fp"))
-      .groupBy($"_fp").agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
-      .localCheckpoint() // every later stage count + stage 2 read it
-
-    // stage 2 — exact-substring coverage gate (q287's spans): drop
-    // any survivor whose merged >=16-token cross-doc duplicate spans
-    // cover at least HALF its tokens (the verbatim-copy docs)
-    val d1 = docs.join(s1, "doc_id")
-    val cov = ExactSubstr.dupSpans(d1, "doc_id", "text",
-        k = 8, minTokens = 16)
-      .groupBy($"doc".as("doc_id")).agg(sum($"len").as("_dup"))
-    val s2 = d1
-      .select($"doc_id",
-        size(TextFunctions.lowerTokens($"text")).as("_n"))
-      .join(cov, Seq("doc_id"), "left")
-      .filter(coalesce($"_dup", lit(0L)) * 2 < $"_n")
-      .select($"doc_id")
-      .localCheckpoint()
-
-    // stage 3 — MinHash+LSH near-dup dedup over the substring-gate
-    // survivors (q78's operator: banded candidates → Jaccard >= 0.8
-    // verify — catches the reworded/shuffled near-dups whose spans
-    // the substring gate can't see)
-    val s3 = Dedup.nearDupDedup(docs.join(s2, "doc_id"),
-        "text", "doc_id", jaccardThreshold = 0.8, k = 16, bands = 4)
-      .select($"doc_id")
-      .localCheckpoint()
-
-    // stage 4 — SemDeDup over the survivors' embeddings (vec_id =
-    // doc_id; q305's operator, component-exact keep lists)
-    val emb = Tables.loadParallel(spark, dir, "embeddings")
-    val centroids = emb.filter($"vec_id" < 8)
-      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
-    val s4 = Similarity.semDedup(
-        emb.join(s3, $"vec_id" === $"doc_id")
-          .select($"vec_id", $"embedding"),
-        centroids, cosThreshold = 0.30)
-      .filter($"kept")
-      .select($"vec_id".as("doc_id"))
-      .localCheckpoint()
-
-    // stage 5 — decontamination (q306's audit): the TRAIN-split
-    // survivors, minus any doc with a >=13-gram colliding run against
-    // the ORIGINAL corpus's held-out test split (the benchmark is
-    // external to the dedup chain)
-    val train = docs.join(s4, "doc_id")
-      .filter(TextFunctions.datasetSplit($"doc_id") === "train")
-    val benchmark =
-      docs.filter(TextFunctions.datasetSplit($"doc_id") === "test")
-    val dirty = Decontam.ngramAudit(train, benchmark,
-        "doc_id", "text", n = 13)
-      .filter($"longest_run" >= 13)
-      .select($"doc_id")
-    val s5 = train.select($"doc_id")
-      .join(dirty, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-
-    // stage 6 — per-source token-budget packing (q75's greedy rule:
-    // stopword-ratio quality desc, doc_id tie-break, cum <= 500)
-    val q = docs.join(s5, "doc_id")
-      .withColumn("_ltoks", TextFunctions.lowerTokens($"text"))
-      .select($"doc_id", $"source", size($"_ltoks").as("_nt"),
-        (size(filter($"_ltoks",
-            w => w.isin(TextFunctions.EnStopwords: _*)))
-          .cast("double") / size($"_ltoks")).as("_q"))
-    val w = Window.partitionBy($"source")
-      .orderBy($"_q".desc, $"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val s6 = q.withColumn("_cum", sum($"_nt").over(w))
-      .filter($"_cum" <= 500)
-      .select($"doc_id")
-
-    // census: count + id checksum per stage, so the exact survivor
-    // SET of every stage is hash-pinned, not just its size
-    def census(stage: String, ids: org.apache.spark.sql.DataFrame) =
-      ids.agg(count(lit(1)).as("n_survivors"),
-          coalesce(sum($"doc_id"), lit(0L)).as("id_checksum"))
-        .select(lit(stage).as("stage"), $"n_survivors", $"id_checksum")
+    val docs = docsOf(spark, dir)
+    // the composite always runs every stage FRESH (never the bench
+    // derivatives' memo — the oracle-checked artifact must be
+    // self-contained)
+    val s1 = stage1(spark, dir)
+    val s2 = stage2(spark, dir, s1)
+    val s3 = stage3(spark, dir, s2)
+    val s4 = stage4(spark, dir, s3)
+    val s5 = stage5(spark, dir, s4)
+    val s6 = stage6(spark, dir, s5)
     Seq(
       census("0_raw", docs.select($"doc_id")),
       census("1_exact", s1), census("2_exactsubstr", s2),
@@ -283,6 +209,198 @@ object Extended31 {
       .reduce(_ unionByName _)
       .orderBy($"stage")
   }
+
+  // ---- the ladder stages, factored so q307 composes them fresh and
+  // the q307a–f bench derivatives can time each one in isolation ----
+
+  private def docsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.loadParallel(spark, dir, "documents")
+
+  /** stage 1 — exact dedup: keep the min doc_id per fingerprint
+    * (q43's key); a map-side-combined group-by, never a window.
+    * Checkpointed: every later stage count + stage 2 read it.
+    */
+  private def stage1(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    docsOf(spark, dir)
+      .select($"doc_id", TextFunctions.fingerprint($"text").as("_fp"))
+      .groupBy($"_fp").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+      .localCheckpoint()
+  }
+
+  /** stage 2 — exact-substring coverage gate (q287's spans): drop
+    * any survivor whose merged >=16-token cross-doc duplicate spans
+    * cover at least HALF its tokens (the verbatim-copy docs).
+    */
+  private def stage2(spark: org.apache.spark.sql.SparkSession,
+      dir: String, s1: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val d1 = docsOf(spark, dir).join(s1, "doc_id")
+    val cov = ExactSubstr.dupSpans(d1, "doc_id", "text",
+        k = 8, minTokens = 16)
+      .groupBy($"doc".as("doc_id")).agg(sum($"len").as("_dup"))
+    d1.select($"doc_id",
+        size(TextFunctions.lowerTokens($"text")).as("_n"))
+      .join(cov, Seq("doc_id"), "left")
+      .filter(coalesce($"_dup", lit(0L)) * 2 < $"_n")
+      .select($"doc_id")
+      .localCheckpoint()
+  }
+
+  /** stage 3 — MinHash+LSH near-dup dedup over the substring-gate
+    * survivors (q78's operator: banded candidates → Jaccard >= 0.8
+    * verify — catches the reworded/shuffled near-dups whose spans
+    * the substring gate can't see).
+    */
+  private def stage3(spark: org.apache.spark.sql.SparkSession,
+      dir: String, s2: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Dedup.nearDupDedup(docsOf(spark, dir).join(s2, "doc_id"),
+        "text", "doc_id", jaccardThreshold = 0.8, k = 16, bands = 4)
+      .select($"doc_id")
+      .localCheckpoint()
+  }
+
+  /** stage 4 — SemDeDup over the survivors' embeddings (vec_id =
+    * doc_id; q305's operator, component-exact keep lists).
+    */
+  private def stage4(spark: org.apache.spark.sql.SparkSession,
+      dir: String, s3: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val emb = Tables.loadParallel(spark, dir, "embeddings")
+    val centroids = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    Similarity.semDedup(
+        emb.join(s3, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding"),
+        centroids, cosThreshold = 0.30)
+      .filter($"kept")
+      .select($"vec_id".as("doc_id"))
+      .localCheckpoint()
+  }
+
+  /** stage 5 — decontamination (q306's audit): the TRAIN-split
+    * survivors, minus any doc with a >=13-gram colliding run against
+    * the ORIGINAL corpus's held-out test split (the benchmark is
+    * external to the dedup chain).
+    */
+  private def stage5(spark: org.apache.spark.sql.SparkSession,
+      dir: String, s4: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val docs = docsOf(spark, dir)
+    val train = docs.join(s4, "doc_id")
+      .filter(TextFunctions.datasetSplit($"doc_id") === "train")
+    val benchmark =
+      docs.filter(TextFunctions.datasetSplit($"doc_id") === "test")
+    val dirty = Decontam.ngramAudit(train, benchmark,
+        "doc_id", "text", n = 13)
+      .filter($"longest_run" >= 13)
+      .select($"doc_id")
+    train.select($"doc_id")
+      .join(dirty, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+  }
+
+  /** stage 6 — per-source token-budget packing (q75's greedy rule:
+    * stopword-ratio quality desc, doc_id tie-break, cum <= 500).
+    * NOT checkpointed — it is the ladder's lazy tail.
+    */
+  private def stage6(spark: org.apache.spark.sql.SparkSession,
+      dir: String, s5: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val q = docsOf(spark, dir).join(s5, "doc_id")
+      .withColumn("_ltoks", TextFunctions.lowerTokens($"text"))
+      .select($"doc_id", $"source", size($"_ltoks").as("_nt"),
+        (size(filter($"_ltoks",
+            w => w.isin(TextFunctions.EnStopwords: _*)))
+          .cast("double") / size($"_ltoks")).as("_q"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"_q".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.withColumn("_cum", sum($"_nt").over(w))
+      .filter($"_cum" <= 500)
+      .select($"doc_id")
+  }
+
+  /** census: count + id checksum, so the exact survivor SET of a
+    * stage is hash-pinned, not just its size.
+    */
+  private def census(stage: String,
+      ids: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    ids.agg(count(lit(1)).as("n_survivors"),
+        coalesce(sum(org.apache.spark.sql.functions.col("doc_id")),
+          lit(0L)).as("id_checksum"))
+      .select(lit(stage).as("stage"),
+        org.apache.spark.sql.functions.col("n_survivors"),
+        org.apache.spark.sql.functions.col("id_checksum"))
+  }
+
+  // ---- bench-only per-stage derivatives (q307a–f): the q240a/b
+  // memo pattern. Each derivative recomputes ITS stage fresh every
+  // call and memoizes the result; its input comes from the memo,
+  // which the alphabetically-earlier derivative repopulated moments
+  // before (Bench runs labels in name order within a pass). So the
+  // median of q307<x> is that stage's own cost, sum(a..f) ≈ the
+  // composite, and a regression in the 6.9 s composite is
+  // attributable to a stage from the driver artifact alone.
+  // BENCH_ONLY_DERIVATIVES in drift_check ties each label to its
+  // oracle-checked composite (q307).
+
+  private val stageCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int),
+      org.apache.spark.sql.DataFrame]
+
+  private def cachedStage(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): org.apache.spark.sql.DataFrame =
+    stageCache.getOrElse((spark, dir, k), freshStage(spark, dir, k))
+
+  private def freshStage(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val out = k match {
+      case 1 => stage1(spark, dir)
+      case 2 => stage2(spark, dir, cachedStage(spark, dir, 1))
+      case 3 => stage3(spark, dir, cachedStage(spark, dir, 2))
+      case 4 => stage4(spark, dir, cachedStage(spark, dir, 3))
+      case 5 => stage5(spark, dir, cachedStage(spark, dir, 4))
+      case _ => stage6(spark, dir, cachedStage(spark, dir, 5))
+    }
+    stageCache((spark, dir, k)) = out
+    out
+  }
+
+  private def stageBench(label: String, k: Int)(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    census(label, freshStage(spark, dir, k))
+
+  def exactBench(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    stageBench("1_exact", 1)(spark, dir)
+  def substrBench(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    stageBench("2_exactsubstr", 2)(spark, dir)
+  def minhashBench(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    stageBench("3_minhash", 3)(spark, dir)
+  def semdedupBench(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    stageBench("4_semdedup", 4)(spark, dir)
+  def decontamBench(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    stageBench("5_decontam", 5)(spark, dir)
+  def packBench(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    stageBench("6_pack", 6)(spark, dir)
 
   val all: Seq[Q] = Seq(q307_curation_e2e)
 }

@@ -33,23 +33,51 @@ def _compact_line(doc):
     return None
 
 
+def _bench_universe():
+    """The bench label universe this checkout knows: EXCHANGES.txt
+    query names plus drift_check's declared bench-only derivative
+    labels. Used as the plausibility gate before any cs-array decode
+    (r11 ADVICE: a same-count label rename between rounds must refuse
+    loudly, never misattribute times to the wrong names)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names = set()
+    path = os.path.join(repo, "EXCHANGES.txt")
+    if os.path.exists(path):
+        for line in open(path):
+            if line.strip():
+                names.add(line.split()[0])
+    try:
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        import drift_check
+        names |= set(drift_check.BENCH_ONLY_DERIVATIVES)
+    except Exception:
+        pass
+    return names
+
+
 def _from_compact(line):
     """Resolve a compact bench line to {query: seconds}. The "full"
     pointer (BENCH_FULL.json by default) is overwritten by EVERY bench
     run, so an old driver artifact can silently resolve to a newer
     round's numbers (every ratio 1.0, a real regression reads as 'no
     movers'). Trust the full payload only when it AGREES with the
-    compact line (same label count, per-query centisecond match);
-    otherwise decode the line's own cs array using the full file's
-    (stable) label names, or give up to a loud empty result."""
+    compact line — per-query centisecond match against the cs array,
+    or (for the >1900-byte 'slow' fallback format, which has no cs)
+    against the line's own slow-20 entries and value total (r11
+    ADVICE: the old code trusted the full file unverified on that
+    path). Decoding the cs array first checks the label set against
+    the committed ledger universe; anything else gives up to a loud
+    empty result."""
     full = line.get("full", "")
     cs = line.get("cs") or []
     nq = line.get("nq")
-    fq = {}
+    fq, fval = {}, None
     if full and os.path.exists(full):
         try:
             with open(full) as f:
-                fq = dict(json.load(f).get("queries", {}))
+                doc = json.load(f)
+            fq = dict(doc.get("queries", {}))
+            fval = doc.get("value")
         except ValueError:
             fq = {}
     if fq and len(fq) == nq:
@@ -60,17 +88,53 @@ def _from_compact(line):
             if agree >= 0.9 * nq:
                 return {k: v for k, v in fq.items() if v >= 0}
             # stale/overwritten full file: same surface, different
-            # numbers — the compact line is authoritative
+            # numbers — the compact line is authoritative, IF its
+            # label set is one this checkout recognizes
+            universe = _bench_universe()
+            drifted = sorted(set(names) - universe) if universe else []
+            if drifted:
+                print(f"NOTE: {full} disagrees with the compact line "
+                      f"AND its label set is not in the committed "
+                      f"ledger universe ({drifted[:5]}...) — a rename "
+                      "would misattribute the cs decode; ignoring "
+                      "this artifact's queries", file=sys.stderr)
+                return {}
             print(f"NOTE: {full} disagrees with the compact line "
                   f"({nq - agree}/{nq} labels off) — decoding the "
                   "embedded cs array instead", file=sys.stderr)
             return {n: c / 100.0 for n, c in zip(names, cs) if c >= 0}
-        return {k: v for k, v in fq.items() if v >= 0}
+        # 'slow' fallback line (no cs): the full file must corroborate
+        # the line's own numbers — value total and slow-20 entries —
+        # before we trust it (it is overwritten by every bench run)
+        slow = line.get("slow") or {}
+        val = line.get("value")
+        val_ok = (fval is not None and val is not None
+                  and abs(fval - val) <= 0.0051)
+        slow_ok = all(n in fq and abs(fq[n] - v) <= 0.0051
+                      for n, v in slow.items()) if slow else True
+        if val_ok and slow_ok:
+            return {k: v for k, v in fq.items() if v >= 0}
+        print(f"NOTE: {full} does not corroborate the compact line's "
+              f"slow/value fields (val_ok={val_ok}, slow_ok={slow_ok})"
+              " — stale full file; ignoring this artifact's queries",
+              file=sys.stderr)
+        return {}
     if fq:
         print(f"NOTE: {full} has {len(fq)} labels but the compact "
               f"line says nq={nq} — surface mismatch, cannot decode "
               "the cs array; ignoring this artifact's queries",
               file=sys.stderr)
+        return {}
+    # no usable full file at all: decode cs against the CURRENT
+    # ledger universe when the counts line up exactly (last resort,
+    # only sound while the surface hasn't changed since the artifact)
+    universe = _bench_universe()
+    if len(cs) == nq and universe and len(universe) == nq:
+        print("NOTE: no full payload — decoding cs against the "
+              "current ledger universe (same label count)",
+              file=sys.stderr)
+        return {n: c / 100.0
+                for n, c in zip(sorted(universe), cs) if c >= 0}
     return {}
 
 

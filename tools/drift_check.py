@@ -64,6 +64,12 @@ GWIN_ALLOWLIST = {
 BENCH_ONLY_DERIVATIVES = {
     "q240a_lm_train": "q240_backoff_lm_bits",
     "q240b_lm_score": "q240_backoff_lm_bits",
+    "q307a_exact": "q307_curation_e2e",
+    "q307b_substr": "q307_curation_e2e",
+    "q307c_minhash": "q307_curation_e2e",
+    "q307d_semdedup": "q307_curation_e2e",
+    "q307e_decontam": "q307_curation_e2e",
+    "q307f_pack": "q307_curation_e2e",
 }
 
 
