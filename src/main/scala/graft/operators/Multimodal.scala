@@ -32,6 +32,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every
+  // ImageIO.read/write on a raw Input/OutputStream wraps it in a
+  // FileCache*Stream and pays temp-file I/O per image — 32 decode
+  // tasks × frames/doc turned q308's 1.2 s solo cost into 8.5 s
+  // inside the contended r12 bench sweep. Our payloads are small
+  // in-memory byte arrays; the memory cache is strictly better.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Attach a deterministic binary payload + typed metadata to any
     * text-bearing table (used to materialize a multimodal fixture from
     * `documents`). kind cycles image/audio/video by id.
