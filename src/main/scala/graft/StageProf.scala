@@ -1,0 +1,60 @@
+package graft
+
+import scala.collection.mutable
+
+/** Dev-only per-stage profiler (guide §7.1 without the UI): runs a
+  * named query with a SparkListener capturing every stage's wall
+  * time, task count, and shuffle/input volumes, then prints stages
+  * sorted by duration with the head of their callsite — the
+  * empirical "which operator owns the time" answer TimeQ's
+  * end-to-end number can't give. Not part of the driver contract.
+  *
+  * `runMain graft.StageProf <sfDir> <query> [passes]`
+  */
+object StageProf {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Sessions.local("32", logLevel = "ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val q = args.lift(1).getOrElse("q1_agg")
+    val passes = args.lift(2).map(_.toInt).getOrElse(2)
+    final case class St(id: Int, name: String, ms: Long, tasks: Int,
+      inMb: Double, shrMb: Double, shwMb: Double)
+    val stages = mutable.ArrayBuffer.empty[St]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        val i = sc.stageInfo
+        val ms = (for {a <- i.completionTime; b <- i.submissionTime}
+          yield a - b).getOrElse(-1L)
+        val m = i.taskMetrics
+        stages += St(i.stageId, i.name, ms, i.numTasks,
+          m.inputMetrics.bytesRead / 1e6,
+          m.shuffleReadMetrics.totalBytesRead / 1e6,
+          m.shuffleWriteMetrics.bytesWritten / 1e6)
+      }
+    }
+    val fn = SparkEntry.benchQueries(q)
+    // warm pass (codegen+JIT), then measured passes
+    fn(spark, dir).write.format("noop").mode("overwrite").save()
+    spark.sparkContext.addSparkListener(listener)
+    for (p <- 1 to passes) {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"[prof] $q pass$p total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    Thread.sleep(300)
+    val byStage = stages.sortBy(-_.ms)
+    val total = stages.map(_.ms).sum
+    println(f"[prof] stage-time sum ${total / 1e3}%.3f s over " +
+      f"${stages.size} stages, ${stages.map(_.tasks).sum} tasks " +
+      f"(across $passes passes)")
+    byStage.take(40).foreach { s =>
+      println(f"[prof] ${s.ms}%6d ms  ${s.tasks}%4d tasks  " +
+        f"in=${s.inMb}%7.1f  sr=${s.shrMb}%7.1f  sw=${s.shwMb}%7.1f  " +
+        s"#${s.id} ${s.name.linesIterator.next().take(110)}")
+    }
+    spark.stop()
+  }
+}

@@ -339,10 +339,14 @@ object Dedup {
     * points — no float compare) filters it.
     *
     * Scale shape: the only wide operations are the shingle-frequency
-    * aggregate, the prefix equi-join (shuffle key = shingle, bounded
-    * by prefix occupancy — the rare-first order keeps hot shingles
-    * OUT of prefixes), and the two verify joins on doc id. Nothing is
-    * quadratic in the corpus.
+    * aggregate, the prefix equi-join (shuffle key = 64-bit shingle
+    * hash, bounded by prefix occupancy — the rare-first order keeps
+    * hot shingles OUT of prefixes), and the two verify joins on doc
+    * id. Nothing is quadratic in the corpus, and nothing wide carries
+    * a string: the candidate machinery runs on the hash-PROJECTED
+    * shingle sets (J can only grow under projection, so the prefix
+    * theorem's superset guarantee survives; the verify is on the
+    * true sets).
     *
     * @param thresholdBp Jaccard threshold in basis points (7000 = 0.7)
     * @return (id_a, id_b, j_bp) — id_a < id_b, exact basis points
@@ -350,7 +354,17 @@ object Dedup {
   def thresholdJoin(df: DataFrame, textCol: String, idCol: String,
       thresholdBp: Int = 7000): DataFrame = {
     val (s, cand) = thresholdJoinStages(df, textCol, idCol, thresholdBp)
+    // The verify work (two joins + the merge-walk intersect per
+    // candidate) is CPU-heavy per row but only kilobytes per row, so
+    // AQE's byte-count coalescing collapses the candidate exchange to
+    // ONE partition and serializes the whole verify (profiled: a
+    // single 1.2 s one-task stage owning ~60% of q157). Explicit
+    // round-robin repartition to the session's parallelism — the
+    // optimizer can't know rows are expensive, we do (guide §2.5/§8);
+    // both verify joins broadcast the shingle sides, so any
+    // partitioning of the candidate stream is join-compatible.
     cand
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .join(s.select(col("_id").as("id_a"), col("_sh").as("_sh_a")),
         "id_a")
       .join(s.select(col("_id").as("id_b"), col("_sh").as("_sh_b")),
@@ -380,31 +394,46 @@ object Dedup {
         TextFunctions.sortedShingles(col(textCol)).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .localCheckpoint() // read by the frequency agg AND both verify joins
-    val ex = s.select(col("_id"), explode(col("_sh")).as("_t"))
-    // shingles are distinct per doc, so the per-shingle row count IS
-    // the document frequency — computed as a whole-partition window
-    // over the shingle key, so the exploded table shuffles ONCE (the
+    // Candidate generation runs entirely in HASH space (round-12
+    // optimization): project each doc's shingle SET through xxhash64
+    // (array_distinct: colliding strings merge so it stays a set).
+    // Hash projection can only GROW Jaccard — intersections gain
+    // cross-set collisions, unions lose them — so J_h(A,B) ≥ J(A,B)
+    // and the PPJoin prefix theorem applied to the hash-projected
+    // corpus still yields a candidate SUPERSET of every pair with
+    // true J ≥ t; the verify stage scores the original string arrays
+    // exactly, so the output is unchanged by THEOREM (not by
+    // collision odds — ThresholdJoinProps re-proves it against brute
+    // force). What it buys: the frequency window, the rank sort, the
+    // prefix index and the candidate equi-join all move 8-byte longs
+    // instead of shingle strings.
+    val ex = s.select(col("_id"),
+      explode(array_distinct(transform(col("_sh"),
+        t => xxhash64(t)))).as("_h"))
+    // hashes are distinct per doc, so the per-hash row count IS the
+    // document frequency — computed as a whole-partition window over
+    // the hash key, so the exploded table shuffles ONCE (the
     // aggregate+rejoin formulation shuffles it into the frequency agg
     // and then again into the join). Trade-off: WindowExec buffers
-    // each shingle group before emitting, so a boilerplate shingle
+    // each hash group before emitting, so a boilerplate shingle
     // present in most documents is one buffered (possibly spilled)
     // group where the old partial-agg form reduced map-side; the
     // saved corpus-wide shuffle wins until that skew dominates — on
     // such corpora strip ubiquitous shingles first (q128's census is
     // the signal).
     val wdf = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_t"))
+      .partitionBy(col("_h"))
     val ranked = ex
       .withColumn("_df", count(lit(1)).over(wdf))
       .groupBy(col("_id"))
-      .agg(sort_array(collect_list(struct(col("_df"), col("_t"))))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_h"))))
         .as("_r"))
       .select(col("_id"),
-        transform(col("_r"), x => x.getField("_t")).as("_rt"))
-    val pref = ranked.select(col("_id"), size(col("_rt")).as("_n"),
-        posexplode(expr(s"slice(_rt, 1, size(_rt) " +
-          s"- ((size(_rt) * $thresholdBp + 9999) DIV 10000) + 1)"))
-          .as(Seq("_p", "_t")))
+        transform(col("_r"), x => x.getField("_h")).as("_rh"))
+    val pref = ranked.select(col("_id"), size(col("_rh")).as("_n"),
+        posexplode(expr(s"slice(_rh, 1, size(_rh) " +
+          s"- ((size(_rh) * $thresholdBp + 9999) DIV 10000) + 1)"))
+          .as(Seq("_p", "_h")))
       .localCheckpoint() // self-joined: avoid re-running the ranking twice
     // Two candidate-stage prunes, both free integer arithmetic INSIDE
     // the join before any array-carrying row is built:
@@ -424,7 +453,7 @@ object Dedup {
       least(col("a._n") - col("a._p") - 1, col("b._n") - col("b._p") - 1)
     val cand = pref.as("a")
       .join(pref.as("b"),
-        col("a._t") === col("b._t") && col("a._id") < col("b._id") &&
+        col("a._h") === col("b._h") && col("a._id") < col("b._id") &&
           col("a._n") * 10000 >= col("b._n") * thresholdBp &&
           col("b._n") * 10000 >= col("a._n") * thresholdBp &&
           posBound * (10000 + thresholdBp) >=

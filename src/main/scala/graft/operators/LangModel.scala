@@ -97,6 +97,63 @@ object LangModel {
     BigramLm(bi, uni, row.getLong(0), row.getLong(1))
   }
 
+  /** Train the TARGET (the `isTarget` slice) and SOURCE (all of
+    * `docs`) pruned models from ONE corpus read per stage — the
+    * two-consumer fusion rule applied to training itself. The naive
+    * composition ([[trainBigram]] on the slice, then again on the
+    * whole corpus — how q269/q275 shipped through round 12's build)
+    * tokenizes the corpus four times; here the unigram aggregate and
+    * the transition aggregate each run once with a CONDITIONAL count
+    * (`count(when(isTarget, 1))`) carrying the slice's tally
+    * alongside the corpus tally, and the K-bounded prune/attach work
+    * happens per model on the already-tiny count tables.
+    *
+    * Exactness: the slice's unigram counts are exactly the rows with
+    * a positive conditional count (`_ct > 0` — a word absent from the
+    * slice never appears in the slice-only aggregate either), the
+    * top-K order `(count DESC, word…)` is evaluated on identical
+    * counts, and the c₁ attach joins the same per-model unigram
+    * relation — so both returned models are ROW-IDENTICAL to the
+    * two-pass composition (LangModelPairSpec pins this against
+    * [[trainBigram]] itself, plus downstream contrastBits equality).
+    *
+    * @param isTarget per-document predicate selecting the target slice
+    *                 (must be deterministic; evaluated once per doc)
+    */
+  def trainBigramPair(docs: DataFrame, isTarget: Column,
+      textCol: Column, biK: Int = 65536, uniK: Int = 65536)
+      : (BigramLm, BigramLm) = {
+    val d = docs.withColumn("_isT", isTarget)
+    val uniBoth = d
+      .select(col("_isT"), explode(TextFunctions.lowerTokens(textCol))
+        .as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("_cs"),
+        count(when(col("_isT"), 1)).as("_ct"))
+      .localCheckpoint() // feeds both prunes + both c1 attaches
+    val biBoth = transitions(d, Seq("_isT"), textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_cs12"),
+        count(when(col("_isT"), 1)).as("_ct12"))
+      .localCheckpoint() // feeds both bigram prunes
+    def model(cUni: String, cBi: String): BigramLm = {
+      val uni0 = uniBoth.filter(col(cUni) > 0)
+        .select(col("w"), col(cUni).as("c"))
+      val uni = uni0.orderBy(col("c").desc, col("w")).limit(uniK)
+        .localCheckpoint()
+      val bi = biBoth.filter(col(cBi) > 0)
+        .select(col("w1"), col("w2"), col(cBi).as("c12"))
+        .orderBy(col("c12").desc, col("w1"), col("w2")).limit(biK)
+        .join(uni0.withColumnRenamed("w", "w1")
+          .withColumnRenamed("c", "c1"), Seq("w1"))
+        .localCheckpoint()
+      val Array(row) = uni.agg(
+        sum(col("c")).as("n"), count(lit(1)).as("v")).collect()
+      BigramLm(bi, uni, row.getLong(0), row.getLong(1))
+    }
+    (model("_ct", "_ct12"), model("_cs", "_cs12"))
+  }
+
   /** Integer surprise-bit totals per document: `idCols…, d_bits, d_n`
     * (docs with fewer than 2 tokens score nothing and are absent).
     * Both model tables broadcast (K-bounded AND checkpointed — the

@@ -99,6 +99,14 @@ object Similarity {
     * @param centroids (centroid_id, centroid)
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    // NOTE (round-12 measurement): rewriting this argmax as
+    // max(struct(cos, -centroid_id)) — "aggregate before you
+    // shuffle" — was tried and REVERTED: a struct-typed aggregation
+    // buffer disqualifies HashAggregateExec (primitive-only mutable
+    // buffers), so the plan fell back to ObjectHashAggregate with
+    // sort-based spill at 128 keys/partition, and q48/q305/q227
+    // measured 1.7–5× SLOWER solo than this window form. The
+    // row_number window keeps codegen'd UnsafeRow sorting end to end.
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_id"))
     vectors

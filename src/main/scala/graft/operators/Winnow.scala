@@ -16,10 +16,16 @@ import graft.functions.TextFunctions
   * fraction of the index size.
   *
   * Determinism: the per-window argmin ties on (hash, position) via a
-  * single zero-padded `%016x:%09d` string key — lexicographic min of
-  * fixed-width ASCII is identical in any engine — and k-gram hashes
-  * are 60-bit md5 prefixes ([[graft.plans.Md5PrefixLongs]]), the repo
-  * hash rule.
+  * single zero-padded fixed-width string key — lexicographic min of
+  * fixed-width ASCII is identical in any engine (hex digits order the
+  * same upper- or lowercase, so `hex()` matches the oracles'
+  * `%016x` selection) — and k-gram hashes are 60-bit md5 prefixes
+  * ([[graft.plans.Md5PrefixLongs]]), the repo hash rule. Round-12
+  * measurement note: both a struct-typed `min(struct(hv, pos))`
+  * window (WindowExec per-frame struct copies) and a
+  * `hex`+`lpad`+`concat` key build were tried and REVERTED — neither
+  * beat this form on q270/q284/q285 (the struct form was ~1.5×
+  * slower; the key build is not where the time goes).
   *
   * Scale shape: tokenize/shingle/hash stage IN-ROW (one generator);
   * the window min runs per-document (partitionBy doc — never a

@@ -164,10 +164,11 @@ object Extended19 {
     import spark.implicits._
     val docs = Tables.loadParallel(spark, dir, "documents")
       .select($"doc_id", $"lang", $"text")
-    val target = LangModel.trainBigram(
-      docs.filter($"lang" === "en"), $"text", biK = 512, uniK = 24)
-    val source = LangModel.trainBigram(docs, $"text",
-      biK = 512, uniK = 24)
+    // target/source trained from ONE corpus read per stage (fused
+    // conditional aggregation — LangModel.trainBigramPair; identical
+    // tables to the two-pass composition, LangModelPairSpec)
+    val (target, source) = LangModel.trainBigramPair(
+      docs, $"lang" === "en", $"text", biK = 512, uniK = 24)
     LangModel.contrastBits(docs, Seq("doc_id", "lang"), $"text",
         target, source)
       .orderBy($"w_bits".desc, $"doc_id")

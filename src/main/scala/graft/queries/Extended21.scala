@@ -118,10 +118,9 @@ object Extended21 {
     import spark.implicits._
     val docs = Tables.loadParallel(spark, dir, "documents")
       .select($"doc_id", $"lang", $"source", $"text")
-    val target = LangModel.trainBigram(
-      docs.filter($"lang" === "en"), $"text", biK = 512, uniK = 24)
-    val source = LangModel.trainBigram(docs, $"text",
-      biK = 512, uniK = 24)
+    // fused pair training (one corpus read per stage) — see q269
+    val (target, source) = LangModel.trainBigramPair(
+      docs, $"lang" === "en", $"text", biK = 512, uniK = 24)
     val mass = LangModel.contrastBits(docs, Seq("source"), $"text",
         target, source)
       .select($"source", $"t_bits", $"s_bits", $"d_n".as("n_trans"),

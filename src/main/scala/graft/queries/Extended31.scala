@@ -191,16 +191,23 @@ object Extended31 {
       |  CAST(ck AS BIGINT) AS id_checksum
       |FROM st ORDER BY stage""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // round-12 measurement note: checkpointing ONE shared docs DF for
+    // all six stages was tried and REVERTED — the per-stage
+    // scan+repartition lineage costs nothing measurable at sf0.1
+    // (solo 7.12 s before vs 7.26 s with the checkpoint), and at
+    // corpus scale re-scans with column pruning beat materializing
+    // the text column into executor storage. Stages take `docs` as a
+    // parameter now (one place to change if that trade ever flips).
     val docs = docsOf(spark, dir)
     // the composite always runs every stage FRESH (never the bench
     // derivatives' memo — the oracle-checked artifact must be
     // self-contained)
-    val s1 = stage1(spark, dir)
-    val s2 = stage2(spark, dir, s1)
-    val s3 = stage3(spark, dir, s2)
+    val s1 = stage1(spark, dir, docs)
+    val s2 = stage2(spark, dir, s1, docs)
+    val s3 = stage3(spark, dir, s2, docs)
     val s4 = stage4(spark, dir, s3)
-    val s5 = stage5(spark, dir, s4)
-    val s6 = stage6(spark, dir, s5)
+    val s5 = stage5(spark, dir, s4, docs)
+    val s6 = stage6(spark, dir, s5, docs)
     Seq(
       census("0_raw", docs.select($"doc_id")),
       census("1_exact", s1), census("2_exactsubstr", s2),
@@ -222,9 +229,11 @@ object Extended31 {
     * Checkpointed: every later stage count + stage 2 read it.
     */
   private def stage1(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String,
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    docsOf(spark, dir)
+    docs
       .select($"doc_id", TextFunctions.fingerprint($"text").as("_fp"))
       .groupBy($"_fp").agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
@@ -236,10 +245,11 @@ object Extended31 {
     * cover at least HALF its tokens (the verbatim-copy docs).
     */
   private def stage2(spark: org.apache.spark.sql.SparkSession,
-      dir: String, s1: org.apache.spark.sql.DataFrame)
+      dir: String, s1: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val d1 = docsOf(spark, dir).join(s1, "doc_id")
+    val d1 = docs.join(s1, "doc_id")
     val cov = ExactSubstr.dupSpans(d1, "doc_id", "text",
         k = 8, minTokens = 16)
       .groupBy($"doc".as("doc_id")).agg(sum($"len").as("_dup"))
@@ -257,10 +267,11 @@ object Extended31 {
     * the substring gate can't see).
     */
   private def stage3(spark: org.apache.spark.sql.SparkSession,
-      dir: String, s2: org.apache.spark.sql.DataFrame)
+      dir: String, s2: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    Dedup.nearDupDedup(docsOf(spark, dir).join(s2, "doc_id"),
+    Dedup.nearDupDedup(docs.join(s2, "doc_id"),
         "text", "doc_id", jaccardThreshold = 0.8, k = 16, bands = 4)
       .select($"doc_id")
       .localCheckpoint()
@@ -291,10 +302,10 @@ object Extended31 {
     * external to the dedup chain).
     */
   private def stage5(spark: org.apache.spark.sql.SparkSession,
-      dir: String, s4: org.apache.spark.sql.DataFrame)
+      dir: String, s4: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val docs = docsOf(spark, dir)
     val train = docs.join(s4, "doc_id")
       .filter(TextFunctions.datasetSplit($"doc_id") === "train")
     val benchmark =
@@ -313,10 +324,11 @@ object Extended31 {
     * NOT checkpointed — it is the ladder's lazy tail.
     */
   private def stage6(spark: org.apache.spark.sql.SparkSession,
-      dir: String, s5: org.apache.spark.sql.DataFrame)
+      dir: String, s5: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val q = docsOf(spark, dir).join(s5, "doc_id")
+    val q = docs.join(s5, "doc_id")
       .withColumn("_ltoks", TextFunctions.lowerTokens($"text"))
       .select($"doc_id", $"source", size($"_ltoks").as("_nt"),
         (size(filter($"_ltoks",
@@ -366,13 +378,20 @@ object Extended31 {
 
   private def freshStage(spark: org.apache.spark.sql.SparkSession,
       dir: String, k: Int): org.apache.spark.sql.DataFrame = {
+    // derivatives keep the per-stage docsOf lineage (NOT the
+    // composite's shared checkpoint) so each label still carries its
+    // own load cost — the attribution contract
     val out = k match {
-      case 1 => stage1(spark, dir)
-      case 2 => stage2(spark, dir, cachedStage(spark, dir, 1))
-      case 3 => stage3(spark, dir, cachedStage(spark, dir, 2))
+      case 1 => stage1(spark, dir, docsOf(spark, dir))
+      case 2 => stage2(spark, dir, cachedStage(spark, dir, 1),
+        docsOf(spark, dir))
+      case 3 => stage3(spark, dir, cachedStage(spark, dir, 2),
+        docsOf(spark, dir))
       case 4 => stage4(spark, dir, cachedStage(spark, dir, 3))
-      case 5 => stage5(spark, dir, cachedStage(spark, dir, 4))
-      case _ => stage6(spark, dir, cachedStage(spark, dir, 5))
+      case 5 => stage5(spark, dir, cachedStage(spark, dir, 4),
+        docsOf(spark, dir))
+      case _ => stage6(spark, dir, cachedStage(spark, dir, 5),
+        docsOf(spark, dir))
     }
     stageCache((spark, dir, k)) = out
     out

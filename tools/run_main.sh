@@ -1,0 +1,20 @@
+#!/bin/bash
+# Run a graft main class directly from compiled classes (no sbt):
+#   tools/run_main.sh graft.TimeQ /root/testdata/sf0.1 q157_similarity_join
+# Mirrors build.sbt's forked-run JVM flags (JDK17 add-opens, UTC, no UI).
+# Requires `sbt compile` to have produced target/scala-2.13/classes.
+set -euo pipefail
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+ADD_OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke \
+         java.base/java.lang.reflect java.base/java.io java.base/java.net \
+         java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent \
+         java.base/java.util.concurrent.atomic java.base/sun.nio.ch \
+         java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-16g}" -cp "$CP" "$@"
