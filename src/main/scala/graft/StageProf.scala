@@ -18,9 +18,14 @@ object StageProf {
     val q = args.lift(1).getOrElse("q1_agg")
     val passes = args.lift(2).map(_.toInt).getOrElse(2)
     final case class St(id: Int, name: String, ms: Long, tasks: Int,
-      inMb: Double, shrMb: Double, shwMb: Double)
+      inMb: Double, shrMb: Double, shwMb: Double, maxTaskMs: Long)
     val stages = mutable.ArrayBuffer.empty[St]
+    val maxTask = mutable.Map.empty[Int, Long].withDefaultValue(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        maxTask(te.stageId) =
+          math.max(maxTask(te.stageId), te.taskInfo.duration)
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
           : Unit = {
@@ -28,10 +33,16 @@ object StageProf {
         val ms = (for {a <- i.completionTime; b <- i.submissionTime}
           yield a - b).getOrElse(-1L)
         val m = i.taskMetrics
-        stages += St(i.stageId, i.name, ms, i.numTasks,
+        // first graft frame in the callsite stack beats the generic
+        // "withThreadLocalCaptured" every AQE-materialized stage gets
+        val site = i.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("StageProf"))
+          .getOrElse(i.name.linesIterator.next()).trim
+        stages += St(i.stageId, site, ms, i.numTasks,
           m.inputMetrics.bytesRead / 1e6,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
-          m.shuffleWriteMetrics.bytesWritten / 1e6)
+          m.shuffleWriteMetrics.bytesWritten / 1e6,
+          maxTask(i.stageId))
       }
     }
     val fn = SparkEntry.benchQueries(q)
@@ -52,8 +63,9 @@ object StageProf {
       f"(across $passes passes)")
     byStage.take(40).foreach { s =>
       println(f"[prof] ${s.ms}%6d ms  ${s.tasks}%4d tasks  " +
+        f"maxT=${s.maxTaskMs}%5d  " +
         f"in=${s.inMb}%7.1f  sr=${s.shrMb}%7.1f  sw=${s.shwMb}%7.1f  " +
-        s"#${s.id} ${s.name.linesIterator.next().take(110)}")
+        s"#${s.id} ${s.name.linesIterator.next().take(90)}")
     }
     spark.stop()
   }
