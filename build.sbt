@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suite wall-time (r12 verdict #1: the driver's budget killed a
+// ~50-min `sbt test` mid-stream). ScalaCheck properties that don't
+// overrideParameters drop from 100 to 25 cases and evaluate cases on
+// 4 worker threads (objects with explicit withMinSuccessfulTests keep
+// their counts — the cmdline is the DEFAULT, overrides still win).
+// For an exhaustive run: sbt 'set Test/testOptions -= Tests.Argument(
+//   TestFrameworks.ScalaCheck, "-minSuccessfulTests", "25", "-workers", "4")' test
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaCheck,
+  "-minSuccessfulTests", "25", "-workers", "4")
 // Forked runs default to LoggedOutput, which prefixes every program
 // line with "[info] " — that breaks machine parsing of Bench's JSON
 // line. Inherit the real stdout instead.

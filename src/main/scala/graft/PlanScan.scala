@@ -86,10 +86,20 @@ object PlanScan {
   def globalWindowCount(df: org.apache.spark.sql.DataFrame): Int =
     exchangeCounts(df)._4
 
-  /** One ledger line per query, sorted by name. */
+  /** One ledger line per query, sorted by name. Queries are planned
+    * 8 at a time from a thread pool (r12 verdict #1 — suite wall
+    * time): building a query's DataFrame executes its eager
+    * `localCheckpoint()`s, so a sequential sweep serializes ~311
+    * small Spark jobs behind single-threaded Catalyst planning.
+    * Concurrent planning on one session is supported (Bench's warmup
+    * has run 8-way since r9), and the counted plan is per-query
+    * deterministic, so the LINES are independent of schedule — the
+    * output order is pinned by the sort, and the committed ledger
+    * diff (ExchangeLedgerSpec) would catch any divergence loudly.
+    */
   def exchangeLedgerLines(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Seq[String] =
-    SparkEntry.allQueries.sortBy(_.name).map { q =>
+    sweep8(SparkEntry.allQueries.sortBy(_.name)) { q =>
       try {
         val (s, b, f, g) = exchangeCounts(q.run(spark, sfDir))
         s"${q.name} shuffle=$s broadcast=$b scans=$f gwin=$g"
@@ -98,6 +108,21 @@ object PlanScan {
           s"${q.name} ERROR ${e.getMessage.take(80).replace('\n', ' ')}"
       }
     }
+
+  /** Map `f` over `xs` 8-way concurrently, preserving order. The
+    * sweep-suite scaffold: per-item work must be independent and
+    * exception-total (wrap its own try/catch when an error is data).
+    */
+  private[graft] def sweep8[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.traverse(xs)(x =>
+        scala.concurrent.Future(f(x))),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+  }
 
   /** `runMain graft.PlanScan exchanges [sfDir] [outFile]`: the
     * per-query exchange-count ledger. Checked in as EXCHANGES.txt and

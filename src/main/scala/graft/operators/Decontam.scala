@@ -41,18 +41,32 @@ object Decontam {
     *         no grams and are absent (nothing to audit).
     */
   def ngramAudit(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    ngramAuditGrams(corpus,
+      benchGramsOf(benchmark, idCol, textCol, n), idCol, textCol, n)
+
+  /** The benchmark side alone: distinct n-gram hashes of the
+    * benchmark corpus, in the exact shape [[ngramAuditGrams]]
+    * broadcasts. Split out (r13) so a multi-stage pipeline whose
+    * benchmark set is independent of its earlier stages (q307/q309's
+    * held-out test split) can build it CONCURRENTLY with those stages
+    * (guide §2.6) instead of serializing it into the audit stage.
+    */
+  def benchGramsOf(benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    occ(benchmark, idCol, textCol, n).select(col("hv")).distinct()
+      .withColumn("_hit", lit(1))
+  }
+
+  /** [[ngramAudit]] against a PREBUILT [[benchGramsOf]] relation —
+    * `ngramAudit(c, b, …) == ngramAuditGrams(c, benchGramsOf(b, …), …)`
+    * by delegation.
+    */
+  def ngramAuditGrams(corpus: DataFrame, benchGrams: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    def occ(df: DataFrame) = df
-      .select(col(idCol).as("doc"),
-        posexplode_outer(
-          graft.plans.Md5PrefixLongs(
-            TextFunctions.positionalShingles(col(textCol), n)))
-          .as(Seq("pos", "hv")))
-      .filter(col("hv").isNotNull)
-    val benchGrams = occ(benchmark).select(col("hv")).distinct()
-      .withColumn("_hit", lit(1))
-    val perGram = occ(corpus)
+    val perGram = occ(corpus, idCol, textCol, n)
       .join(broadcast(benchGrams), Seq("hv"), "left")
       .select(col("doc"), col("pos"),
         coalesce(col("_hit"), lit(0)).as("hit"))
@@ -71,4 +85,13 @@ object Decontam {
       .select(col("doc").as(idCol), col("n_grams"), col("n_hit"),
         coalesce(col("longest_run"), lit(0L)).as("longest_run"))
   }
+
+  private def occ(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = df
+    .select(col(idCol).as("doc"),
+      posexplode_outer(
+        graft.plans.Md5PrefixLongs(
+          TextFunctions.positionalShingles(col(textCol), n)))
+        .as(Seq("pos", "hv")))
+    .filter(col("hv").isNotNull)
 }

@@ -64,7 +64,18 @@ object ExactSubstr {
     require(minTokens >= k,
       s"minTokens ($minTokens) must be >= k ($k): runs shorter than " +
         "the anchor unit are never candidates")
-    val g = capDf(occOf(df, idCol, textCol, k), maxDf)
+    dupSpansOfOcc(capDf(occIndex(df, idCol, textCol, k), maxDf),
+      k, minTokens)
+  }
+
+  /** [[dupSpans]] over a PREBUILT [[occIndex]] — the seam that lets a
+    * pipeline computing several span passes over the same corpus
+    * (q309 runs the standing corpus through both the batch gate and
+    * the incremental probe) build the anchor index ONCE instead of
+    * once per call. `dupSpans(df, …) == dupSpansOfOcc(occIndex(df, …),
+    * …)` by construction (the former delegates here).
+    */
+  def dupSpansOfOcc(g: DataFrame, k: Int, minTokens: Int): DataFrame = {
     val matches = g.select(col("doc").as("doc_a"),
         col("pos").as("pos_a"), col("hv"))
       .join(g.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
@@ -91,8 +102,21 @@ object ExactSubstr {
       : DataFrame = {
     require(minTokens >= k,
       s"minTokens ($minTokens) must be >= k ($k)")
-    val gh = occOf(history, idCol, textCol, k)
-    val gd = occOf(delta, idCol, textCol, k)
+    incrementalDupSpansOfOcc(occIndex(history, idCol, textCol, k),
+      occIndex(delta, idCol, textCol, k), k, minTokens)
+  }
+
+  /** [[incrementalDupSpans]] over PREBUILT [[occIndex]]es for both
+    * sides — same seam as [[dupSpansOfOcc]]: at corpus scale the
+    * history occ index is the staged table a daily pipeline persists,
+    * so a caller that also runs the batch gate over history shares
+    * ONE index build between the two (q309's shape). Delegation makes
+    * the equality `incrementalDupSpans(h, d, …) ==
+    * incrementalDupSpansOfOcc(occIndex(h…), occIndex(d…), …)` hold by
+    * construction.
+    */
+  def incrementalDupSpansOfOcc(gh: DataFrame, gd: DataFrame,
+      k: Int, minTokens: Int): DataFrame = {
     val dSide = gd.select(col("doc").as("doc_b"),
       col("pos").as("pos_b"), col("hv"))
     // history → delta: history is always the canonical (lower-id)
@@ -119,8 +143,10 @@ object ExactSubstr {
 
   /** (doc, pos, 60-bit hash) anchor index — text leaves the plan
     * here; checkpointed because every caller joins it at least twice.
+    * Public as the shared-build seam for [[dupSpansOfOcc]] /
+    * [[incrementalDupSpansOfOcc]].
     */
-  private def occOf(df: DataFrame, idCol: String, textCol: String,
+  def occIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     df.select(col(idCol).as("doc"),
         posexplode_outer(

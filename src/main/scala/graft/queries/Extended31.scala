@@ -202,11 +202,23 @@ object Extended31 {
     // the composite always runs every stage FRESH (never the bench
     // derivatives' memo — the oracle-checked artifact must be
     // self-contained)
+    //
+    // r13, guide §2.6: the decontamination stage's benchmark gram set
+    // (the held-out test split of the RAW corpus) is the one stage
+    // input independent of the whole survivor chain — build and
+    // materialize it on a background thread while stages 1-4 run,
+    // instead of serializing it into stage 5's checkpoint job. Still
+    // computed fresh per invocation; only the SCHEDULE overlaps.
+    val benchGrams = graft.core.Par.bg {
+      graft.operators.Decontam.benchGramsOf(
+        docs.filter(TextFunctions.datasetSplit($"doc_id") === "test"),
+        "doc_id", "text", n = 13).localCheckpoint()
+    }
     val s1 = stage1(spark, dir, docs)
     val s2 = stage2(spark, dir, s1, docs)
     val s3 = stage3(spark, dir, s2, docs)
     val s4 = stage4(spark, dir, s3)
-    val s5 = stage5(spark, dir, s4, docs)
+    val s5 = stage5(spark, dir, s4, docs, Some(benchGrams()))
     val s6 = stage6(spark, dir, s5, docs)
     Seq(
       census("0_raw", docs.select($"doc_id")),
@@ -303,14 +315,20 @@ object Extended31 {
     */
   private def stage5(spark: org.apache.spark.sql.SparkSession,
       dir: String, s4: org.apache.spark.sql.DataFrame,
-      docs: org.apache.spark.sql.DataFrame)
+      docs: org.apache.spark.sql.DataFrame,
+      benchGrams: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val train = docs.join(s4, "doc_id")
       .filter(TextFunctions.datasetSplit($"doc_id") === "train")
-    val benchmark =
-      docs.filter(TextFunctions.datasetSplit($"doc_id") === "test")
-    val dirty = Decontam.ngramAudit(train, benchmark,
+    // the benchmark gram set is chain-independent: the composite
+    // prefetches it on a background thread (guide §2.6) and passes it
+    // in; the q307e derivative keeps building it inline so its bench
+    // label still carries the full stage cost (attribution contract)
+    val grams = benchGrams.getOrElse(Decontam.benchGramsOf(
+      docs.filter(TextFunctions.datasetSplit($"doc_id") === "test"),
+      "doc_id", "text", n = 13))
+    val dirty = Decontam.ngramAuditGrams(train, grams,
         "doc_id", "text", n = 13)
       .filter($"longest_run" >= 13)
       .select($"doc_id")
@@ -418,8 +436,19 @@ object Extended31 {
       dir: String): org.apache.spark.sql.DataFrame =
     stageBench("5_decontam", 5)(spark, dir)
   def packBench(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    stageBench("6_pack", 6)(spark, dir)
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val out = stageBench("6_pack", 6)(spark, dir)
+    // f is the ladder's last derivative (labels run in name order per
+    // pass): drop the memo now so the checkpointed stage outputs stop
+    // pinning executor storage for the ~300 queries that run after
+    // (r12 verdict #3). The DataFrame just built holds its own strong
+    // refs to the checkpoint RDDs it reads — clearing the map only
+    // releases the blocks once the bench drops the DF and the
+    // ContextCleaner collects them. The next pass's q307a repopulates
+    // from scratch (each derivative recomputes ITS stage fresh).
+    stageCache.clear()
+    out
+  }
 
   val all: Seq[Q] = Seq(q307_curation_e2e)
 }

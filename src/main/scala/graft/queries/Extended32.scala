@@ -249,45 +249,71 @@ object Extended32 {
     val standing = docs.filter($"doc_id" <= cut)
     val delta = docs.filter($"doc_id" > cut)
 
-    // ---- yesterday's state, built once from standing only ----
-    // (keeps (doc_id, _fp) — stage 1 below probes the fp SET, stage 2
-    // reads the survivor ids)
+    // ---- yesterday's state + the delta ladder's head, overlapped ----
+    // (s1 keeps (doc_id, _fp) — stage 1 below probes the fp SET,
+    // stage 2 reads the survivor ids)
     val s1 = standing
       .select($"doc_id", TextFunctions.fingerprint($"text").as("_fp"))
       .groupBy($"_fp").agg(min($"doc_id").as("doc_id"))
       .localCheckpoint()
     val s1Docs = docs.join(s1.select($"doc_id"), "doc_id")
-    val covS = ExactSubstr.dupSpans(s1Docs, "doc_id", "text",
-        k = 8, minTokens = 16)
-      .groupBy($"doc".as("doc_id")).agg(sum($"len").as("_dup"))
-    val s2 = s1Docs
-      .select($"doc_id", size(TextFunctions.lowerTokens($"text")).as("_n"))
-      .join(covS, Seq("doc_id"), "left")
-      .filter(coalesce($"_dup", lit(0L)) * 2 < $"_n")
-      .select($"doc_id")
-      .localCheckpoint()
-
-    // ---- the delta's incremental ladder ----
-    val i1 = delta
-      .select($"doc_id", TextFunctions.fingerprint($"text").as("_fp"))
-      .groupBy($"_fp").agg(min($"doc_id").as("doc_id"))
-      .join(s1.select($"_fp"), Seq("_fp"), "left_anti")
-      .select($"doc_id")
-      .localCheckpoint()
-    val d1 = docs.join(i1, "doc_id")
-    val cov = ExactSubstr.incrementalDupSpans(s1Docs, d1,
-        "doc_id", "text", k = 8, minTokens = 16)
-      .groupBy($"doc".as("doc_id")).agg(sum($"len").as("_dup"))
-    val i2 = d1
-      .select($"doc_id", size(TextFunctions.lowerTokens($"text")).as("_n"))
-      .join(cov, Seq("doc_id"), "left")
-      .filter(coalesce($"_dup", lit(0L)) * 2 < $"_n")
-      .select($"doc_id")
-      .localCheckpoint()
-    // the standing index = every doc that ENTERED yesterday's minhash
-    // stage (S2) — see the scaladoc note on non-transitive Jaccard
-    val histIdx = Dedup.bandIndex(docs.join(s2, "doc_id"),
-      "text", "doc_id", k = 16, bands = 4)
+    // ONE standing anchor index for BOTH consumers (r13, guide §2.4
+    // "remove shuffles outright"/§1.2 "don't compute things twice"):
+    // the batch coverage gate (s2) and the incremental probe (i2)
+    // used to each rebuild occOf(s1Docs) internally — one full
+    // tokenize+md5 pass over ~80% of the corpus, twice per run
+    val occS = ExactSubstr.occIndex(s1Docs, "doc_id", "text", k = 8)
+    // guide §2.6 (overlap independent jobs): the standing-state chain
+    // (s2 coverage gate → band index) and the delta's first two
+    // incremental stages don't depend on each other — building them
+    // from two driver threads lets each chain's stage tails backfill
+    // the other's idle cores instead of serializing ~10 eager
+    // checkpoint jobs
+    val ((s2, histIdx), (i1, i2)) = graft.core.Par.join2(
+      {
+        val covS = ExactSubstr.dupSpansOfOcc(occS, k = 8,
+            minTokens = 16)
+          .groupBy($"doc".as("doc_id")).agg(sum($"len").as("_dup"))
+        val s2 = s1Docs
+          .select($"doc_id",
+            size(TextFunctions.lowerTokens($"text")).as("_n"))
+          .join(covS, Seq("doc_id"), "left")
+          .filter(coalesce($"_dup", lit(0L)) * 2 < $"_n")
+          .select($"doc_id")
+          .localCheckpoint()
+        // the standing index = every doc that ENTERED yesterday's
+        // minhash stage (S2) — see the scaladoc note on non-transitive
+        // Jaccard. Checkpointed (r13): the incremental probe reads it
+        // TWICE (band side + shingle side), and un-checkpointed each
+        // read re-ran the full standing tokenize+minhash — at corpus
+        // scale this relation is exactly the on-disk index bandIndex's
+        // scaladoc prescribes persisting.
+        val histIdx = Dedup.bandIndex(docs.join(s2, "doc_id"),
+            "text", "doc_id", k = 16, bands = 4)
+          .localCheckpoint()
+        (s2, histIdx)
+      },
+      {
+        val i1 = delta
+          .select($"doc_id", TextFunctions.fingerprint($"text").as("_fp"))
+          .groupBy($"_fp").agg(min($"doc_id").as("doc_id"))
+          .join(s1.select($"_fp"), Seq("_fp"), "left_anti")
+          .select($"doc_id")
+          .localCheckpoint()
+        val d1 = docs.join(i1, "doc_id")
+        val cov = ExactSubstr.incrementalDupSpansOfOcc(occS,
+            ExactSubstr.occIndex(d1, "doc_id", "text", k = 8),
+            k = 8, minTokens = 16)
+          .groupBy($"doc".as("doc_id")).agg(sum($"len").as("_dup"))
+        val i2 = d1
+          .select($"doc_id",
+            size(TextFunctions.lowerTokens($"text")).as("_n"))
+          .join(cov, Seq("doc_id"), "left")
+          .filter(coalesce($"_dup", lit(0L)) * 2 < $"_n")
+          .select($"doc_id")
+          .localCheckpoint()
+        (i1, i2)
+      })
     val i3 = Dedup.incrementalNearDup(histIdx, docs.join(i2, "doc_id"),
         "text", "doc_id", jaccardThreshold = 0.8, k = 16, bands = 4)
       .filter(!$"is_dup")

@@ -38,10 +38,14 @@ class GwinWarningSweepSpec extends SparkSpec {
     spark.range(1).count()
     val allowed = Gwin.ledgerAllowed ++ Gwin.EagerGwinAllowed
 
-    // attribution: queries run strictly sequentially here, so a
+    // attribution: ATTRIBUTED queries run strictly sequentially, so a
     // volatile "current query" is exact up to warnings emitted by
     // lazy background cleanup after save() returns — none of Spark's
-    // cleanup paths plan windows, so that race is theoretical
+    // cleanup paths plan windows, so that race is theoretical.
+    // Non-allowlisted queries must emit ZERO warnings, so they sweep
+    // 8-way concurrently under one aggregate key (suite wall time,
+    // r12 verdict #1) and only re-run sequentially if that aggregate
+    // is nonzero — attribution is only needed to NAME an offender.
     @volatile var current: String = "<none>"
     val hits = new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.atomic.AtomicInteger]()
@@ -76,12 +80,36 @@ class GwinWarningSweepSpec extends SparkSpec {
     }
     ctx.updateLoggers()
     try {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        current = name
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      val (attributed, silent) =
+        all.partition { case (name, _) => allowed(name) }
+      def sweepOne(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String)
+            => org.apache.spark.sql.DataFrame): Unit =
         try fn(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(e) =>
           fail(s"$name failed to run during the gwin sweep: $e") }
+      // phase 1 — the ~300 queries that must not warn at all, 8-way
+      // concurrent under one aggregate key
+      current = "<silent-sweep>"
+      PlanScan.sweep8(silent) { case (name, fn) => sweepOne(name, fn) }
+      if (hits.containsKey("<silent-sweep>")) {
+        // someone warned: re-run this group sequentially so the
+        // failure names the offender (slow path, failure only). The
+        // aggregate count stays in `hits` under a non-allowed key, so
+        // the final assert fails even if the re-run cannot reproduce
+        // the warning — a concurrent hit is never swallowed.
+        silent.foreach { case (name, fn) =>
+          current = name
+          sweepOne(name, fn)
+        }
+      }
+      // phase 2 — the allowlisted queries, sequential for exact
+      // attribution (the vacuity check below needs per-query hits)
+      attributed.foreach { case (name, fn) =>
+        current = name
+        sweepOne(name, fn)
       }
       current = "<after>"
     } finally {

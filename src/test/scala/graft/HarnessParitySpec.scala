@@ -49,14 +49,19 @@ class HarnessParitySpec extends SparkSpec {
     // actual parquet footers and type-checks every expression — the
     // exact layer where the regenerated events.parquet broke 67
     // queries. Cheap enough to sweep the whole surface.
-    val failures = SparkEntry.allQueries.flatMap { q =>
+    // 8-way concurrent (suite wall time, r12 verdict #1): building a
+    // query's DataFrame runs its eager checkpoints, so the "analysis"
+    // sweep was serializing ~311 small jobs. Session forced outside
+    // the pool (lazy-val monitor).
+    val v = vanilla
+    val failures = PlanScan.sweep8(SparkEntry.allQueries) { q =>
       try {
-        q.run(vanilla, sfDir).queryExecution.analyzed
+        q.run(v, sfDir).queryExecution.analyzed
         None
       } catch {
         case e: Throwable => Some(s"${q.name}: ${e.getMessage.take(200)}")
       }
-    }
+    }.flatten
     assert(failures.isEmpty,
       s"${failures.size} queries fail analysis in a vanilla session:\n" +
         failures.mkString("\n"))
@@ -77,15 +82,16 @@ class HarnessParitySpec extends SparkSpec {
     val names = SparkEntry.allQueries.map(_.name).sorted
     val sample = new scala.util.Random(round.toLong)
       .shuffle(names).take(20)
-    val failures = sample.flatMap { name =>
+    val v = vanilla
+    val failures = PlanScan.sweep8(sample) { name =>
       try {
-        SparkEntry.queries(name)(vanilla, sfDir)
+        SparkEntry.queries(name)(v, sfDir)
           .write.format("noop").mode("overwrite").save()
         None
       } catch {
         case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}")
       }
-    }
+    }.flatten
     assert(failures.isEmpty,
       s"round-$round sample: ${failures.size} queries fail execution " +
         s"in a vanilla session:\n" + failures.mkString("\n"))
