@@ -57,9 +57,25 @@ object Graph {
     */
   def coPairs(df: DataFrame, group: Column, item: Column,
       shufflePartitions: Int, packKey: Boolean = false,
-      mapSideCombine: Boolean = false): DataFrame = {
-    val generated = df.groupBy(group)
+      mapSideCombine: Boolean = false,
+      spreadGeneration: Boolean = false): DataFrame = {
+    val grouped = df.groupBy(group)
       .agg(sort_array(collect_set(item)).as("_items"))
+    // spreadGeneration (r13, the q157 verify lesson, guide §2.5):
+    // when the GROUP space is small (q17/q64 group by part key —
+    // ~25k groups, a ~2.4 MB aggregate output), AQE byte-coalesces
+    // the post-aggregate exchange to 2-3 tasks while this stage
+    // GENERATES Σ|items|²/2 pair rows — 25× its input bytes at
+    // sf0.1 — so the coalesced width serializes the query's dominant
+    // compute; an explicit round-robin exchange of the small grouped
+    // arrays restores the width (q17 3.3→2.4 s, q64 2.2→1.7 s).
+    // OPT-IN because when the group space is LARGE (q158 groups by
+    // order), the aggregate output is already wide enough and the
+    // extra exchange only costs (measured q158 1.9→2.6 s with it on).
+    val staged0 =
+      if (spreadGeneration) grouped.repartition(shufflePartitions)
+      else grouped
+    val generated = staged0
       .select(col("_items"), posexplode(col("_items")).as(Seq("_pos", "item_b")))
       // slice = the sorted prefix strictly before item_b ⇒ item_a <
       // item_b by construction; _outer + attribute filter instead of a

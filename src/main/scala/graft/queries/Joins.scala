@@ -222,7 +222,8 @@ object Joins {
     // at sf0.1: measured neutral between the combine and
     // repartition-first regimes — stay with the default
     Graph.coPairs(Tables.load(spark, dir, "lineitem"),
-        $"l_partkey", $"l_suppkey", shufflePartitions, packKey = true)
+        $"l_partkey", $"l_suppkey", shufflePartitions, packKey = true,
+        spreadGeneration = true)
       .select($"item_b".as("supp_a"), $"item_a".as("supp_b"),
         $"n".as("shared_parts"))
       .filter($"shared_parts" >= 3)

@@ -547,7 +547,8 @@ object Patterns {
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = Graph.coPairs(Tables.load(spark, dir, "lineitem"),
-        $"l_partkey", $"l_suppkey", shufflePartitions, packKey = true)
+        $"l_partkey", $"l_suppkey", shufflePartitions, packKey = true,
+        spreadGeneration = true)
       .select($"item_a".as("u"), $"item_b".as("v"), $"n")
     // localCheckpoint, not cache: triangleCensus reads the edge list
     // three times, and checkpoint blocks free on GC instead of
