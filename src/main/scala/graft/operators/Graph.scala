@@ -649,10 +649,54 @@ object Graph {
     * @return (id, comp) for every distinct id — comp = the
     *         component's minimum id, singletons included
     */
-  def bipartiteComponents(membership: DataFrame, maxIter: Int = 20)
-      : DataFrame = {
+  def bipartiteComponents(membership: DataFrame, maxIter: Int = 20,
+      localSolveMaxRows: Long = 1L << 21): DataFrame = {
     val mem = membership.select(col("id"), col("key"))
       .localCheckpoint() // every round joins against it
+    // hybrid solve (r13 — the connectedComponents discipline applied
+    // here): the iterative loop costs several jobs per round in fixed
+    // overhead, which dominates when the membership table is small
+    // (q284's loop stages run 1-task after AQE coalescing — pure
+    // scheduling latency). Below an explicit bounded row threshold
+    // (~32 MB of (id, key) longs), collect and run a driver
+    // union-find over TAGGED nodes — docs and keys live in separate
+    // namespaces even when their long values collide — in
+    // milliseconds; past the bound, the loop is the scale path.
+    // Tagged ordering (doc < key, then value) makes the union-find
+    // root the component's minimum DOC id by construction (every key
+    // node has ≥1 doc neighbor).
+    val isLong = mem.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (isLong && mem.count() <= localSolveMaxRows) {
+      val spark = membership.sparkSession
+      import spark.implicits._
+      val rows = mem.as[(Long, Long)].collect()
+      // node encoding: (0, docId) / (1, keyId); ordering = tuple order
+      type Node = (Int, Long)
+      val parent = scala.collection.mutable.Map.empty[Node, Node]
+      def find(x: Node): Node = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      implicit val nodeOrd: Ordering[Node] =
+        Ordering.Tuple2(Ordering.Int, Ordering.Long)
+      rows.foreach { case (id, key) =>
+        val d = (0, id); val k = (1, key)
+        parent.getOrElseUpdate(d, d)
+        parent.getOrElseUpdate(k, k)
+        val (rd, rk) = (find(d), find(k))
+        if (rd != rk) {
+          if (nodeOrd.lt(rd, rk)) parent(rk) = rd else parent(rd) = rk
+        }
+      }
+      return parent.keys.collect { case d @ (0, id) => (id, find(d)._2) }
+        .toSeq.toDF("id", "comp")
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("id"))
+    }
     var labels = mem.select(col("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()

@@ -55,6 +55,19 @@ object BipartiteCcProps extends Properties("BipartiteCc") {
       got == refComponents(mem)
     }
 
+  // localSolveMaxRows = 0 forces the distributed loop, so the scale
+  // path keeps coverage now that small inputs take the driver
+  // union-find fast path
+  property("distributed-loop path (localSolveMaxRows = 0) == driver " +
+    "union-find reference") =
+    forAll(memGen) { mem =>
+      val got = Graph.bipartiteComponents(
+          mem.toDF("id", "key").repartition(3),
+          localSolveMaxRows = 0L)
+        .as[(Long, Long)].collect().toMap
+      got == refComponents(mem)
+    }
+
   property("== connectedComponents over the shared-key pair graph " +
     "(plus singletons)") =
     forAll(memGen) { mem =>
