@@ -69,10 +69,19 @@ object NaiveBayes {
     val wc = wc0.join(vocab, Seq("w")) // pruned (w, label, cwc)
       .localCheckpoint()
     val vRows = vocab.count()
-    // per-class constants over the PRUNED vocab + doc-count priors
-    val nDocs = docs.count()
-    val classes = docs.groupBy(col(labelCol).as("label"))
+    // per-class constants over the PRUNED vocab + doc-count priors.
+    // nDocs = Σ per-class doc counts — summed from the C-row count
+    // table (bounded driver scalar) instead of a second full
+    // `docs.count()` pass over the labeled corpus (r13, guide §1.2
+    // "don't compute things twice": the count job re-ran the scan +
+    // repartition exchange just to count rows the class aggregate
+    // already counted)
+    val classCounts = docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("_ndc"))
+      .localCheckpoint() // C rows; prior join + the nDocs fold read it
+    val nDocs = classCounts.agg(sum(col("_ndc")))
+      .head().getLong(0)
+    val classes = classCounts
       .join(wc.groupBy(col("label")).agg(sum(col("cwc")).as("_nc")),
         Seq("label"), "left")
       .select(col("label"),
